@@ -1,0 +1,362 @@
+"""Document-at-a-time extraction kernel (pure Python, no Spark).
+
+This is the faithful re-expression of the reference's six-stage cascade
+(/root/reference/ocr/extractors/cni_extractor_18_f.py:442-520 and its
+three siblings) against web-page block streams. It serves two roles:
+
+1. **Oracle** for the relational Spark cascade
+   (ocr_poc_spark/operators/cascade.py): pytest asserts byte-identical
+   output per url between the two implementations.
+2. **Kernel** of the fused zero-shuffle production path
+   (ocr_poc_spark/plans/job.py): called per document inside an
+   Arrow-batched ``mapInPandas`` stage — the whole extraction is a
+   map-only job with no shuffle at 10^12-document scale.
+
+Stage map (reference file:line -> here):
+  1 quality gate        _18_f.py:50-91   assess_quality
+  2 noise preprocess    _18_f.py:93-132  preprocess
+  2b boilerplate strip  _25_f.py:42-48,130-138 (watermark analogue)
+  2c MRZ-line analogue  _25_b.py:121-129 (PDF syntax-bleed lines)
+  3 fixed-format claims _18_f.py:158-212 extract_fixed_format_fields
+  4 fuzzy anchors       _18_f.py:214-249 detect_anchors
+  5 proximity binding   _18_f.py:293-351 extract_by_proximity
+  5b positional fallback _18_f.py:400-440
+  6 consolidation       _18_f.py:493-506
+
+Dispatch (fmt x layout), mirroring the 2x2 (version x side) table at
+/root/reference/ocr/id_card_data_extractor.py:25-35.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .textproc.html_blocks import Block, parse_html_blocks
+from .textproc.pdf_blocks import is_pdf, parse_pdf_blocks
+from .textproc.simtext import (
+    ANCHOR_FIELDS,
+    ANCHORS,
+    SIMILARITY_THRESHOLD,
+    is_likely_label,
+    similarity_score,
+)
+
+# ---------------------------------------------------------------------------
+# Dispatch table: doc_kind -> quality-gate thresholds (ref: the per-extractor
+# constants K1/K2 — 8/5 recto-18, 5/3 verso-18, 6/4 recto-25, 5/3 verso-25).
+# ---------------------------------------------------------------------------
+QUALITY_THRESHOLD = 0.5  # avg-score gate (ref __init__ default)
+KIND_GATES: dict[str, tuple[int, int]] = {
+    "html/article": (8, 5),
+    "html/listing": (5, 3),
+    "pdf/article": (6, 4),
+    "pdf/listing": (5, 3),
+}
+
+NOISE_SCORE_MIN = 0.3  # ref preprocess (_18_f.py:108)
+
+# Boilerplate stop phrases (watermark-word analogue, _25_f.py:42-48),
+# applied to html docs; compared on upper-cased exact text.
+STOP_PHRASES = frozenset(
+    {
+        "ACCEPT ALL COOKIES",
+        "COOKIE POLICY",
+        "WE USE COOKIES",
+        "SUBSCRIBE TO OUR NEWSLETTER",
+        "ALL RIGHTS RESERVED",
+        "PRIVACY POLICY",
+        "TERMS OF SERVICE",
+        "SHARE THIS ARTICLE",
+        "ADVERTISEMENT",
+        "SPONSORED CONTENT",
+    }
+)
+# Listing pages additionally drop bare 3-letter all-caps nav codes
+# (country-code filter analogue, _25_f.py:130-138).
+_ALLCAPS3 = re.compile(r"^[A-Z]{3}$")
+
+# PDF syntax-bleed filter (MRZ-line analogue, _25_b.py:121-129).
+def _is_pdf_bleed(text: str) -> bool:
+    return text.startswith("%%") or "<<<" in text
+
+# ---------------------------------------------------------------------------
+# Fixed-format fields (ref extract_fixed_format_fields, _18_f.py:158-212):
+# first match claims the field and removes the block; within one block the
+# first matching field wins (the reference's `continue`).
+# ---------------------------------------------------------------------------
+DATE_RE = re.compile(r"^\d{1,2}[./]\d{1,2}[./]\d{4}$")
+READING_RE = re.compile(r"^(\d{1,3}) min read$")
+COMMENTS_RE = re.compile(r"^(\d+) comments?$")
+
+
+def _norm_date(text: str) -> str:
+    return text  # kept raw, like the reference's dates
+
+
+def _norm_reading(text: str) -> str:
+    m = READING_RE.match(text)
+    return f"{m.group(1)} min"  # normalisation analogue of taille (_18_f.py:194-203)
+
+
+def _norm_comments(text: str) -> str:
+    m = COMMENTS_RE.match(text)
+    return m.group(1)
+
+
+FIXED_FIELDS: list[tuple[str, re.Pattern, object]] = [
+    ("pub_date", DATE_RE, _norm_date),
+    ("reading_time", READING_RE, _norm_reading),
+    ("comment_count", COMMENTS_RE, _norm_comments),
+]
+FIXED_FIELD_NAMES = [f for f, _, _ in FIXED_FIELDS]
+
+ALL_FIELDS = ANCHOR_FIELDS + FIXED_FIELD_NAMES  # 7 fields
+POSITIONAL_FIELDS = ["title", "author", "category"]  # fallback-assignable
+
+INSUFFICIENT_QUALITY_MSG = "insufficient_quality"
+EMPTY_DOC_MSG = "empty_document"
+
+
+@dataclass
+class ExtractResult:
+    url: str
+    doc_kind: str
+    success: bool
+    message: str | None
+    quality_score: float
+    confidence: float
+    raw_text: str
+    fields: dict[str, str | None]
+    body_text: str | None
+    spans: list[tuple[str, int, int]] = field(default_factory=list)
+    anchors_detected: dict[str, bool] = field(default_factory=dict)
+    n_blocks: int = 0
+
+
+def sniff_and_parse(payload: bytes) -> tuple[list[Block], str]:
+    """Payload -> (blocks, doc_kind). doc_kind = fmt '/' layout."""
+    if is_pdf(payload):
+        blocks, layout = parse_pdf_blocks(payload)
+        return blocks, f"pdf/{layout}"
+    blocks, layout = parse_html_blocks(payload)
+    return blocks, f"html/{layout}"
+
+
+def assess_quality(blocks: list[Block], doc_kind: str) -> tuple[bool, float]:
+    """Quality gate (ref assess_quality, _18_f.py:50-91)."""
+    k1, k2 = KIND_GATES.get(doc_kind, (8, 5))
+    scores = [b.score for b in blocks]
+    valid = [s for s in scores if s > 0]
+    if not valid:
+        return False, 0.0
+    avg = sum(valid) / len(valid)
+    good = sum(1 for s in scores if s > 0.7)
+    can = len(valid) >= k1 and avg >= QUALITY_THRESHOLD and good >= k2
+    return can, avg
+
+
+def preprocess(blocks: list[Block], doc_kind: str) -> list[Block]:
+    """Noise + boilerplate filters (ref preprocess _18_f.py:93-132 plus the
+    per-kind extras F3/F4)."""
+    fmt, layout = doc_kind.split("/")
+    out: list[Block] = []
+    for b in blocks:
+        if b.score < NOISE_SCORE_MIN:
+            continue
+        text = b.text.strip()
+        if not text:
+            continue
+        if len(text) <= 2 and any(ord(c) > 127 for c in text):
+            continue
+        if fmt == "html":
+            if b.boiler:
+                continue
+            if text.upper() in STOP_PHRASES:
+                continue
+        if fmt == "pdf" and _is_pdf_bleed(text):
+            continue
+        if layout == "listing" and _ALLCAPS3.match(text):
+            continue
+        out.append(b)
+    return out
+
+
+def extract_fixed_format_fields(
+    data: list[Block],
+) -> tuple[dict[str, str | None], dict[str, Block], list[int]]:
+    """First-match-wins fixed-format claims with elimination
+    (ref _18_f.py:158-212). Returns (values, claimed block per field,
+    positions-in-`data` to remove)."""
+    values: dict[str, str | None] = {f: None for f in FIXED_FIELD_NAMES}
+    claimed: dict[str, Block] = {}
+    remove: list[int] = []
+    for pos, b in enumerate(data):
+        for fname, pat, norm in FIXED_FIELDS:
+            if values[fname] is None and pat.match(b.text):
+                values[fname] = norm(b.text)
+                claimed[fname] = b
+                remove.append(pos)
+                break  # the reference's `continue` to the next token
+    return values, claimed, remove
+
+
+def detect_anchors(data: list[Block]) -> dict[str, list[tuple[int, str, float]]]:
+    """Fuzzy anchor detection (ref detect_anchors, _18_f.py:214-249):
+    per (block, field) the FIRST anchor in list order reaching the
+    threshold wins (inner break)."""
+    detected: dict[str, list[tuple[int, str, float]]] = {f: [] for f in ANCHORS}
+    for pos, b in enumerate(data):
+        tu = b.text.upper()
+        for fname, anchor_list in ANCHORS.items():
+            for anchor in anchor_list:
+                sim = similarity_score(tu, anchor)
+                if sim >= SIMILARITY_THRESHOLD:
+                    detected[fname].append((pos, b.text, sim))
+                    break
+    return detected
+
+
+def extract_by_proximity(
+    data: list[Block], anchor_pos: int
+) -> str | None:
+    """Proximity value binding (ref extract_by_proximity,
+    _18_f.py:293-351): candidates strictly right or below the anchor
+    centroid, scored block_score * 1/(1+dist/100); first maximum wins."""
+    if anchor_pos >= len(data):
+        return None
+    a = data[anchor_pos]
+    best_text: str | None = None
+    best_score = float("-inf")
+    for pos, b in enumerate(data):
+        if pos == anchor_pos:
+            continue
+        if is_likely_label(b.text):
+            continue
+        dx = b.x - a.x
+        dy = b.y - a.y
+        if not (dx > 0 or dy > 0):
+            continue
+        dist = (dx * dx + dy * dy) ** 0.5
+        s = b.score * (1.0 / (1.0 + dist / 100.0))
+        if s > best_score:  # strict: first maximum kept (python max())
+            best_score = s
+            best_text = b.text
+    return best_text
+
+
+def extract_remaining_fields(
+    data: list[Block], anchors: dict[str, list[tuple[int, str, float]]]
+) -> dict[str, str | None]:
+    """Anchor-bound extraction + positional fallback
+    (ref extract_remaining_fields, _18_f.py:359-440)."""
+    results: dict[str, str | None] = {f: None for f in ANCHOR_FIELDS}
+    used_values: set[str] = set()
+
+    for fname in ANCHOR_FIELDS:
+        if not anchors[fname]:
+            continue
+        # max() keeps the first maximum -> tie-break = lowest position.
+        best_anchor = max(anchors[fname], key=lambda t: t[2])
+        value = extract_by_proximity(data, best_anchor[0])
+        if value and not is_likely_label(value) and value not in used_values:
+            results[fname] = value
+            used_values.add(value)
+
+    # Positional fallback for missing fields (ref _18_f.py:400-440):
+    # remaining non-label unclaimed blocks sorted by y.
+    remaining = [
+        b
+        for b in data
+        if not is_likely_label(b.text) and b.text not in used_values
+    ]
+    remaining.sort(key=lambda b: b.y)  # stable -> idx order on ties
+    queue = list(remaining)
+    for fname in POSITIONAL_FIELDS:
+        if results[fname] is None and queue:
+            results[fname] = queue[0].text
+            used_values.add(queue[0].text)
+            queue.pop(0)
+    return results
+
+
+def _body_blocks(
+    data: list[Block],
+    anchors: dict[str, list[tuple[int, str, float]]],
+    used_values: set[str],
+) -> list[Block]:
+    """Main-content blocks: post-elimination stream minus anchor blocks,
+    label-like blocks and blocks consumed as field values."""
+    anchor_positions = {pos for hits in anchors.values() for pos, _, _ in hits}
+    return [
+        b
+        for pos, b in enumerate(data)
+        if pos not in anchor_positions
+        and b.text not in used_values
+        and not is_likely_label(b.text)
+    ]
+
+
+def extract_document(url: str, payload: bytes) -> ExtractResult:
+    """Full per-document cascade (ref extract(), _18_f.py:442-520)."""
+    blocks, doc_kind = sniff_and_parse(payload)
+    raw_text = " ".join(b.text for b in blocks)  # ref id_card_data_extractor.py:44
+
+    if not blocks:
+        return ExtractResult(
+            url=url, doc_kind=doc_kind, success=False, message=EMPTY_DOC_MSG,
+            quality_score=0.0, confidence=0.0, raw_text=raw_text,
+            fields={f: None for f in ALL_FIELDS}, body_text=None, n_blocks=0,
+        )
+
+    can, quality = assess_quality(blocks, doc_kind)
+    if not can:
+        return ExtractResult(
+            url=url, doc_kind=doc_kind, success=False,
+            message=INSUFFICIENT_QUALITY_MSG, quality_score=quality,
+            confidence=0.0, raw_text=raw_text,
+            fields={f: None for f in ALL_FIELDS}, body_text=None,
+            n_blocks=len(blocks),
+        )
+
+    data = preprocess(blocks, doc_kind)
+    fixed_values, fixed_claimed, remove = extract_fixed_format_fields(data)
+    remaining = [b for pos, b in enumerate(data) if pos not in set(remove)]
+
+    anchors = detect_anchors(remaining)
+    anchor_values = extract_remaining_fields(remaining, anchors)
+
+    fields: dict[str, str | None] = {}
+    fields.update(anchor_values)
+    fields.update(fixed_values)
+
+    used_values = {v for v in anchor_values.values() if v is not None}
+    body = _body_blocks(remaining, anchors, used_values)
+    body_text = "\n\n".join(b.text for b in body) if body else None
+
+    # Spans: field spans (value source block) in ALL_FIELDS order, then one
+    # 'body' span per body block (north_star span-offsets requirement).
+    spans: list[tuple[str, int, int]] = []
+    for fname in ALL_FIELDS:
+        v = fields.get(fname)
+        if v is None:
+            continue
+        if fname in fixed_claimed:
+            src = fixed_claimed[fname]
+        else:
+            src = next((b for b in remaining if b.text == v), None)
+        if src is not None:
+            spans.append((fname, src.char_offset, src.char_offset + src.n_chars))
+    for b in body:
+        spans.append(("body", b.char_offset, b.char_offset + b.n_chars))
+
+    filled = sum(1 for f in ALL_FIELDS if fields.get(f) is not None)
+    confidence = filled / float(len(ALL_FIELDS))
+
+    return ExtractResult(
+        url=url, doc_kind=doc_kind, success=True, message=None,
+        quality_score=quality, confidence=confidence, raw_text=raw_text,
+        fields=fields, body_text=body_text, spans=spans,
+        anchors_detected={k: len(v) > 0 for k, v in anchors.items()},
+        n_blocks=len(blocks),
+    )

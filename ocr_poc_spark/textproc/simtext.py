@@ -1,0 +1,89 @@
+"""Fuzzy string similarity + label-likeness — exact ports of the
+reference's heuristics to web-page field vocabulary.
+
+- ``similarity_score`` replicates
+  /root/reference/ocr/extractors/cni_extractor_18_f.py:134-156 exactly:
+  difflib.SequenceMatcher.ratio() plus a Jaro-Winkler-style prefix bonus
+  ``base + prefix_len*0.1*(1-base)`` capped at 1.0 (prefix up to 4).
+- ``is_likely_label`` replicates the four-way label test of
+  cni_extractor_18_f.py:251-291 (bilingual-slash hint, fuzzy >= 0.75 vs
+  known labels, >= half words in the keyword list, exact keyword).
+
+Vocabulary is the web-field analogue of the CNI anchor dictionaries
+(cni_extractor_18_f.py:26-43): fields title/author/category/summary
+instead of nom/prenom/lieu/profession.
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+SIMILARITY_THRESHOLD = 0.70   # anchor detection (ref: __init__ default)
+LABEL_SIM_THRESHOLD = 0.75    # label-likeness  (ref: is_likely_label)
+
+# Per-field anchor vocabularies (ref anchors dict, _18_f.py:26-33).
+ANCHORS: dict[str, list[str]] = {
+    "title": ["TITLE", "HEADLINE", "TITLE/HEADLINE"],
+    "author": ["AUTHOR", "WRITTEN BY", "POSTED BY", "AUTHOR/WRITTEN BY"],
+    "category": ["CATEGORY", "FILED UNDER", "TOPICS", "SECTION"],
+    "summary": ["SUMMARY", "ABSTRACT", "OVERVIEW", "TL;DR"],
+}
+ANCHOR_FIELDS = list(ANCHORS.keys())
+
+# All known labels (ref all_labels, _18_f.py:36-43).
+EXTRA_LABELS = [
+    "PUBLISHED", "PUBLISHED ON", "DATE", "POSTED", "TAGS", "SHARE",
+    "COMMENTS", "READ MORE", "RELATED ARTICLES", "NEWSLETTER", "MENU",
+    "SIGN IN", "LOG IN", "SEARCH", "HOME", "ABOUT", "CONTACT",
+]
+ALL_LABELS: frozenset[str] = frozenset(
+    a for labels in ANCHORS.values() for a in labels
+) | frozenset(EXTRA_LABELS)
+
+# Composed-label keyword list (ref label_words, _18_f.py:272-275).
+LABEL_WORDS = [
+    "TITLE", "HEADLINE", "AUTHOR", "WRITTEN", "POSTED", "CATEGORY",
+    "FILED", "UNDER", "TOPICS", "SECTION", "SUMMARY", "ABSTRACT",
+    "OVERVIEW", "PUBLISHED", "DATE", "TAGS", "BY", "ON", "OF", "THE",
+]
+_LABEL_WORDS_SET = frozenset(LABEL_WORDS)
+
+# Bilingual-slash hint words (ref _18_f.py:258).
+SLASH_HINT_WORDS = [
+    "TITLE", "HEADLINE", "AUTHOR", "CATEGORY", "SECTION", "SUMMARY",
+    "ABSTRACT", "DATE", "PUBLISHED",
+]
+
+
+def similarity_score(str1: str, str2: str) -> float:
+    """difflib ratio + prefix bonus, capped at 1.0 (exact ref port)."""
+    s1 = str1.upper().strip()
+    s2 = str2.upper().strip()
+    base = SequenceMatcher(None, s1, s2).ratio()
+    prefix = 0
+    for i in range(min(4, len(s1), len(s2))):
+        if s1[i] == s2[i]:
+            prefix += 1
+        else:
+            break
+    return min(base + prefix * 0.1 * (1.0 - base), 1.0)
+
+
+def is_likely_label(text: str) -> bool:
+    """True if the block text looks like a field label, not a value."""
+    text_upper = text.upper()
+
+    if "/" in text and any(w in text_upper for w in SLASH_HINT_WORDS):
+        return True
+
+    for label in ALL_LABELS:
+        if similarity_score(text_upper, label) >= LABEL_SIM_THRESHOLD:
+            return True
+
+    words = text_upper.split()
+    if len(words) > 1:
+        matches = sum(1 for w in words if w in _LABEL_WORDS_SET)
+        if matches >= len(words) / 2:
+            return True
+
+    return text_upper in _LABEL_WORDS_SET
