@@ -1,0 +1,55 @@
+"""CLI entry point — the spark-submit surface.
+
+    spark-submit --py-files dist/ocr_poc_spark.zip run_job.py \
+        --input <pages parquet|iceberg:tbl> --out <dir> [--mode fused]
+
+or locally:
+
+    python -m ocr_poc_spark --input pages.parquet --out /tmp/out
+
+Resume semantics: re-running with the same --out skips buckets already
+committed in the checkpoint manifest (<out>/_manifest/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .plans.job import completed_buckets, run_job
+from .session import get_spark
+from .sources.pages import read_pages
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ocr_poc_spark")
+    ap.add_argument("--input", required=True, help="pages parquet path or iceberg:<table>")
+    ap.add_argument("--out", required=True, help="output dir (extracted/, lineage/, _manifest/)")
+    ap.add_argument("--mode", choices=["fused", "relational"], default="fused")
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--buckets-per-pass", type=int, default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--repartition", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("ocr_poc_spark.job", cpus=args.cpus)
+    done = completed_buckets(args.out)
+    if done:
+        print(f"resuming: {len(done)} bucket(s) already committed", file=sys.stderr)
+    pages = read_pages(spark, args.input)
+    summary = run_job(
+        spark,
+        pages,
+        args.out,
+        mode=args.mode,
+        n_buckets=args.buckets,
+        buckets_per_pass=args.buckets_per_pass,
+        repartition=args.repartition,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,7 @@ Dispatch (fmt x layout), mirroring the 2x2 (version x side) table at
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -237,7 +238,9 @@ def extract_by_proximity(
         dy = b.y - a.y
         if not (dx > 0 or dy > 0):
             continue
-        dist = (dx * dx + dy * dy) ** 0.5
+        # math.sqrt (IEEE-754 correctly rounded) matches Spark's sqrt
+        # bit-for-bit; '** 0.5' (libm pow) would not be guaranteed to.
+        dist = math.sqrt(dx * dx + dy * dy)
         s = b.score * (1.0 / (1.0 + dist / 100.0))
         if s > best_score:  # strict: first maximum kept (python max())
             best_score = s

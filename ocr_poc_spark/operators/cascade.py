@@ -1,0 +1,504 @@
+"""Relational six-stage extraction cascade — native Catalyst re-expression.
+
+Byte-identical to the sequential kernel (ocr_poc_spark/extractor.py,
+itself the faithful port of /root/reference/ocr/extractors/*): pytest
+asserts per-url equality on every output column. Mapping (SURVEY.md §2):
+
+  F1 quality gate      -> higher-order array fns (no shuffle)
+  F2-F4 noise filters  -> native column predicates on the exploded stream
+  R1-R6 fixed claims   -> regexp predicates + min-idx windows, sequential
+                          claim interaction resolved in field-priority
+                          order (J5 elimination = idx exclusion)
+  J1 fuzzy anchors     -> broadcast theta-join + Arrow-batched sim UDF,
+                          provable length prune before the UDF
+  W1 best anchor       -> row_number over (url, field) by (sim desc, idx)
+  J2 proximity binding -> self-join on url + geometric predicate +
+                          row_number by (combined score desc, idx)
+  used_values dedup    -> row_number over (url, value) by field priority
+  W3 positional        -> rank remaining blocks x rank missing fields
+  A3 consolidation     -> pivot on field with explicit value list
+  A2 confidence        -> arithmetic over consolidated columns
+
+Shuffle budget: ONE hash exchange on url — every window / aggregation /
+join downstream is keyed by url (or (url, field) ⊇ url), so Spark reuses
+the url clustering; the broadcast anchor join is shuffle-free. At
+10^12-document scale the cascade therefore costs a single
+repartition-by-url plus narrow stages.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..extractor import (
+    ALL_FIELDS,
+    EMPTY_DOC_MSG,
+    INSUFFICIENT_QUALITY_MSG,
+    KIND_GATES,
+    POSITIONAL_FIELDS,
+    QUALITY_THRESHOLD,
+    STOP_PHRASES,
+)
+from ..textproc.simtext import ANCHOR_FIELDS, ANCHORS, SIMILARITY_THRESHOLD
+
+# Java-regex translations of the kernel's patterns (ASCII inputs only —
+# fixtures contain no unicode digits, where python \d and java \d differ).
+DATE_RE_J = r"^\d{1,2}[./]\d{1,2}[./]\d{4}$"
+READING_RE_J = r"^(\d{1,3}) min read$"
+COMMENTS_RE_J = r"^(\d+) comments?$"
+ALLCAPS3_J = r"^[A-Z]{3}$"
+NON_ASCII_J = r"[^\x00-\x7F]"
+
+_MAX_ANCHOR_LEN = max(len(a) for v in ANCHORS.values() for a in v)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched UDFs (the only two Python touchpoints, per SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+@F.pandas_udf(T.DoubleType())
+def sim_udf(text: pd.Series, anchor: pd.Series) -> pd.Series:
+    from ocr_poc_spark.textproc.simtext import similarity_score
+
+    memo: dict[tuple[str, str], float] = {}
+    out = []
+    for t, a in zip(text, anchor):
+        key = (t, a)
+        v = memo.get(key)
+        if v is None:
+            v = similarity_score(t, a)
+            memo[key] = v
+        out.append(v)
+    return pd.Series(out, dtype="float64")
+
+
+@F.pandas_udf(T.BooleanType())
+def is_label_udf(text: pd.Series) -> pd.Series:
+    from ocr_poc_spark.textproc.simtext import is_likely_label
+
+    memo: dict[str, bool] = {}
+    out = []
+    for t in text:
+        v = memo.get(t)
+        if v is None:
+            v = is_likely_label(t)
+            memo[t] = v
+        out.append(v)
+    return pd.Series(out, dtype="bool")
+
+
+def anchors_df(spark: SparkSession) -> DataFrame:
+    """Broadcast lookup table (field, field_ord, anchor, anchor_ord) —
+    the reference's anchor dictionaries (_18_f.py:26-33) as data."""
+    rows = [
+        (field, f_ord, anchor, a_ord)
+        for f_ord, field in enumerate(ANCHOR_FIELDS)
+        for a_ord, anchor in enumerate(ANCHORS[field])
+    ]
+    return spark.createDataFrame(rows, "field string, field_ord int, anchor string, anchor_ord int")
+
+
+def _gate_exprs(parsed: DataFrame) -> DataFrame:
+    """F1/A1: doc-level quality gate via higher-order array functions —
+    computed without exploding, i.e. zero shuffle."""
+    valid_scores = F.transform(
+        F.filter("blocks", lambda b: b["score"] > F.lit(0.0)), lambda b: b["score"]
+    )
+    n_valid = F.size(valid_scores)
+    sum_valid = F.aggregate(valid_scores, F.lit(0.0), lambda acc, s: acc + s)
+    avg = F.when(n_valid > 0, sum_valid / n_valid).otherwise(F.lit(0.0))
+    n_good = F.size(F.filter("blocks", lambda b: b["score"] > F.lit(0.7)))
+
+    k1 = F.lit(None).cast("int")
+    k2 = F.lit(None).cast("int")
+    for kind, (a, b) in KIND_GATES.items():
+        k1 = F.when(F.col("doc_kind") == kind, F.lit(a)).otherwise(k1)
+        k2 = F.when(F.col("doc_kind") == kind, F.lit(b)).otherwise(k2)
+    k1 = F.coalesce(k1, F.lit(8))
+    k2 = F.coalesce(k2, F.lit(5))
+
+    return parsed.select(
+        "url",
+        "doc_kind",
+        "blocks",
+        F.size("blocks").alias("n_blocks"),
+        avg.alias("quality_score"),
+        (
+            (n_valid >= k1) & (avg >= F.lit(QUALITY_THRESHOLD)) & (n_good >= k2)
+        ).alias("can_proceed"),
+        F.array_join(F.transform("blocks", lambda b: b["text"]), " ").alias("raw_text"),
+    )
+
+
+def _preprocess(stream: DataFrame) -> DataFrame:
+    """F2 noise filter + F3 boilerplate/stop phrases + F4 pdf-bleed +
+    listing all-caps codes (kernel preprocess())."""
+    fmt = F.split("doc_kind", "/").getItem(0)
+    layout = F.split("doc_kind", "/").getItem(1)
+    t = F.trim("text")
+    keep = (
+        (F.col("score") >= F.lit(0.3))
+        & (F.length(t) > 0)
+        & ~((F.length(t) <= 2) & t.rlike(NON_ASCII_J))
+        & F.when(
+            fmt == "html",
+            ~F.col("boiler") & ~F.upper(t).isin(list(STOP_PHRASES)),
+        ).otherwise(F.lit(True))
+        & F.when(
+            fmt == "pdf",
+            ~(t.startswith("%%") | t.contains("<<<")),
+        ).otherwise(F.lit(True))
+        & F.when(layout == "listing", ~t.rlike(ALLCAPS3_J)).otherwise(F.lit(True))
+    )
+    return stream.where(keep).withColumn("text", t)
+
+
+def _fixed_claims(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """R1-R6 + J5: sequential first-match-wins claims.
+
+    claim(f) = min idx among f-matchers excluding earlier fields'
+    claimer blocks — provably equivalent to the reference's scan with
+    `continue` (see kernel extract_fixed_format_fields): because
+    claim(e) is minimal among e-eligible matchers, a block is consumed
+    by an earlier field iff its idx equals that field's claim idx.
+
+    Returns (remaining stream, fixed_rows(url, field, value, idx,
+    char_offset, n_chars)).
+    """
+    w_url = Window.partitionBy("url")
+    m_date = F.col("text").rlike(DATE_RE_J)
+    m_read = F.col("text").rlike(READING_RE_J)
+    m_comm = F.col("text").rlike(COMMENTS_RE_J)
+
+    s = stream.withColumn(
+        "claim_date", F.min(F.when(m_date, F.col("idx"))).over(w_url)
+    )
+    s = s.withColumn(
+        "claim_read",
+        F.min(
+            F.when(
+                m_read & (F.col("idx") != F.coalesce("claim_date", F.lit(-1))),
+                F.col("idx"),
+            )
+        ).over(w_url),
+    )
+    s = s.withColumn(
+        "claim_comm",
+        F.min(
+            F.when(
+                m_comm
+                & (F.col("idx") != F.coalesce("claim_date", F.lit(-1)))
+                & (F.col("idx") != F.coalesce("claim_read", F.lit(-1))),
+                F.col("idx"),
+            )
+        ).over(w_url),
+    )
+
+    claimed_field = (
+        F.when(F.col("idx") == F.col("claim_date"), F.lit("pub_date"))
+        .when(F.col("idx") == F.col("claim_read"), F.lit("reading_time"))
+        .when(F.col("idx") == F.col("claim_comm"), F.lit("comment_count"))
+    )
+    s = s.withColumn("claimed_field", claimed_field)
+
+    value = (
+        F.when(F.col("claimed_field") == "pub_date", F.col("text"))
+        .when(
+            F.col("claimed_field") == "reading_time",
+            F.concat(F.regexp_extract("text", READING_RE_J, 1), F.lit(" min")),
+        )
+        .when(
+            F.col("claimed_field") == "comment_count",
+            F.regexp_extract("text", COMMENTS_RE_J, 1),
+        )
+    )
+    fixed_rows = s.where(F.col("claimed_field").isNotNull()).select(
+        "url",
+        F.col("claimed_field").alias("field"),
+        value.alias("value"),
+        "idx",
+        "char_offset",
+        "n_chars",
+    )
+    remaining = s.where(F.col("claimed_field").isNull()).drop(
+        "claim_date", "claim_read", "claim_comm", "claimed_field"
+    )
+    return remaining, fixed_rows
+
+
+def run_cascade(parsed: DataFrame, spark: SparkSession) -> DataFrame:
+    """parsed(url, doc_kind, blocks) -> extracted (EXTRACTED_SCHEMA order)."""
+    gate = _gate_exprs(parsed)
+    # One explicit url-hash exchange; everything downstream is url-keyed
+    # and reuses this clustering (windows on (url, ...) are satisfied by
+    # hash(url)). Cached boundary not needed: Catalyst shares the scan.
+    passing = gate.where("can_proceed")
+
+    stream = passing.select(
+        "url", "doc_kind", F.explode("blocks").alias("b")
+    ).select("url", "doc_kind", "b.*")
+    stream = _preprocess(stream)
+
+    remaining, fixed_rows = _fixed_claims(stream)
+    remaining = remaining.withColumn("is_label", is_label_udf("text"))
+
+    # ---- J1: fuzzy anchor detection (broadcast theta-join) -------------
+    adf = anchors_df(spark)
+    cand = remaining.where(
+        (F.col("n_chars") <= 3 * _MAX_ANCHOR_LEN)  # coarse pre-prune
+    )
+    pairs = cand.join(F.broadcast(adf))
+    # Exact mirror of the kernel's similarity_score length prune: keeps
+    # only pairs where 3*min(lt, la) >= max(lt, la).
+    lt = F.length("text")
+    la = F.length("anchor")
+    pairs = pairs.where(3 * F.least(lt, la) >= F.greatest(lt, la))
+    # Raw text into the UDF: similarity_score uppercases internally, so
+    # case mapping is python's on both paths (kernel parity).
+    pairs = pairs.withColumn("sim", sim_udf(F.col("text"), F.col("anchor")))
+    pairs = pairs.where(F.col("sim") >= F.lit(SIMILARITY_THRESHOLD))
+    # Per (url, idx, field): FIRST anchor in list order wins (inner break).
+    w_block_field = Window.partitionBy("url", "idx", "field").orderBy("anchor_ord")
+    hits = (
+        pairs.withColumn("rn", F.row_number().over(w_block_field))
+        .where("rn = 1")
+        .select("url", "field", "field_ord", "idx", "text", "sim", "x", "y")
+    )
+
+    # ---- W1: best anchor per (url, field): max sim, first position ----
+    w_field = Window.partitionBy("url", "field").orderBy(
+        F.desc("sim"), F.asc("idx")
+    )
+    best_anchor = (
+        hits.withColumn("rn", F.row_number().over(w_field))
+        .where("rn = 1")
+        .select(
+            "url",
+            "field",
+            "field_ord",
+            F.col("idx").alias("a_idx"),
+            F.col("x").alias("a_x"),
+            F.col("y").alias("a_y"),
+        )
+    )
+
+    # ---- J2/W2: proximity value binding (self-join on url) ------------
+    values = remaining.where(~F.col("is_label")).select(
+        "url",
+        F.col("idx").alias("v_idx"),
+        F.col("text").alias("v_text"),
+        F.col("score").alias("v_score"),
+        F.col("x").alias("v_x"),
+        F.col("y").alias("v_y"),
+    )
+    cand2 = best_anchor.join(values, "url").where(
+        (F.col("v_idx") != F.col("a_idx"))
+        & ((F.col("v_x") > F.col("a_x")) | (F.col("v_y") > F.col("a_y")))
+    )
+    dx = F.col("v_x") - F.col("a_x")
+    dy = F.col("v_y") - F.col("a_y")
+    dist = F.sqrt(dx * dx + dy * dy)
+    combined = F.col("v_score") * (F.lit(1.0) / (F.lit(1.0) + dist / F.lit(100.0)))
+    w_bind = Window.partitionBy("url", "field").orderBy(
+        F.desc("combined"), F.asc("v_idx")
+    )
+    bound = (
+        cand2.withColumn("combined", combined)
+        .withColumn("rn", F.row_number().over(w_bind))
+        .where("rn = 1")
+        .select("url", "field", "field_ord", F.col("v_text").alias("value"))
+    )
+
+    # ---- used_values dedup: first field (priority order) keeps a value -
+    w_val = Window.partitionBy("url", "value").orderBy("field_ord")
+    accepted = (
+        bound.withColumn("vrn", F.row_number().over(w_val))
+        .where("vrn = 1")
+        .select("url", "field", "field_ord", "value")
+    )
+
+    # ---- W3: positional fallback for missing title/author/category ----
+    used = accepted.select("url", F.col("value").alias("text"))
+    rem_pos = (
+        remaining.where(~F.col("is_label"))
+        .join(used, ["url", "text"], "left_anti")
+        .withColumn(
+            "pos_rank",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy(F.asc("y"), F.asc("idx"))
+            ),
+        )
+    )
+    pos_fields = spark.createDataFrame(
+        [(f, i + 1) for i, f in enumerate(POSITIONAL_FIELDS)],
+        "field string, field_pos int",
+    )
+    passing_urls = passing.select("url")
+    missing = (
+        passing_urls.crossJoin(F.broadcast(pos_fields))
+        .join(accepted.select("url", "field"), ["url", "field"], "left_anti")
+        .withColumn(
+            "miss_rank",
+            F.row_number().over(Window.partitionBy("url").orderBy("field_pos")),
+        )
+    )
+    positional = missing.join(
+        rem_pos.select("url", F.col("pos_rank").alias("miss_rank"), F.col("text").alias("value")),
+        ["url", "miss_rank"],
+    ).select("url", "field", "value")
+
+    field_ord_map = {f: i for i, f in enumerate(ALL_FIELDS)}
+    all_values = accepted.select("url", "field", "value").unionByName(positional)
+
+    # ---- body blocks: stream minus anchors/labels/used values ----------
+    used_all = all_values.select("url", F.col("value").alias("text")).distinct()
+    anchor_idxs = hits.select("url", "idx").distinct()
+    body = (
+        remaining.where(~F.col("is_label"))
+        .join(anchor_idxs, ["url", "idx"], "left_anti")
+        .join(used_all, ["url", "text"], "left_anti")
+    )
+    body_agg = body.groupBy("url").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n\n",
+        ).alias("body_text"),
+        F.array_sort(
+            F.collect_list(F.struct("idx", "char_offset", "n_chars"))
+        ).alias("body_span_src"),
+    )
+
+    # ---- spans ----------------------------------------------------------
+    # Source block per anchor/positional value: first (min idx) block in
+    # the remaining stream with text == value.
+    w_src = Window.partitionBy("url", "field").orderBy("idx")
+    value_src = (
+        all_values.join(
+            remaining.select("url", "text", "idx", "char_offset", "n_chars"),
+            (all_values["url"] == remaining["url"])
+            & (all_values["value"] == remaining["text"]),
+        )
+        .select(
+            all_values["url"].alias("url"),
+            "field",
+            "idx",
+            "char_offset",
+            "n_chars",
+        )
+        .withColumn("rn", F.row_number().over(w_src))
+        .where("rn = 1")
+        .drop("rn")
+    )
+    field_ord_expr = F.lit(None).cast("int")
+    for f, i in field_ord_map.items():
+        field_ord_expr = F.when(F.col("field") == f, F.lit(i)).otherwise(field_ord_expr)
+    field_spans = value_src.unionByName(
+        fixed_rows.select("url", "field", "idx", "char_offset", "n_chars"),
+        allowMissingColumns=True,
+    ).select(
+        "url",
+        F.lit(0).alias("k0"),
+        field_ord_expr.alias("k1"),
+        F.lit(0).alias("k2"),
+        F.col("field"),
+        F.col("char_offset").alias("start"),
+        (F.col("char_offset") + F.col("n_chars")).alias("end"),
+    )
+    body_spans = body.select(
+        "url",
+        F.lit(1).alias("k0"),
+        F.lit(0).alias("k1"),
+        F.col("idx").alias("k2"),
+        F.lit("body").alias("field"),
+        F.col("char_offset").alias("start"),
+        (F.col("char_offset") + F.col("n_chars")).alias("end"),
+    )
+    spans_agg = (
+        field_spans.unionByName(body_spans)
+        .groupBy("url")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("k0", "k1", "k2", "field", "start", "end"))
+                ),
+                lambda s: F.struct(
+                    s["field"].alias("field"),
+                    s["start"].alias("start"),
+                    s["end"].alias("end"),
+                ),
+            ).alias("spans")
+        )
+    )
+
+    # ---- anchors_detected map (all 4 fields, False when no hit) --------
+    afields = spark.createDataFrame(
+        [(f, i) for i, f in enumerate(ANCHOR_FIELDS)], "field string, aord int"
+    )
+    adet = (
+        passing_urls.crossJoin(F.broadcast(afields))
+        .join(hits.select("url", "field").distinct().withColumn("hit", F.lit(True)),
+              ["url", "field"], "left")
+        .groupBy("url")
+        .agg(
+            F.map_from_entries(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("aord", "field", F.coalesce("hit", F.lit(False)).alias("hit"))
+                        )
+                    ),
+                    lambda s: F.struct(s["field"].alias("key"), s["hit"].alias("value")),
+                )
+            ).alias("anchors_detected")
+        )
+    )
+
+    # ---- A3 consolidation (pivot) + A2 confidence ----------------------
+    consolidated = (
+        all_values.unionByName(fixed_rows.select("url", "field", "value"))
+        .groupBy("url")
+        .pivot("field", ALL_FIELDS)
+        .agg(F.first("value"))
+    )
+
+    out = (
+        gate.drop("blocks")
+        .join(consolidated, "url", "left")
+        .join(body_agg.select("url", "body_text"), "url", "left")
+        .join(spans_agg, "url", "left")
+        .join(adet, "url", "left")
+    )
+    filled = sum(
+        (F.col(f).isNotNull()).cast("int") for f in ALL_FIELDS
+    )
+    out = out.select(
+        "url",
+        "doc_kind",
+        F.col("can_proceed").alias("success"),
+        F.when(F.col("n_blocks") == 0, F.lit(EMPTY_DOC_MSG))
+        .when(~F.col("can_proceed"), F.lit(INSUFFICIENT_QUALITY_MSG))
+        .alias("message"),
+        "quality_score",
+        F.when(
+            F.col("can_proceed"), filled / F.lit(float(len(ALL_FIELDS)))
+        ).otherwise(F.lit(0.0)).alias("confidence"),
+        "raw_text",
+        *[F.col(f) for f in ALL_FIELDS],
+        "body_text",
+        F.when(F.col("can_proceed"), F.coalesce("spans", F.array()))
+        .otherwise(F.array().cast("array<struct<field:string,start:int,end:int>>"))
+        .alias("spans"),
+        F.coalesce(
+            "anchors_detected",
+            F.map_from_entries(
+                F.array().cast("array<struct<key:string,value:boolean>>")
+            ),
+        ).alias("anchors_detected"),
+        "n_blocks",
+    )
+    return out

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k (baseline; exact; O(Q*N) broadcast join)
+- random-hyperplane LSH bucketing (scale path: candidates only within
+  matching buckets, then exact re-rank — the IVF-style alternative)
+
+All arithmetic runs JVM-side through higher-order functions
+(zip_with/aggregate); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from pyspark.sql.column import Column
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the query rows (default: all).
+
+    Queries are broadcast against the corpus — at 100TB the corpus side
+    stays partitioned and the small query side ships to every executor.
+    """
+    from pyspark.sql import Window
+
+    base = with_norm(df.select(id_col, vec_col), vec_col)
+    q = base if query_ids is None else base.where(F.col(id_col).isin(query_ids))
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("q_v"),
+        F.col("_norm").alias("q_norm"),
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_norm"),
+    )
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_bucket(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Adds an LSH `bucket` column: sign bits of dots with n_planes
+    seeded random hyperplanes (deterministic literals, broadcast free)."""
+    base = with_norm(df, vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (_dot(F.col("_v"), p) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return base.withColumn("bucket", bucket)
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank within LSH buckets. The
+    bucket equi-join replaces the cross join — shuffle keys are hash
+    buckets (uniform), candidate count ~ N/2^planes per row."""
+    from pyspark.sql import Window
+
+    b = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, dim, n_planes, seed)
+    left = b.select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
+        F.col("_norm").alias("q_norm"), "bucket",
+    )
+    right = b.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_norm"), "bucket",
+    )
+    pairs = left.join(right, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH candidates."""
+    b = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, dim, n_planes, seed)
+    left = b.select(F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"),
+                    F.col("_norm").alias("n_a"), "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"),
+                     F.col("_norm").alias("n_b"), "bucket")
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

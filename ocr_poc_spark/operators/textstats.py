@@ -1,0 +1,105 @@
+"""Text-analysis operators for corpus curation: language ID, quality
+scoring, token counting, fingerprinting. All native column expressions
+(DuckDB-oracle-checkable where the engines share function semantics)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "zu", "mit", "ist", "den"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "que", "es", "para"],
+}
+LANGS = list(STOPWORDS.keys())
+
+
+def _words(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (ceil(chars/4))
+    + distinct-word ratio."""
+    words = _words(text_col)
+    n_tokens = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        F.ceil(n_chars / F.lit(4)).cast("long").alias("n_subwords_est"),
+        n_chars.alias("n_chars_calc"),
+        (F.size(F.array_distinct(words)) / n_tokens).alias("distinct_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic doc quality: length factor, punctuation ratio, stopword
+    ratio (web-corpus filtering staple)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    words = _words(text_col)
+    n_words = F.size(words)
+    punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", ""))
+    stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(words), stop_en))
+    length_factor = F.least(F.lit(1.0), n / F.lit(500.0))
+    punct_ratio = punct / n
+    stop_ratio = stop_hits / F.lit(float(len(STOPWORDS["en"])))
+    score = F.round(
+        F.lit(0.4) * length_factor + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10)),
+        6,
+    )
+    return df.select(
+        id_col,
+        n.alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        punct.alias("n_punct"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit argmax language guess (deterministic tie-break by
+    language order en > fr > de > es)."""
+    words = F.array_distinct(_words(text_col))
+    hit_cols = []
+    for lang in LANGS:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hit_cols.append(F.size(F.array_intersect(words, sw)).alias(f"hits_{lang}"))
+    scored = df.select(id_col, F.col("lang").alias("lang_true"), *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANGS])
+    guess = F.lit("unknown")
+    for lang in reversed(LANGS):  # earlier langs win ties
+        guess = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best > 0, guess).otherwise(F.lit("unknown"))
+    return scored.select(
+        id_col,
+        "lang_true",
+        guess.alias("lang_guess"),
+        *[F.col(f"hits_{lang}") for lang in LANGS],
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalised text (engine-
+    portable) + a 64-bit rolling xxhash over 5-word windows, min-sampled
+    (winnowing-style; Spark-native)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = F.split(norm, " ")
+    window_expr = (
+        "transform(sequence(1, greatest(size(_w) - 4, 0)), "
+        "i -> xxhash64(concat_ws(' ', slice(_w, i, 5))))"
+    )
+    return (
+        df.withColumn("_w", words)
+        .select(
+            id_col,
+            F.md5(norm).alias("md5_fp"),
+            F.array_min(F.expr(window_expr)).alias("winnow_fp"),
+        )
+    )

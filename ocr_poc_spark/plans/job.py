@@ -1,0 +1,182 @@
+"""End-to-end extraction job: pages -> extracted + lineage, resumable.
+
+Two physical strategies over identical semantics (parity-tested):
+
+- ``mode='fused'`` (production default): ONE Arrow-batched mapInPandas
+  stage runs parse + cascade per document — a map-only plan with zero
+  shuffles. At 10^12 documents this scales linearly with executors: no
+  exchange, no skew-sensitive key, partition count = input splits after
+  an explicit url-hash repartition that balances long-tail page sizes.
+- ``mode='relational'``: parse UDF + native Catalyst cascade
+  (operators/cascade.py) — one url-hash exchange; exercises the full
+  operator inventory and lets Catalyst/AQE plan the joins.
+
+Resumability (north_star: "checkpoint manifest enabling idempotent
+resume of failed partitions"): work is split into url-hash BUCKETS
+(restartable units). Each pass processes pending buckets, writes
+extracted rows under bucket=K directories and lineage rows, then commits
+a manifest entry per bucket. A crashed pass leaves no manifest entry, so
+the rerun overwrites those bucket directories — same final table
+(idempotence is asserted by tests/test_resume.py). The reference's
+analogue is the 3-retry REST policy (README_API.md:52) — per-request
+retry becomes per-bucket restart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.cascade import run_cascade
+from ..operators.lineage import partition_metrics
+from ..operators.parse import parse_pages
+from ..schemas import EXTRACTED_SCHEMA
+
+
+def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_poc_spark.extractor import ALL_FIELDS, extract_document
+
+    for pdf in batches:
+        rows: list[dict] = []
+        for url, payload in zip(pdf["url"], pdf["html"]):
+            r = extract_document(url, bytes(payload) if payload is not None else b"")
+            d = {
+                "url": r.url,
+                "doc_kind": r.doc_kind,
+                "success": r.success,
+                "message": r.message,
+                "quality_score": r.quality_score,
+                "confidence": r.confidence,
+                "raw_text": r.raw_text,
+                "body_text": r.body_text,
+                "spans": [
+                    {"field": f, "start": s, "end": e} for f, s, e in r.spans
+                ],
+                "anchors_detected": r.anchors_detected,
+                "n_blocks": r.n_blocks,
+            }
+            for f in ALL_FIELDS:
+                d[f] = r.fields.get(f)
+            rows.append(d)
+        yield pd.DataFrame(rows, columns=[f.name for f in EXTRACTED_SCHEMA.fields])
+
+
+def extract_fused(pages: DataFrame) -> DataFrame:
+    """Zero-shuffle extraction: (url, html) -> EXTRACTED_SCHEMA."""
+    return pages.select("url", "html").mapInPandas(_fused_batches, EXTRACTED_SCHEMA)
+
+
+def extract_relational(pages: DataFrame, spark: SparkSession) -> DataFrame:
+    return run_cascade(parse_pages(pages), spark)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed, manifest-checkpointed job runner.
+# ---------------------------------------------------------------------------
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def completed_buckets(out_dir: str) -> set[int]:
+    mdir = _manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for name in os.listdir(mdir):
+        if name.startswith("bucket_") and name.endswith(".json"):
+            done.add(int(name[len("bucket_"):-len(".json")]))
+    return done
+
+
+def _commit_bucket(out_dir: str, run_id: str, bucket: int, n_rows: int, secs: float) -> None:
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".bucket_{bucket}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"run_id": run_id, "bucket": bucket, "n_rows": n_rows, "secs": secs}, fh)
+    os.replace(tmp, os.path.join(mdir, f"bucket_{bucket}.json"))  # atomic commit
+
+
+def run_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    mode: str = "fused",
+    n_buckets: int = 8,
+    buckets_per_pass: int | None = None,
+    run_id: str | None = None,
+    fail_after_passes: int | None = None,
+    repartition: int | None = None,
+) -> dict:
+    """Run (or resume) the extraction job. Returns summary stats.
+
+    fail_after_passes: test hook — raise after N committed passes to
+    simulate a mid-job crash for the resume test.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    buckets_per_pass = buckets_per_pass or n_buckets
+    ext_dir = os.path.join(out_dir, "extracted")
+    lin_dir = os.path.join(out_dir, "lineage")
+
+    pending = sorted(set(range(n_buckets)) - completed_buckets(out_dir))
+    passes = [
+        pending[i : i + buckets_per_pass]
+        for i in range(0, len(pending), buckets_per_pass)
+    ]
+
+    # Long-tail page-size balance: spread documents uniformly by url hash
+    # (SURVEY.md §4 — explicit repartition, not a Catalyst concern).
+    bucketed = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    if repartition:
+        bucketed = bucketed.repartition(repartition, F.xxhash64("url"))
+
+    total_rows = 0
+    t_start = time.monotonic()
+    for i, batch in enumerate(passes):
+        if fail_after_passes is not None and i >= fail_after_passes:
+            raise RuntimeError("injected failure (test hook)")
+        t0 = time.monotonic()
+        part = bucketed.where(F.col("bucket").isin([int(b) for b in batch]))
+        if mode == "fused":
+            ext = extract_fused(part.select("url", "html", "bucket"))
+        elif mode == "relational":
+            ext = extract_relational(part, spark)
+        else:
+            raise ValueError(mode)
+        ext = ext.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+        )
+        ext = ext.persist()
+        try:
+            ext.write.mode("overwrite").partitionBy("bucket").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(ext_dir)
+            lineage = partition_metrics(ext, run_id)
+            lineage.write.mode("append").parquet(lin_dir)
+            n = ext.count()
+        finally:
+            ext.unpersist()
+        secs = time.monotonic() - t0
+        for b in batch:
+            _commit_bucket(out_dir, run_id, int(b), n, secs)
+        total_rows += n
+
+    return {
+        "run_id": run_id,
+        "mode": mode,
+        "n_buckets": n_buckets,
+        "passes": len(passes),
+        "rows_this_run": total_rows,
+        "secs": time.monotonic() - t_start,
+        "extracted_dir": ext_dir,
+        "lineage_dir": lin_dir,
+    }

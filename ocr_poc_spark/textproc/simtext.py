@@ -44,7 +44,7 @@ ALL_LABELS: frozenset[str] = frozenset(
 LABEL_WORDS = [
     "TITLE", "HEADLINE", "AUTHOR", "WRITTEN", "POSTED", "CATEGORY",
     "FILED", "UNDER", "TOPICS", "SECTION", "SUMMARY", "ABSTRACT",
-    "OVERVIEW", "PUBLISHED", "DATE", "TAGS", "BY", "ON", "OF", "THE",
+    "OVERVIEW", "PUBLISHED", "DATE", "TAGS", "BY",
 ]
 _LABEL_WORDS_SET = frozenset(LABEL_WORDS)
 
@@ -56,9 +56,22 @@ SLASH_HINT_WORDS = [
 
 
 def similarity_score(str1: str, str2: str) -> float:
-    """difflib ratio + prefix bonus, capped at 1.0 (exact ref port)."""
+    """difflib ratio + prefix bonus, capped at 1.0 (exact ref port).
+
+    Length-ratio prune (provably safe vs both thresholds): ratio() is
+    bounded by 2*min(l1,l2)/(l1+l2); if max > 3*min that bound is < 0.5,
+    and even with the maximal prefix bonus the final score is
+    < 0.4 + 0.6*0.5 = 0.70 — strictly below every threshold used, so
+    returning 0.0 early never changes a threshold decision. This prunes
+    long paragraph blocks from the quadratic difflib loop and is
+    mirrored by the relational path's pre-join length filter
+    (operators/cascade.py).
+    """
     s1 = str1.upper().strip()
     s2 = str2.upper().strip()
+    l1, l2 = len(s1), len(s2)
+    if 3 * min(l1, l2) < max(l1, l2):
+        return 0.0
     base = SequenceMatcher(None, s1, s2).ratio()
     prefix = 0
     for i in range(min(4, len(s1), len(s2))):

@@ -1,0 +1,52 @@
+"""End-to-end job test: full run == crash-then-resume run (idempotent
+checkpoint manifest), lineage rows present (SURVEY.md §5 item 3)."""
+
+import pytest
+
+from ocr_poc_spark.plans.job import completed_buckets, run_job
+
+
+def _read_sorted(spark, path):
+    rows = spark.read.parquet(path).collect()
+    return sorted(
+        [(r["url"], r["success"], r["body_text"], r["confidence"]) for r in rows]
+    )
+
+
+def test_full_run_then_idempotent_resume(spark, pages_df, tmp_path):
+    full_dir = str(tmp_path / "full")
+    run_job(spark, pages_df, full_dir, mode="fused", n_buckets=4)
+    assert completed_buckets(full_dir) == {0, 1, 2, 3}
+    full = _read_sorted(spark, full_dir + "/extracted")
+    assert len(full) == pages_df.count()
+
+    # Crash after the first pass (2 of 4 buckets committed)...
+    crash_dir = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_job(
+            spark, pages_df, crash_dir, mode="fused", n_buckets=4,
+            buckets_per_pass=2, fail_after_passes=1,
+        )
+    assert len(completed_buckets(crash_dir)) == 2
+
+    # ...then resume: remaining buckets only, same final table.
+    summary = run_job(
+        spark, pages_df, crash_dir, mode="fused", n_buckets=4, buckets_per_pass=2
+    )
+    assert completed_buckets(crash_dir) == {0, 1, 2, 3}
+    resumed = _read_sorted(spark, crash_dir + "/extracted")
+    assert resumed == full
+
+    lineage = spark.read.parquet(crash_dir + "/lineage")
+    assert lineage.count() > 0
+    agg = lineage.groupBy().sum("n_docs").collect()[0][0]
+    assert agg == pages_df.count()
+    assert summary["rows_this_run"] < pages_df.count()  # only resumed part
+
+
+def test_relational_mode_job(spark, pages_df, tmp_path):
+    out = str(tmp_path / "rel")
+    run_job(spark, pages_df.limit(40), out, mode="relational", n_buckets=2)
+    ext = spark.read.parquet(out + "/extracted")
+    assert ext.count() == 40
+    assert "body_text" in ext.columns and "spans" in ext.columns

@@ -1,0 +1,96 @@
+"""Unit tests for the pure-Python kernels (SURVEY.md §5 item 2)."""
+
+from ocr_poc_spark.textproc.html_blocks import parse_html_blocks
+from ocr_poc_spark.textproc.pdf_blocks import is_pdf, parse_pdf_blocks
+from ocr_poc_spark.textproc.scoring import block_score
+from ocr_poc_spark.textproc.simtext import is_likely_label, similarity_score
+
+
+def test_html_blocks_basic():
+    html = (
+        b"<html><head><title>My Title</title></head><body>"
+        b"<nav><ul><li><a href='/'>Home</a></li></ul></nav>"
+        b"<article><h1>My Title</h1><p>Hello world this is the body.</p></article>"
+        b"<footer><p>All rights reserved</p></footer></body></html>"
+    )
+    blocks, layout = parse_html_blocks(html)
+    assert layout == "article"
+    texts = [b.text for b in blocks]
+    assert texts == [
+        "My Title", "Home", "My Title", "Hello world this is the body.",
+        "All rights reserved",
+    ]
+    # nav li is inside <a>: full link density; boiler flag set
+    home = blocks[1]
+    assert home.link_density == 1.0 and home.boiler
+    assert blocks[3].link_density == 0.0 and not blocks[3].boiler
+    # offsets are cumulative over '\n'-joined texts
+    assert blocks[1].char_offset == len("My Title") + 1
+    # idx/geometry
+    assert [b.idx for b in blocks] == [0, 1, 2, 3, 4]
+    assert blocks[2].y == 2 * 40.0
+
+
+def test_html_blocks_malformed_and_skip():
+    blocks, layout = parse_html_blocks(b"<p>unclosed <script>var x=1;</script><p>two")
+    texts = [b.text for b in blocks]
+    assert "var x=1;" not in " ".join(texts)
+    assert "unclosed" in texts and "two" in texts
+    assert layout == "listing"
+    assert parse_html_blocks(b"")[0] == []
+
+
+def test_html_whitespace_normalised():
+    blocks, _ = parse_html_blocks(b"<p>  a\n\n  b\tc  </p>")
+    assert blocks[0].text == "a b c"
+
+
+def test_pdf_blocks():
+    payload = (
+        b"%PDF-1.4\n%layout:listing\n"
+        b"4 0 obj << /Length 99 >> stream\n"
+        b"BT /F1 12 Tf 72 760 Td (Hello \\(world\\)) Tj ET\n"
+        b"BT /F1 12 Tf 72 720 Td [(Part) ( one)] TJ ET\n"
+        b"endstream endobj\n%%EOF\n"
+    )
+    assert is_pdf(payload)
+    blocks, layout = parse_pdf_blocks(payload)
+    assert layout == "listing"
+    assert [b.text for b in blocks] == ["Hello (world)", "Part one"]
+    assert blocks[0].y == 40.0 and blocks[1].y == 80.0  # PAGE_H - Td y
+    assert blocks[0].x == 72.0
+
+
+def test_block_score_bands():
+    assert block_score("", 0.0) == 0.0
+    assert block_score("Home", 1.0) < 0.3            # nav link -> noise
+    assert 0.3 < block_score("12.03.2021", 0.0) <= 0.8  # short factual token
+    assert block_score("x" * 80, 0.0) == 1.0          # paragraph
+    assert block_score("x" * 80, 0.5) < 0.7
+
+
+def test_similarity_exact_and_fuzzy():
+    assert similarity_score("AUTHOR", "AUTHOR") == 1.0
+    assert similarity_score("Authr", "AUTHOR") >= 0.70   # fuzzy anchor hit
+    assert similarity_score("Auth0r", "AUTHOR") >= 0.70
+    assert similarity_score("banana", "AUTHOR") < 0.70
+    # length-ratio prune: long text can never reach the threshold
+    assert similarity_score("x" * 100, "AUTHOR") == 0.0
+
+
+def test_similarity_prefix_bonus():
+    from difflib import SequenceMatcher
+
+    base = SequenceMatcher(None, "CATEG", "CATEGORY").ratio()
+    expect = min(base + 4 * 0.1 * (1 - base), 1.0)
+    assert similarity_score("categ", "CATEGORY") == expect
+
+
+def test_is_likely_label():
+    assert is_likely_label("Title/Headline")          # bilingual slash
+    assert is_likely_label("Written by")              # exact anchor
+    assert is_likely_label("Writen by")               # fuzzy >= 0.75
+    assert is_likely_label("Published on the date")   # >= half keywords
+    assert is_likely_label("by")                      # exact keyword
+    assert not is_likely_label("Jane Doe")
+    assert not is_likely_label("A perfectly normal sentence about foxes.")
