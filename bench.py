@@ -1,0 +1,107 @@
+"""Benchmark harness (driver contract): one JSON line on stdout.
+
+Headline metric: end-to-end extraction wall seconds over a deterministic
+synthetic pages table sized by the scale factor (BASELINE.json metric is
+documents/sec — reported as docs_per_sec alongside). Also times the
+relational operator queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_MODE (fused|relational, default fused),
+     BENCH_PAGES (override page count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MODE = os.environ.get("BENCH_MODE", "fused")
+
+# Pages per scale factor: sf0.1 -> 8000 docs (~50KB HTML each).
+PAGES_PER_SF = 80_000
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([\d.]+)", d)
+    return float(m.group(1)) if m else 0.1
+
+
+def _pages_path(n_pages: int) -> str:
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"pages_{n_pages}.parquet")
+    if not os.path.exists(path):
+        from ocr_poc_spark.fixtures import write_pages_parquet
+
+        write_pages_parquet(path, n_pages, seed=42)
+    return path
+
+
+# Queries worth timing per-round (mix of shuffle-heavy, join-heavy,
+# UDF-heavy shapes). The rest are correctness-gated already.
+BENCH_QUERIES = [
+    "tpch_pricing", "tpch_top_orders", "region_rollup",
+    "dedup_ngram_jaccard", "dedup_minhash", "embedding_topk", "ann_lsh",
+    "proximity_binding", "sessionization", "lang_id", "fingerprint",
+]
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    n_pages = int(os.environ.get("BENCH_PAGES", str(int(PAGES_PER_SF * sf))))
+    pages_path = _pages_path(n_pages)
+
+    from ocr_poc_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+
+    import __spark_entry__ as entry_mod
+    from ocr_poc_spark.plans.job import extract_fused, extract_relational
+
+    # Warm the JVM/Arrow path once (tiny), outside timing.
+    pages = spark.read.parquet(pages_path)
+    pages.limit(8).count()
+
+    t0 = time.monotonic()
+    if MODE == "relational":
+        ext = extract_relational(pages, spark)
+    else:
+        ext = extract_fused(pages)
+    n_out = ext.write.format("noop").mode("overwrite").save() or pages.count()
+    # noop save forces full materialisation; count() reuses the cached scan
+    extract_secs = time.monotonic() - t0
+
+    qs = entry_mod.queries()
+    q_secs: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t = time.monotonic()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        q_secs[name] = round(time.monotonic() - t, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"extraction_wall_sec_{MODE}_{n_pages}pages_local{CPUS}",
+                "value": round(extract_secs, 3),
+                "unit": "sec",
+                "queries": q_secs,
+                "sf": sf,
+                "n_pages": n_pages,
+                "docs_per_sec": round(n_pages / extract_secs, 1),
+                "mode": MODE,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

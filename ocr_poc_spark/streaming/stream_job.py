@@ -1,0 +1,77 @@
+"""Incremental extraction via Structured Streaming.
+
+The reference is a request/response service (one doc per HTTP call,
+/root/reference/api_server.py:177-236); its streaming analogue is a
+file/Iceberg stream of newly-landed pages driven through the identical
+extraction stage graph. ``trigger(availableNow=True)`` gives catch-up
+batch semantics; a continuous deployment would use the same code with a
+processing-time trigger. Checkpointing here is Spark's own offset log
+(complementary to the batch job's bucket manifest: the stream tracks
+*files*, the batch manifest tracks *url-hash buckets*).
+
+The extraction is stateless per document (map-only fused path), so no
+watermarks are needed; the optional windowed throughput aggregation
+shows the stateful side (per-minute doc counts with a watermark).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.job import extract_fused
+from ..schemas import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """pages stream -> extracted parquet, exactly-once via checkpoint."""
+    pages = read_pages_stream(spark, in_path)
+    ext = extract_fused(pages)
+    writer = (
+        ext.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_throughput_stream(
+    spark: SparkSession,
+    in_path: str,
+    checkpoint: str,
+    query_name: str = "throughput",
+) -> StreamingQuery:
+    """Stateful side: per-minute ingest counts with late-data watermark
+    (the service-metrics analogue, api_server.py:54-58, as a stream)."""
+    pages = read_pages_stream(spark, in_path)
+    agg = (
+        pages.withWatermark("warc_ts", "10 minutes")
+        .groupBy(F.window("warc_ts", "1 minute"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,120 @@
+"""Unit tests for dedup / similarity / textstats / multimodal operators."""
+
+import pyspark.sql.functions as F
+
+from ocr_poc_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ocr_poc_spark.operators.multimodal import (
+    decode_media,
+    make_fake_payload,
+    sample_frames,
+)
+from ocr_poc_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from ocr_poc_spark.operators.textstats import fingerprint, lang_id, token_stats
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s0"),  # exact dup
+        (3, "the quick brown fox leaps over the lazy dog", "en", "s0"),  # near dup
+        (4, "completely different text about spark pipelines here", "en", "s0"),
+        (5, "le renard brun saute par dessus le chien paresseux", "fr", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_duplicates(spark):
+    out = exact_duplicates(_docs(spark)).collect()
+    assert len(out) == 1 and out[0]["keeper_id"] == 1 and out[0]["n_copies"] == 2
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), group_col="source", threshold=0.5).collect()
+    }
+    assert out[(1, 2)] == 1.0           # identical
+    assert 0.5 <= out[(1, 3)] < 1.0     # one word differs
+    assert (1, 4) not in out
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    out = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5).collect()}
+    assert (1, 2) in out
+    assert (1, 4) not in out
+
+
+def test_simhash_near_pairs(spark):
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(_docs(spark), max_hamming=10).collect()}
+    assert out[(1, 2)] == 0             # identical text -> same simhash
+    assert (1, 3) in out                # near dup within hamming 10
+    assert (1, 4) not in out
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, query_ids=[0], k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine"] > 0.99
+
+
+def test_lsh_ann_agrees_with_bruteforce_mostly(spark, fixture_rows):
+    import numpy as np
+
+    rs = np.random.RandomState(3)
+    rows = [(i, rs.randn(16).astype(float).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in lsh_ann_topk(df, k=1, dim=16, n_planes=4).collect()
+    }
+    hits = sum(1 for k, v in approx.items() if exact.get(k) == v)
+    assert hits >= 0.5 * len(exact)  # approximate, but far above chance
+
+
+def test_token_stats_and_fingerprint(spark):
+    d = _docs(spark)
+    ts = {r["doc_id"]: r for r in token_stats(d).collect()}
+    assert ts[1]["n_tokens"] == 9
+    assert ts[1]["n_chars_calc"] == len("the quick brown fox jumps over the lazy dog")
+    fp = {r["doc_id"]: r for r in fingerprint(d).collect()}
+    assert fp[1]["md5_fp"] == fp[2]["md5_fp"]
+    assert fp[1]["md5_fp"] != fp[4]["md5_fp"]
+    assert fp[1]["winnow_fp"] == fp[2]["winnow_fp"]
+
+
+def test_lang_id(spark):
+    d = _docs(spark)
+    out = {r["doc_id"]: r["lang_guess"] for r in lang_id(d).collect()}
+    assert out[1] == "en" and out[5] == "fr"
+
+
+def test_multimodal_decode_and_frames(spark):
+    rows = [
+        (1, "image", make_fake_payload("I", 640, 480, 1, b"\x10" * 32)),
+        (2, "video", make_fake_payload("V", 320, 240, 6, bytes(range(96)))),
+        (3, "image", b"\x89PNG not a fake payload"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    dec = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert dec[1]["status"] == "ok" and dec[1]["width"] == 640
+    assert dec[2]["n_frames"] == 6
+    assert dec[3]["status"] == "unsupported"  # graceful, not a crash
+    frames = sample_frames(media, every_n=2, frame_bytes=16).collect()
+    assert [f["frame_no"] for f in frames if f["media_id"] == 2] == [0, 2, 4]
+    assert all(len(f["frame"]) == 16 for f in frames)

@@ -1,0 +1,62 @@
+"""Streaming variant: availableNow extraction stream over fixture pages
+equals the batch fused output; stateful windowed throughput agg runs."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_poc_spark.fixtures import gen_pages
+from ocr_poc_spark.plans.job import extract_fused
+from ocr_poc_spark.streaming.stream_job import (
+    start_extraction_stream,
+    start_throughput_stream,
+)
+
+
+def _write_pages_dir(rows, path):
+    table = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us", tz="UTC")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        }
+    )
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table.slice(0, len(rows) // 2), f"{path}/part-0.parquet")
+    pq.write_table(table.slice(len(rows) // 2), f"{path}/part-1.parquet")
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    rows = gen_pages(60, seed=7)
+    in_dir = str(tmp_path / "pages")
+    _write_pages_dir(rows, in_dir)
+
+    q = start_extraction_stream(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["url"]: (r["success"], r["body_text"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    exp = {
+        r["url"]: (r["success"], r["body_text"])
+        for r in extract_fused(spark.read.parquet(in_dir)).collect()
+    }
+    assert got == exp and len(got) == 60
+
+
+def test_throughput_window_agg(spark, tmp_path):
+    rows = gen_pages(40, seed=9)
+    in_dir = str(tmp_path / "pages")
+    _write_pages_dir(rows, in_dir)
+    q = start_throughput_stream(
+        spark, in_dir, str(tmp_path / "ckpt2"), query_name="tp_test"
+    )
+    q.awaitTermination(120)
+    agg = spark.sql("select sum(n_docs) as n from tp_test").collect()[0]["n"]
+    assert agg == 40
