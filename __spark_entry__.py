@@ -210,8 +210,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):  # n-gram Jaccard near-dup pairs
     from ocr_poc_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("grp_sl", F.concat_ws("|", "source", "lang"))
     pairs = ngram_jaccard_pairs(
-        d, id_col="doc_id", text_col="text", group_col="source",
+        d, id_col="doc_id", text_col="text", group_col="grp_sl",
         prefix_words=30, threshold=0.6,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -500,13 +501,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_copies > 1
         """,
         "dedup_ngram_jaccard": f"""
-            WITH s AS (SELECT doc_id, source,
+            WITH s AS (SELECT doc_id, source, lang,
                               list_distinct(({_WORDS_SQL})[1:30]) AS ws
                        FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    ROUND(len(list_intersect(a.ws, b.ws))::DOUBLE
                          / len(list_distinct(a.ws || b.ws)), 6) AS jaccard
-            FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+            FROM s a JOIN s b ON a.source = b.source AND a.lang = b.lang
+                             AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
                   / len(list_distinct(a.ws || b.ws)) >= 0.6
         """,

@@ -228,21 +228,40 @@ def _fixed_claims(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
     return remaining, fixed_rows
 
 
-def run_cascade(parsed: DataFrame, spark: SparkSession) -> DataFrame:
-    """parsed(url, doc_kind, blocks) -> extracted (EXTRACTED_SCHEMA order)."""
+def run_cascade(
+    parsed: DataFrame, spark: SparkSession, materialize: bool = True
+) -> DataFrame:
+    """parsed(url, doc_kind, blocks) -> extracted (EXTRACTED_SCHEMA order).
+
+    Physical shape: the parse-UDF output is persisted so the expensive
+    payload parse runs ONCE even though the cascade DAG fans out into
+    ~8 branches (anchors, binding, positional, body, spans, map, pivot);
+    the block stream is then hash-partitioned by url ONCE — every
+    downstream window/join/aggregation clusters on (url, ...) supersets,
+    which hash(url) satisfies, so no further exchanges are inserted for
+    them. At 10^12-doc scale, `materialize=False` + writing the parsed
+    block table between the two stages replaces the in-memory persist.
+    """
+    if materialize:
+        parsed = parsed.persist()
     gate = _gate_exprs(parsed)
-    # One explicit url-hash exchange; everything downstream is url-keyed
-    # and reuses this clustering (windows on (url, ...) are satisfied by
-    # hash(url)). Cached boundary not needed: Catalyst shares the scan.
     passing = gate.where("can_proceed")
 
     stream = passing.select(
         "url", "doc_kind", F.explode("blocks").alias("b")
     ).select("url", "doc_kind", "b.*")
     stream = _preprocess(stream)
+    # THE one url-hash exchange for the whole cascade.
+    stream = stream.repartition("url")
 
     remaining, fixed_rows = _fixed_claims(stream)
     remaining = remaining.withColumn("is_label", is_label_udf("text"))
+    if materialize:
+        # Compact (url, idx, text, score, x, y, offsets, is_label) rows —
+        # orders of magnitude smaller than the raw payloads; caching it
+        # stops the claim windows + label UDF re-running per branch.
+        remaining = remaining.persist()
+        fixed_rows = fixed_rows.persist()
 
     # ---- J1: fuzzy anchor detection (broadcast theta-join) -------------
     adf = anchors_df(spark)

@@ -77,16 +77,26 @@ def lsh_bucket(
     dim: int = 64,
     n_planes: int = 12,
     seed: int = 7,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Adds an LSH `bucket` column: sign bits of dots with n_planes
-    seeded random hyperplanes (deterministic literals, broadcast free)."""
+    """Adds LSH (table, bucket) columns, exploded to one row per table:
+    per table, bucket = sign bits of dots with n_planes seeded random
+    hyperplanes (deterministic literals, broadcast free). Multiple
+    tables give OR-amplification: a near pair collides in >=1 table with
+    high probability while random pairs stay spread."""
     base = with_norm(df, vec_col)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (_dot(F.col("_v"), p) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return base.withColumn("bucket", bucket)
+    entries = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed + 101 * t)):
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            bit = (_dot(F.col("_v"), p) > 0).cast("long")
+            bucket = bucket + F.shiftleft(bit, i)
+        entries.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt")))
+    e = base.withColumn("_tb", F.explode(F.array(*entries)))
+    return e.withColumn("tbl", F.col("_tb.tbl")).withColumn(
+        "bucket", F.col("_tb.bkt")
+    ).drop("_tb")
 
 
 def lsh_ann_topk(
@@ -97,22 +107,28 @@ def lsh_ann_topk(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 7,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine re-rank within LSH buckets. The
-    bucket equi-join replaces the cross join — shuffle keys are hash
-    buckets (uniform), candidate count ~ N/2^planes per row."""
+    """Approximate top-k: exact cosine re-rank within LSH buckets, union
+    of candidates over n_tables hash tables. The bucket equi-join
+    replaces the cross join — shuffle keys are hash buckets (uniform),
+    candidate count ~ N * n_tables / 2^planes per row."""
     from pyspark.sql import Window
 
-    b = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, dim, n_planes, seed)
+    b = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, dim, n_planes, seed, n_tables)
     left = b.select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
-        F.col("_norm").alias("q_norm"), "bucket",
+        F.col("_norm").alias("q_norm"), "tbl", "bucket",
     )
     right = b.select(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("c_v"),
-        F.col("_norm").alias("c_norm"), "bucket",
+        F.col("_norm").alias("c_norm"), "tbl", "bucket",
     )
-    pairs = left.join(right, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    pairs = (
+        left.join(right, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -131,19 +147,22 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 7,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH candidates."""
-    b = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, dim, n_planes, seed)
+    """Embedding-cosine near-duplicate pairs via multi-table LSH
+    candidates (high-cosine pairs agree on all sign bits of a table with
+    probability (1 - theta/pi)^planes, so >=1 of n_tables catches them)."""
+    b = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, dim, n_planes, seed, n_tables)
     left = b.select(F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"),
-                    F.col("_norm").alias("n_a"), "bucket")
+                    F.col("_norm").alias("n_a"), "tbl", "bucket")
     right = b.select(F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"),
-                     F.col("_norm").alias("n_b"), "bucket")
+                     F.col("_norm").alias("n_b"), "tbl", "bucket")
     cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        left.join(right, "bucket")
+        left.join(right, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )
