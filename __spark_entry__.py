@@ -374,6 +374,16 @@ def q_extract_pipeline(spark, sf_dir):  # flagship cascade (rows-only check)
     )
 
 
+
+def q_salted_agg(spark, sf_dir):  # skew handling: two-phase salted agg
+    from ocr_poc_spark.operators.hoststats import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(e, key_col="event_type", salt_src_col="event_id",
+                     value_col="value")
+    return out.select("event_type", "n_rows", "sum_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_gate": q_quality_gate,
@@ -398,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "tpch_top_orders": q_tpch_top_orders,
         "region_rollup": q_region_rollup,
+        "salted_agg": q_salted_agg,
         "extract_pipeline": q_extract_pipeline,
     }
 
@@ -413,14 +424,15 @@ _STOP = {
 
 def oracle_sql() -> dict[str, str]:
     lang_hits = ", ".join(
-        f"len(list_intersect(list_distinct({_WORDS_SQL}), {_STOP[lang]})) AS hits_{lang}"
+        f"CAST(len(list_intersect(list_distinct({_WORDS_SQL}), {_STOP[lang]}))"
+        f" AS INTEGER) AS hits_{lang}"
         for lang in ["en", "fr", "de", "es"]
     )
     return {
         "quality_gate": """
             SELECT source, lang, COUNT(*) AS n_docs,
                    ROUND(AVG(n_chars), 4) AS avg_chars,
-                   SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS n_good
+                   CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
             FROM documents GROUP BY source, lang
             HAVING COUNT(*) >= 5 AND ROUND(AVG(n_chars), 4) >= 100
         """,
@@ -450,11 +462,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot_consolidation": """
             SELECT source,
-                   SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS n_en,
-                   SUM(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS n_fr,
-                   SUM(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS n_de,
-                   SUM(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS n_es,
-                   SUM(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS n_zh
+                   CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   CAST(SUM(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                   CAST(SUM(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                   CAST(SUM(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                   CAST(SUM(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
             FROM documents GROUP BY source
         """,
         "fuzzy_anchor_join": """
@@ -483,7 +495,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "sessionization": """
-            SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events FROM (
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
                 SELECT user_id,
                        CASE WHEN lag_us IS NULL OR us - lag_us > 1800000000
                             THEN 1 ELSE 0 END AS new_sess
@@ -595,6 +607,11 @@ def oracle_sql() -> dict[str, str]:
                       WHERE c.c_mktsegment = 'BUILDING'
                       GROUP BY o.o_orderkey))
             WHERE rnk <= 10
+        """,
+        "salted_agg": """
+            SELECT event_type, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type
         """,
         "region_rollup": """
             SELECT r.r_name, COUNT(*) AS n_items,

@@ -61,14 +61,24 @@ def main() -> None:
 
     from ocr_poc_spark.session import get_spark
 
-    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    # Small maxPartitionBytes so the single bench parquet yields >= cpus
+    # splits (production inputs are many multi-GB files; the default
+    # 128MB would make this ~25MB file a single task).
+    spark = get_spark(
+        "bench", cpus=CPUS, shuffle_partitions=CPUS,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(512 * 1024)},
+    )
 
     import __spark_entry__ as entry_mod
     from ocr_poc_spark.plans.job import extract_fused, extract_relational
 
-    # Warm the JVM/Arrow path once (tiny), outside timing.
+    # Warm the JVM + one Python worker per core with a same-shape pass
+    # (python worker startup is ~1s each and would otherwise be billed
+    # to the first measured stage).
     pages = spark.read.parquet(pages_path)
-    pages.limit(8).count()
+    extract_fused(
+        pages.limit(CPUS * 8).repartition(CPUS)
+    ).write.format("noop").mode("overwrite").save()
 
     t0 = time.monotonic()
     if MODE == "relational":
@@ -81,7 +91,8 @@ def main() -> None:
 
     qs = entry_mod.queries()
     q_secs: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    bench_queries = [] if os.environ.get("BENCH_SKIP_QUERIES") else BENCH_QUERIES
+    for name in bench_queries:
         t = time.monotonic()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         q_secs[name] = round(time.monotonic() - t, 3)

@@ -226,8 +226,18 @@ def gen_pages(n: int, seed: int = 42) -> list[dict]:
     return rows
 
 
-def write_pages_parquet(path: str, n: int, seed: int = 42) -> None:
-    """Write the fixture table as parquet (pyarrow; no Spark needed)."""
+def write_pages_parquet(
+    path: str, n: int, seed: int = 42, row_group_size: int = 256
+) -> None:
+    """Write the fixture table as parquet (pyarrow; no Spark needed).
+
+    Small row groups matter: Spark parallelises a parquet file by byte
+    ranges that snap to row-group boundaries — a single-row-group file
+    is one task no matter how many cores (this exact mistake cost a 4x
+    scaling-efficiency miss before it was caught). Real Common-Crawl
+    inputs are thousands of files; row_group_size=256 simulates that
+    split structure in one file.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -241,4 +251,4 @@ def write_pages_parquet(path: str, n: int, seed: int = 42) -> None:
             "lang": pa.array([r["lang"] for r in rows], pa.string()),
         }
     )
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)

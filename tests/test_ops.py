@@ -118,3 +118,22 @@ def test_multimodal_decode_and_frames(spark):
     frames = sample_frames(media, every_n=2, frame_bytes=16).collect()
     assert [f["frame_no"] for f in frames if f["media_id"] == 2] == [0, 2, 4]
     assert all(len(f["frame"]) == 16 for f in frames)
+
+
+def test_host_stats_salted_equals_direct(spark, pages_df):
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.operators.hoststats import host_of, host_stats
+
+    salted = {r["host"]: (r["n_pages"], r["total_bytes"]) for r in host_stats(pages_df).collect()}
+    direct = {
+        r["host"]: (r["n"], r["b"])
+        for r in pages_df.select(host_of("url").alias("host"), F.length("html").cast("long").alias("nb"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("nb").alias("b"))
+        .collect()
+    }
+    assert salted == direct
+    # fixture hosts are genuinely skewed: top host owns > 15% of pages
+    total = sum(n for n, _ in direct.values())
+    assert max(n for n, _ in direct.values()) > 0.15 * total
