@@ -384,6 +384,49 @@ def q_salted_agg(spark, sf_dir):  # skew handling: two-phase salted agg
     return out.select("event_type", "n_rows", "sum_value")
 
 
+
+def q_range_join(spark, sf_dir):  # J3: zone-containment (range) join
+    e = _t(spark, sf_dir, "events")
+    zones = spark.createDataFrame(
+        [("tiny", 0.0, 5.0), ("small", 5.0, 25.0), ("mid", 25.0, 100.0),
+         ("large", 100.0, 1000.0)],
+        "zone string, lo double, hi double",
+    )
+    j = e.join(
+        F.broadcast(zones),
+        (e["value"] >= zones["lo"]) & (e["value"] < zones["hi"]),
+    )
+    return j.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_band_join(spark, sf_dir):  # J4: directional band binding w/ boost
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    errs = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", us.alias("e_us")
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", us.alias("v_us"),
+        F.col("value").alias("v_value"),
+    )
+    in_band = F.abs(F.col("v_us") - F.col("e_us")) <= F.lit(300_000_000)
+    j = errs.join(views, "user_id").where(in_band)
+    boosted = F.round(
+        F.when(F.col("v_us") > F.col("e_us"), F.col("v_value") * 1.5)
+        .otherwise(F.col("v_value")), 6,
+    )
+    w = Window.partitionBy("err_id").orderBy(F.desc("boosted"), F.asc("view_id"))
+    return (
+        j.withColumn("boosted", boosted)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("err_id", "view_id", "boosted")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_gate": q_quality_gate,
@@ -409,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_orders": q_tpch_top_orders,
         "region_rollup": q_region_rollup,
         "salted_agg": q_salted_agg,
+        "range_join": q_range_join,
+        "band_join": q_band_join,
         "extract_pipeline": q_extract_pipeline,
     }
 
@@ -612,6 +657,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_rows,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        "range_join": """
+            SELECT z.zone, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events e
+            CROSS JOIN (VALUES ('tiny', 0.0, 5.0), ('small', 5.0, 25.0),
+                               ('mid', 25.0, 100.0), ('large', 100.0, 1000.0))
+                 z(zone, lo, hi)
+            WHERE e.value >= z.lo AND e.value < z.hi
+            GROUP BY z.zone
+        """,
+        "band_join": """
+            WITH errs AS (SELECT event_id AS err_id, user_id, epoch_us(ts) AS e_us
+                          FROM events WHERE event_type = 'error'),
+            views AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us,
+                             value AS v_value
+                      FROM events WHERE event_type = 'view'),
+            j AS (SELECT err_id, view_id,
+                         ROUND(CASE WHEN v_us > e_us THEN v_value * 1.5
+                                    ELSE v_value END, 6) AS boosted
+                  FROM errs JOIN views USING (user_id)
+                  WHERE abs(v_us - e_us) <= 300000000)
+            SELECT err_id, view_id, boosted FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY err_id
+                         ORDER BY boosted DESC, view_id ASC) AS rn FROM j)
+            WHERE rn = 1
         """,
         "region_rollup": """
             SELECT r.r_name, COUNT(*) AS n_items,

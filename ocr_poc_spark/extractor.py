@@ -112,7 +112,16 @@ FIXED_FIELDS: list[tuple[str, re.Pattern, object]] = [
 ]
 FIXED_FIELD_NAMES = [f for f, _, _ in FIXED_FIELDS]
 
-ALL_FIELDS = ANCHOR_FIELDS + FIXED_FIELD_NAMES  # 7 fields
+# W5 pattern-fallback field (authority-name analogue,
+# /root/reference/ocr/extractors/cni_extractor_18_b.py:371-383): for
+# listing layouts, the first high-score block of >=2 capitalised words.
+# The same regex runs in the kernel (python re) and the relational path
+# (java rlike) — [A-Z]/\S agree across both engines for ASCII text.
+SITE_NAME_FIELD = "site_name"
+SITE_NAME_RE = re.compile(r"^[A-Z]\S*( [A-Z]\S*)+$")
+SITE_NAME_MIN_SCORE = 0.9
+
+ALL_FIELDS = ANCHOR_FIELDS + FIXED_FIELD_NAMES + [SITE_NAME_FIELD]  # 8 fields
 POSITIONAL_FIELDS = ["title", "author", "category"]  # fallback-assignable
 
 INSUFFICIENT_QUALITY_MSG = "insufficient_quality"
@@ -334,6 +343,21 @@ def extract_document(url: str, payload: bytes) -> ExtractResult:
     fields.update(fixed_values)
 
     used_values = {v for v in anchor_values.values() if v is not None}
+
+    # W5 pattern fallback (listing layouts): first unclaimed non-label
+    # block matching the capitalised-words pattern with a high score.
+    fields[SITE_NAME_FIELD] = None
+    if doc_kind.endswith("/listing"):
+        for b in remaining:
+            if (
+                b.score > SITE_NAME_MIN_SCORE
+                and b.text not in used_values
+                and SITE_NAME_RE.match(b.text)
+                and not is_likely_label(b.text)
+            ):
+                fields[SITE_NAME_FIELD] = b.text
+                used_values.add(b.text)
+                break
     body = _body_blocks(remaining, anchors, used_values)
     body_text = "\n\n".join(b.text for b in body) if body else None
 

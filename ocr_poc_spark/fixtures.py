@@ -137,6 +137,13 @@ def make_listing_html(rng: random.Random, lang: str) -> str:
     )
     promos = "".join(f"<p>{_paragraph(rng, lang)}</p>" for _ in range(rng.randint(6, 10)))
     codes = "".join(f"<p>{rng.choice(_CODES)}</p>" for _ in range(rng.randint(0, 3)))
+    # Site banner low on the page (capitalised words, high score): the
+    # W5 site_name pattern-fallback target. Placed after the promos so
+    # the positional fallback (ranks 1-3) doesn't consume it.
+    banner = ""
+    if rng.random() < 0.6:
+        words = " ".join(w.capitalize() for w in rng.sample(_WORDS[lang], 5))
+        banner = f"<div class='brand'><p>{words}</p></div>"
     return (
         "<html><head><title>"
         + _sentence(rng, lang, 4)[:-1]
@@ -144,6 +151,7 @@ def make_listing_html(rng: random.Random, lang: str) -> str:
         + _nav(rng)
         + f"<div class='promos'>{promos}</div><ul>{items}</ul>{codes}"
         + f"<p>{_date_str(rng)}</p>"
+        + banner
         + _footer()
         + "</body></html>"
     )

@@ -371,6 +371,25 @@ def run_cascade(
     field_ord_map = {f: i for i, f in enumerate(ALL_FIELDS)}
     all_values = accepted.select("url", "field", "value").unionByName(positional)
 
+    # ---- W5 pattern fallback: site_name for listing layouts ------------
+    from ..extractor import SITE_NAME_FIELD, SITE_NAME_MIN_SCORE
+
+    site_cand = (
+        remaining.where(
+            F.split("doc_kind", "/").getItem(1).eqNullSafe("listing")
+            & ~F.col("is_label")
+            & (F.col("score") > F.lit(SITE_NAME_MIN_SCORE))
+            & F.col("text").rlike(r"^[A-Z]\S*( [A-Z]\S*)+$")
+        )
+        .join(all_values.select("url", F.col("value").alias("text")), ["url", "text"], "left_anti")
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("url").orderBy("idx"))
+        )
+        .where("rn = 1")
+        .select("url", F.lit(SITE_NAME_FIELD).alias("field"), F.col("text").alias("value"))
+    )
+    all_values = all_values.unionByName(site_cand)
+
     # ---- body blocks: stream minus anchors/labels/used values ----------
     used_all = all_values.select("url", F.col("value").alias("text")).distinct()
     anchor_idxs = hits.select("url", "idx").distinct()

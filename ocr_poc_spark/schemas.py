@@ -68,6 +68,7 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("pub_date", T.StringType()),
         T.StructField("reading_time", T.StringType()),
         T.StructField("comment_count", T.StringType()),
+        T.StructField("site_name", T.StringType()),
         T.StructField("body_text", T.StringType()),
         T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
         T.StructField("anchors_detected", T.MapType(T.StringType(), T.BooleanType())),

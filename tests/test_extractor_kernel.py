@@ -112,7 +112,7 @@ def test_end_to_end_article():
     assert res.body_text is not None and res.body_text.count(LONG) == 3
     assert "All rights reserved" not in res.body_text   # footer stripped
     assert "Home" not in (res.body_text or "")          # nav stripped
-    assert res.confidence == 6 / 7.0                    # summary missing
+    assert res.confidence == 6 / 8.0          # summary + site_name missing
     assert res.anchors_detected == {
         "title": False, "author": True, "category": True, "summary": False,
     }
@@ -153,3 +153,20 @@ def test_empty_document_row():
     res = extract_document("u", b"")
     assert not res.success and res.message == "empty_document"
     assert res.n_blocks == 0 and res.quality_score == 0.0
+
+
+def test_site_name_pattern_fallback_listing_only():
+    # W5 analogue (ref _18_b.py:371-383): listing layouts pick the first
+    # high-score all-capitalised multi-word block not already consumed.
+    promos = "".join(f"<p>{LONG} v{i}.</p>" for i in range(6))
+    banner = "<p>Acme Daily News Network Media</p>"
+    html = f"<html><body>{promos}{banner}</body></html>".encode()
+    res = extract_document("u", html)
+    assert res.success and res.doc_kind == "html/listing"
+    assert res.fields["site_name"] == "Acme Daily News Network Media"
+    assert "Acme Daily" not in (res.body_text or "")  # consumed, not body
+    # same content inside <article> -> article layout -> no site_name
+    html2 = f"<html><body><article>{promos}{banner}</article></body></html>".encode()
+    res2 = extract_document("u", html2)
+    assert res2.doc_kind == "html/article"
+    assert res2.fields["site_name"] is None
