@@ -243,7 +243,14 @@ def run_cascade(
     block table between the two stages replaces the in-memory persist.
     """
     if materialize:
-        parsed = parsed.persist()
+        # localCheckpoint (lazy) instead of persist: it also truncates the
+        # LOGICAL lineage, so the ~10 downstream branches embed a short
+        # LogicalRDD scan instead of the full parse subtree — Catalyst
+        # analysis of this fan-out plan drops from ~13s to <1s per
+        # action. Fault recovery for the truncated stage is provided at
+        # the job level by the bucket manifest (plans/job.py), not by
+        # RDD lineage.
+        parsed = parsed.localCheckpoint(eager=True)
     gate = _gate_exprs(parsed)
     passing = gate.where("can_proceed")
 
@@ -258,10 +265,11 @@ def run_cascade(
     remaining = remaining.withColumn("is_label", is_label_udf("text"))
     if materialize:
         # Compact (url, idx, text, score, x, y, offsets, is_label) rows —
-        # orders of magnitude smaller than the raw payloads; caching it
-        # stops the claim windows + label UDF re-running per branch.
-        remaining = remaining.persist()
-        fixed_rows = fixed_rows.persist()
+        # orders of magnitude smaller than the raw payloads; checkpointing
+        # stops the claim windows + label UDF re-running per branch AND
+        # keeps the url-hash partitioning as the cached layout.
+        remaining = remaining.localCheckpoint(eager=True)
+        fixed_rows = fixed_rows.localCheckpoint(eager=True)
 
     # ---- J1: fuzzy anchor detection (broadcast theta-join) -------------
     adf = anchors_df(spark)
