@@ -89,6 +89,9 @@ def _is_pdf_bleed(text: str) -> bool:
 DATE_RE = re.compile(r"^\d{1,2}[./]\d{1,2}[./]\d{4}$")
 READING_RE = re.compile(r"^(\d{1,3}) min read$")
 COMMENTS_RE = re.compile(r"^(\d+) comments?$")
+ITEMS_RE = re.compile(r"^(\d+) items?$")
+PAGEINFO_RE = re.compile(r"^Page (\d+) of (\d+)$")
+DOCREF_RE = re.compile(r"^[A-Z]{2}\d{8,10}$")  # NIC-id analogue (_25_b.py:175)
 
 
 def _norm_date(text: str) -> str:
@@ -105,12 +108,42 @@ def _norm_comments(text: str) -> str:
     return m.group(1)
 
 
+def _norm_items(text: str) -> str:
+    m = ITEMS_RE.match(text)
+    return m.group(1)
+
+
+def _norm_pageinfo(text: str) -> str:
+    m = PAGEINFO_RE.match(text)
+    return f"{m.group(1)}/{m.group(2)}"
+
+
+def _norm_docref(text: str) -> str:
+    return text
+
+
+# Global claim-priority order; each kind's battery is a SUBSEQUENCE of
+# this order, so the relational claim-resolution (one window per field
+# in global order, gated by kind) matches the kernel's per-kind scan.
 FIXED_FIELDS: list[tuple[str, re.Pattern, object]] = [
     ("pub_date", DATE_RE, _norm_date),
     ("reading_time", READING_RE, _norm_reading),
     ("comment_count", COMMENTS_RE, _norm_comments),
+    ("item_count", ITEMS_RE, _norm_items),
+    ("page_info", PAGEINFO_RE, _norm_pageinfo),
+    ("doc_ref", DOCREF_RE, _norm_docref),
 ]
 FIXED_FIELD_NAMES = [f for f, _, _ in FIXED_FIELDS]
+
+# Per-kind field batteries (2x2 dispatch table analogue: the reference's
+# four extractors claim DIFFERENT fixed-format field sets,
+# id_card_data_extractor.py:25-35 + each extractor's patterns).
+KIND_FIXED_FIELDS: dict[str, list[str]] = {
+    "html/article": ["pub_date", "reading_time", "comment_count"],
+    "html/listing": ["pub_date", "item_count", "page_info"],
+    "pdf/article": ["pub_date", "reading_time", "doc_ref"],
+    "pdf/listing": ["pub_date", "item_count", "doc_ref"],
+}
 
 # W5 pattern-fallback field (authority-name analogue,
 # /root/reference/ocr/extractors/cni_extractor_18_b.py:371-383): for
@@ -193,16 +226,18 @@ def preprocess(blocks: list[Block], doc_kind: str) -> list[Block]:
 
 
 def extract_fixed_format_fields(
-    data: list[Block],
+    data: list[Block], doc_kind: str = "html/article"
 ) -> tuple[dict[str, str | None], dict[str, Block], list[int]]:
     """First-match-wins fixed-format claims with elimination
-    (ref _18_f.py:158-212). Returns (values, claimed block per field,
-    positions-in-`data` to remove)."""
-    values: dict[str, str | None] = {f: None for f in FIXED_FIELD_NAMES}
+    (ref _18_f.py:158-212), over the doc_kind's field battery.
+    Returns (values, claimed block per field, positions to remove)."""
+    kind_fields = KIND_FIXED_FIELDS.get(doc_kind, FIXED_FIELD_NAMES)
+    battery = [(f, p, n) for f, p, n in FIXED_FIELDS if f in kind_fields]
+    values: dict[str, str | None] = {f: None for f in kind_fields}
     claimed: dict[str, Block] = {}
     remove: list[int] = []
     for pos, b in enumerate(data):
-        for fname, pat, norm in FIXED_FIELDS:
+        for fname, pat, norm in battery:
             if values[fname] is None and pat.match(b.text):
                 values[fname] = norm(b.text)
                 claimed[fname] = b
@@ -332,13 +367,13 @@ def extract_document(url: str, payload: bytes) -> ExtractResult:
         )
 
     data = preprocess(blocks, doc_kind)
-    fixed_values, fixed_claimed, remove = extract_fixed_format_fields(data)
+    fixed_values, fixed_claimed, remove = extract_fixed_format_fields(data, doc_kind)
     remaining = [b for pos, b in enumerate(data) if pos not in set(remove)]
 
     anchors = detect_anchors(remaining)
     anchor_values = extract_remaining_fields(remaining, anchors)
 
-    fields: dict[str, str | None] = {}
+    fields: dict[str, str | None] = {f: None for f in ALL_FIELDS}
     fields.update(anchor_values)
     fields.update(fixed_values)
 
@@ -377,8 +412,15 @@ def extract_document(url: str, payload: bytes) -> ExtractResult:
     for b in body:
         spans.append(("body", b.char_offset, b.char_offset + b.n_chars))
 
-    filled = sum(1 for f in ALL_FIELDS if fields.get(f) is not None)
-    confidence = filled / float(len(ALL_FIELDS))
+    # Confidence over the doc_kind's own field set (ref: /len(fields) in
+    # three of four extractors; the /6 quirk of 18F is not replicated).
+    kind_fields = (
+        ANCHOR_FIELDS
+        + KIND_FIXED_FIELDS.get(doc_kind, FIXED_FIELD_NAMES)
+        + ([SITE_NAME_FIELD] if doc_kind.endswith("/listing") else [])
+    )
+    filled = sum(1 for f in kind_fields if fields.get(f) is not None)
+    confidence = filled / float(len(kind_fields))
 
     return ExtractResult(
         url=url, doc_kind=doc_kind, success=True, message=None,

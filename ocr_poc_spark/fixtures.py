@@ -144,6 +144,12 @@ def make_listing_html(rng: random.Random, lang: str) -> str:
     if rng.random() < 0.6:
         words = " ".join(w.capitalize() for w in rng.sample(_WORDS[lang], 5))
         banner = f"<div class='brand'><p>{words}</p></div>"
+    extras = ""
+    if rng.random() < 0.5:
+        extras += f"<p>{rng.randint(2, 200)} item{'s' if rng.random() < 0.8 else ''}</p>"
+    if rng.random() < 0.5:
+        n_pg = rng.randint(2, 40)
+        extras += f"<p>Page {rng.randint(1, n_pg)} of {n_pg}</p>"
     return (
         "<html><head><title>"
         + _sentence(rng, lang, 4)[:-1]
@@ -151,6 +157,7 @@ def make_listing_html(rng: random.Random, lang: str) -> str:
         + _nav(rng)
         + f"<div class='promos'>{promos}</div><ul>{items}</ul>{codes}"
         + f"<p>{_date_str(rng)}</p>"
+        + extras
         + banner
         + _footer()
         + "</body></html>"
@@ -177,11 +184,21 @@ def make_pdf(rng: random.Random, lang: str, layout: str) -> bytes:
         lines.append((72, y, _date_str(rng))); y -= 40
         if rng.random() < 0.5:
             lines.append((72, y, f"{rng.randint(3, 30)} min read")); y -= 40
+        if rng.random() < 0.6:  # NIC-id analogue (doc_ref battery field)
+            ref = "".join(rng.choice("ABCDEFGHJKLMNPRSTUVWXYZ") for _ in range(2))
+            ref += "".join(rng.choice("0123456789") for _ in range(rng.randint(8, 10)))
+            lines.append((72, y, ref)); y -= 40
         for _ in range(rng.randint(4, 8)):
             lines.append((72, y, _sentence(rng, lang, rng.randint(10, 18)))); y -= 40
     else:
         for _ in range(rng.randint(5, 9)):
             lines.append((72, y, _sentence(rng, lang, rng.randint(6, 12)))); y -= 40
+        if rng.random() < 0.5:
+            lines.append((72, y, f"{rng.randint(2, 60)} items")); y -= 40
+        if rng.random() < 0.5:
+            ref = "".join(rng.choice("ABCDEFGHJKLMNPRSTUVWXYZ") for _ in range(2))
+            ref += "".join(rng.choice("0123456789") for _ in range(rng.randint(8, 10)))
+            lines.append((72, y, ref)); y -= 40
         lines.append((72, y, rng.choice(_CODES)))
     body = "\n".join(
         f"BT /F1 12 Tf {x:.0f} {ly:.0f} Td ({_pdf_escape(t)}) Tj ET" for x, ly, t in lines

@@ -49,6 +49,8 @@ from ..textproc.simtext import ANCHOR_FIELDS, ANCHORS, SIMILARITY_THRESHOLD
 DATE_RE_J = r"^\d{1,2}[./]\d{1,2}[./]\d{4}$"
 READING_RE_J = r"^(\d{1,3}) min read$"
 COMMENTS_RE_J = r"^(\d+) comments?$"
+ITEMS_RE_J = r"^(\d+) items?$"
+PAGEINFO_RE_J = r"^Page (\d+) of (\d+)$"
 ALLCAPS3_J = r"^[A-Z]{3}$"
 NON_ASCII_J = r"[^\x00-\x7F]"
 
@@ -156,51 +158,39 @@ def _preprocess(stream: DataFrame) -> DataFrame:
 
 
 def _fixed_claims(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """R1-R6 + J5: sequential first-match-wins claims.
+    """R1-R6 + J5: sequential first-match-wins claims, per-kind battery.
 
-    claim(f) = min idx among f-matchers excluding earlier fields'
-    claimer blocks — provably equivalent to the reference's scan with
-    `continue` (see kernel extract_fixed_format_fields): because
-    claim(e) is minimal among e-eligible matchers, a block is consumed
-    by an earlier field iff its idx equals that field's claim idx.
+    claim(f) = min idx among f-matchers (of kinds whose battery has f)
+    excluding earlier fields' claimer blocks — provably equivalent to
+    the reference's scan with `continue` (see kernel
+    extract_fixed_format_fields): because claim(e) is minimal among
+    e-eligible matchers, a block is consumed by an earlier field iff its
+    idx equals that field's claim idx. Each kind's battery is a
+    subsequence of the global FIXED_FIELDS order, so one window per
+    global field (gated by doc_kind) reproduces every kind's scan.
 
     Returns (remaining stream, fixed_rows(url, field, value, idx,
     char_offset, n_chars)).
     """
+    from ..extractor import FIXED_FIELDS, KIND_FIXED_FIELDS
+
     w_url = Window.partitionBy("url")
-    m_date = F.col("text").rlike(DATE_RE_J)
-    m_read = F.col("text").rlike(READING_RE_J)
-    m_comm = F.col("text").rlike(COMMENTS_RE_J)
+    s = stream
+    claim_cols: list[str] = []
+    for fname, pat, _norm in FIXED_FIELDS:
+        kinds = [k for k, fl in KIND_FIXED_FIELDS.items() if fname in fl]
+        cond = F.col("text").rlike(pat.pattern) & F.col("doc_kind").isin(kinds)
+        for prev in claim_cols:
+            cond = cond & (F.col("idx") != F.coalesce(prev, F.lit(-1)))
+        col = f"claim_{fname}"
+        s = s.withColumn(col, F.min(F.when(cond, F.col("idx"))).over(w_url))
+        claim_cols.append(col)
 
-    s = stream.withColumn(
-        "claim_date", F.min(F.when(m_date, F.col("idx"))).over(w_url)
-    )
-    s = s.withColumn(
-        "claim_read",
-        F.min(
-            F.when(
-                m_read & (F.col("idx") != F.coalesce("claim_date", F.lit(-1))),
-                F.col("idx"),
-            )
-        ).over(w_url),
-    )
-    s = s.withColumn(
-        "claim_comm",
-        F.min(
-            F.when(
-                m_comm
-                & (F.col("idx") != F.coalesce("claim_date", F.lit(-1)))
-                & (F.col("idx") != F.coalesce("claim_read", F.lit(-1))),
-                F.col("idx"),
-            )
-        ).over(w_url),
-    )
-
-    claimed_field = (
-        F.when(F.col("idx") == F.col("claim_date"), F.lit("pub_date"))
-        .when(F.col("idx") == F.col("claim_read"), F.lit("reading_time"))
-        .when(F.col("idx") == F.col("claim_comm"), F.lit("comment_count"))
-    )
+    claimed_field = F.lit(None).cast("string")
+    for fname, _pat, _norm in reversed(FIXED_FIELDS):
+        claimed_field = F.when(
+            F.col("idx") == F.col(f"claim_{fname}"), F.lit(fname)
+        ).otherwise(claimed_field)
     s = s.withColumn("claimed_field", claimed_field)
 
     value = (
@@ -213,6 +203,19 @@ def _fixed_claims(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("claimed_field") == "comment_count",
             F.regexp_extract("text", COMMENTS_RE_J, 1),
         )
+        .when(
+            F.col("claimed_field") == "item_count",
+            F.regexp_extract("text", ITEMS_RE_J, 1),
+        )
+        .when(
+            F.col("claimed_field") == "page_info",
+            F.concat(
+                F.regexp_extract("text", PAGEINFO_RE_J, 1),
+                F.lit("/"),
+                F.regexp_extract("text", PAGEINFO_RE_J, 2),
+            ),
+        )
+        .when(F.col("claimed_field") == "doc_ref", F.col("text"))
     )
     fixed_rows = s.where(F.col("claimed_field").isNotNull()).select(
         "url",
@@ -223,7 +226,7 @@ def _fixed_claims(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
         "n_chars",
     )
     remaining = s.where(F.col("claimed_field").isNull()).drop(
-        "claim_date", "claim_read", "claim_comm", "claimed_field"
+        "claimed_field", *claim_cols
     )
     return remaining, fixed_rows
 
@@ -522,6 +525,18 @@ def run_cascade(
     filled = sum(
         (F.col(f).isNotNull()).cast("int") for f in ALL_FIELDS
     )
+    # Per-kind confidence divisor (anchors + kind battery + site_name on
+    # listings); fields outside the kind's set are always null, so the
+    # union-wide `filled` equals the kind-scoped count.
+    from ..extractor import KIND_FIXED_FIELDS, SITE_NAME_FIELD  # noqa: F401
+
+    n_kind_fields = F.lit(None).cast("int")
+    for kind, fl in KIND_FIXED_FIELDS.items():
+        n = len(ANCHOR_FIELDS) + len(fl) + (1 if kind.endswith("/listing") else 0)
+        n_kind_fields = F.when(F.col("doc_kind") == kind, F.lit(n)).otherwise(
+            n_kind_fields
+        )
+    n_kind_fields = F.coalesce(n_kind_fields, F.lit(len(ALL_FIELDS)))
     out = out.select(
         "url",
         "doc_kind",
@@ -531,7 +546,7 @@ def run_cascade(
         .alias("message"),
         "quality_score",
         F.when(
-            F.col("can_proceed"), filled / F.lit(float(len(ALL_FIELDS)))
+            F.col("can_proceed"), filled / n_kind_fields.cast("double")
         ).otherwise(F.lit(0.0)).alias("confidence"),
         "raw_text",
         *[F.col(f) for f in ALL_FIELDS],

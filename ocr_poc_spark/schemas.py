@@ -68,6 +68,9 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("pub_date", T.StringType()),
         T.StructField("reading_time", T.StringType()),
         T.StructField("comment_count", T.StringType()),
+        T.StructField("item_count", T.StringType()),
+        T.StructField("page_info", T.StringType()),
+        T.StructField("doc_ref", T.StringType()),
         T.StructField("site_name", T.StringType()),
         T.StructField("body_text", T.StringType()),
         T.StructField("spans", T.ArrayType(SPAN_STRUCT)),

@@ -76,7 +76,7 @@ def test_fixed_claims_first_match_and_interaction():
         mk(3, "7 min read"),      # claims reading_time
         mk(4, "12 comments"),     # claims comment_count
     ]
-    values, claimed, remove = extract_fixed_format_fields(data)
+    values, claimed, remove = extract_fixed_format_fields(data, "html/article")
     assert values == {"pub_date": "12.03.2021", "reading_time": "7 min", "comment_count": "12"}
     assert remove == [1, 3, 4]
     assert claimed["pub_date"].idx == 1
@@ -112,7 +112,7 @@ def test_end_to_end_article():
     assert res.body_text is not None and res.body_text.count(LONG) == 3
     assert "All rights reserved" not in res.body_text   # footer stripped
     assert "Home" not in (res.body_text or "")          # nav stripped
-    assert res.confidence == 6 / 8.0          # summary + site_name missing
+    assert res.confidence == 6 / 7.0  # kind battery of 7; summary missing
     assert res.anchors_detected == {
         "title": False, "author": True, "category": True, "summary": False,
     }
