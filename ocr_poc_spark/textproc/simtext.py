@@ -17,6 +17,7 @@ instead of nom/prenom/lieu/profession.
 from __future__ import annotations
 
 from difflib import SequenceMatcher
+from functools import lru_cache
 
 SIMILARITY_THRESHOLD = 0.70   # anchor detection (ref: __init__ default)
 LABEL_SIM_THRESHOLD = 0.75    # label-likeness  (ref: is_likely_label)
@@ -82,8 +83,15 @@ def similarity_score(str1: str, str2: str) -> float:
     return min(base + prefix * 0.1 * (1.0 - base), 1.0)
 
 
+@lru_cache(maxsize=131072)
 def is_likely_label(text: str) -> bool:
-    """True if the block text looks like a field label, not a value."""
+    """True if the block text looks like a field label, not a value.
+
+    Pure function of text -> memoized: the cascade re-tests the same
+    block texts once per field during proximity binding (4x) and common
+    boilerplate strings recur across documents; the cache removes ~75%
+    of kernel CPU (difflib dominates the profile otherwise). Per-process
+    cache — safe in Spark workers."""
     text_upper = text.upper()
 
     if "/" in text and any(w in text_upper for w in SLASH_HINT_WORDS):

@@ -38,8 +38,8 @@ def run_bench(cpus: int, n_pages: int, mode: str) -> dict:
 
 def main() -> None:
     # Large enough that per-doc compute dominates fixed stage costs —
-    # at ~150-180 docs/s/core, 60k pages is ~80s at 4 cores vs ~21s at 16.
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    # at ~400+ docs/s/core post-memoization, 150k pages keeps the 4-core run ~90s.
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
     mode = sys.argv[2] if len(sys.argv) > 2 else "fused"
     # Primary N vs 4N pair: 4 -> 16. Both leave the single JVM's
     # scan/Arrow/scheduler threads un-billed cores on this 32-core box;
@@ -65,6 +65,7 @@ def main() -> None:
         f"| local[{c}] | {r[c]['value']} | {r[c]['docs_per_sec']} |"
         for c in (4, 8, 16, 32)
     )
+    per_core = r[4]["docs_per_sec"] / 4.0
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(
             f"""# BENCH — scaling evidence (N vs 4N parallelism)
@@ -94,8 +95,8 @@ bounded by input splits, not the engine.
 
 Reference baseline: ~0.2-0.5 docs/s per replica (2-5 s/image,
 /root/reference/README.md:217, CPU OCR inference). This engine:
-~180 docs/s/core on synthetic HTML (2-60 KB pages; no neural OCR —
-the comparable quantity is per-document pipeline overhead).
+~{per_core:.0f} docs/s/core on synthetic HTML (2-60 KB pages; no neural
+OCR — the comparable quantity is per-document pipeline overhead).
 """
         )
     print("wrote BENCH/BASELINE.md")

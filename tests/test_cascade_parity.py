@@ -41,3 +41,20 @@ def test_relational_cascade_matches_oracle(spark, pages_df, oracle_results):
 def test_fused_path_matches_oracle(spark, pages_df, oracle_results):
     got = extract_fused(pages_df).collect()
     assert_matches_oracle(got, oracle_results)
+
+
+def test_parse_scan_prunes_columns(spark, tmp_path):
+    """Column pruning must reach the parquet scan: the parse stage reads
+    only (url, html) — at 100TB the heavy binary column is the only
+    required read and text/lang/warc_ts are never materialised."""
+    from ocr_poc_spark.fixtures import write_pages_parquet
+
+    p = str(tmp_path / "pages.parquet")
+    write_pages_parquet(p, 20, seed=5)
+    parsed = parse_pages(spark.read.parquet(p))
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    m = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert m, plan
+    schema_line = m[0]
+    assert "url" in schema_line and "html" in schema_line
+    assert "warc_ts" not in schema_line and "lang" not in schema_line
