@@ -63,6 +63,23 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def lang_guess_expr(text_col):
+    """Column expression: stopword-argmax language guess for an
+    arbitrary (possibly null) text column. Reused by the extraction job
+    to annotate extracted documents (lang verification against the
+    upstream `lang` column) and by the lang_id operator."""
+    words = F.array_distinct(F.split(F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+"))
+    hits = {}
+    for lang in LANGS:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits[lang] = F.size(F.array_intersect(words, sw))
+    best = F.greatest(*hits.values())
+    guess = F.lit("unknown")
+    for lang in reversed(LANGS):
+        guess = F.when(hits[lang] == best, F.lit(lang)).otherwise(guess)
+    return F.when(best > 0, guess).otherwise(F.lit("unknown"))
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-hit argmax language guess (deterministic tie-break by
     language order en > fr > de > es)."""

@@ -155,6 +155,13 @@ def run_job(
         ext = ext.withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
         )
+        # Language verification column (textstats operator, applied
+        # identically after either physical path — no parity risk).
+        from ..operators.textstats import lang_guess_expr
+
+        ext = ext.withColumn(
+            "lang_guess", lang_guess_expr(F.coalesce("body_text", "raw_text"))
+        )
         ext = ext.persist()
         try:
             ext.write.mode("overwrite").partitionBy("bucket").option(
