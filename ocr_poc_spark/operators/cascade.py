@@ -232,7 +232,10 @@ def _fixed_claims(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def run_cascade(
-    parsed: DataFrame, spark: SparkSession, materialize: bool = True
+    parsed: DataFrame,
+    spark: SparkSession,
+    materialize: bool = True,
+    debug_frames: dict | None = None,
 ) -> DataFrame:
     """parsed(url, doc_kind, blocks) -> extracted (EXTRACTED_SCHEMA order).
 
@@ -562,4 +565,12 @@ def run_cascade(
         ).alias("anchors_detected"),
         "n_blocks",
     )
+    if debug_frames is not None:
+        debug_frames.update(
+            parsed=parsed, gate=gate, stream=stream, remaining=remaining,
+            fixed_rows=fixed_rows, hits=hits, best_anchor=best_anchor,
+            bound=bound, accepted=accepted, positional=positional,
+            site_cand=site_cand, all_values=all_values, body_agg=body_agg,
+            spans_agg=spans_agg, adet=adet, consolidated=consolidated,
+        )
     return out

@@ -66,7 +66,8 @@ def main() -> None:
         for c in (4, 8, 16, 32)
     )
     per_core = r[4]["docs_per_sec"] / 4.0
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    out_name = "BASELINE.md" if mode == "fused" else f"{mode.upper()}.md"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as fh:
         fh.write(
             f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
@@ -99,7 +100,7 @@ Reference baseline: ~0.2-0.5 docs/s per replica (2-5 s/image,
 OCR — the comparable quantity is per-document pipeline overhead).
 """
         )
-    print("wrote BENCH/BASELINE.md")
+    print(f"wrote BENCH/{out_name}")
 
 
 if __name__ == "__main__":
