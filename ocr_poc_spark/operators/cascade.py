@@ -299,6 +299,10 @@ def run_cascade(
         .where("rn = 1")
         .select("url", "field", "field_ord", "idx", "text", "sim", "x", "y")
     )
+    if materialize:
+        # A handful of rows per document; consumed by three branches
+        # (best-anchor chain, body anti-join, anchors_detected map).
+        hits = hits.localCheckpoint(eager=True)
 
     # ---- W1: best anchor per (url, field): max sim, first position ----
     w_field = Window.partitionBy("url", "field").orderBy(
@@ -403,6 +407,10 @@ def run_cascade(
         .select("url", F.lit(SITE_NAME_FIELD).alias("field"), F.col("text").alias("value"))
     )
     all_values = all_values.unionByName(site_cand)
+    if materialize:
+        # <= 8 rows per document; body, spans, and the pivot each re-walk
+        # the binding chain otherwise.
+        all_values = all_values.localCheckpoint(eager=True)
 
     # ---- body blocks: stream minus anchors/labels/used values ----------
     used_all = all_values.select("url", F.col("value").alias("text")).distinct()
