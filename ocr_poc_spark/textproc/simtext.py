@@ -73,7 +73,16 @@ def similarity_score(str1: str, str2: str) -> float:
     l1, l2 = len(s1), len(s2)
     if 3 * min(l1, l2) < max(l1, l2):
         return 0.0
-    base = SequenceMatcher(None, s1, s2).ratio()
+    # Second prune, same proof shape: final <= 0.4 + 0.6*base and
+    # base <= quick_ratio (char-multiset upper bound, O(n)); when even
+    # the bound is below the lowest threshold in use (0.70), the exact
+    # value can never matter — every caller only compares against
+    # thresholds >= 0.70. Skips the quadratic matching loop for most
+    # non-matching pairs.
+    sm = SequenceMatcher(None, s1, s2)
+    if 0.4 + 0.6 * sm.quick_ratio() < 0.70:
+        return 0.0
+    base = sm.ratio()
     prefix = 0
     for i in range(min(4, len(s1), len(s2))):
         if s1[i] == s2[i]:
