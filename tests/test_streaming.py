@@ -60,3 +60,57 @@ def test_throughput_window_agg(spark, tmp_path):
     q.awaitTermination(120)
     agg = spark.sql("select sum(n_docs) as n from tp_test").collect()[0]["n"]
     assert agg == 40
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: totals accumulate across micro-batches
+    (maxFilesPerTrigger=1 -> one batch per input file)."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.schemas import PAGES_SCHEMA
+    from ocr_poc_spark.streaming.stateful import running_ingest_totals
+
+    rows = gen_pages(50, seed=11)
+    in_dir = str(tmp_path / "pages")
+    _write_pages_dir(rows, in_dir)  # two part files -> two micro-batches
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        running_ingest_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from totals").collect()
+    # final running total per lang == batch-count sum == true count
+    import collections
+
+    true_counts = collections.Counter(r["lang"] for r in rows)
+    true_bytes = collections.Counter()
+    for r in rows:
+        true_bytes[r["lang"]] += len(r["html"])
+    finals = {}
+    batch_sums = collections.Counter()
+    for r in out:
+        finals[r["lang"]] = max(finals.get(r["lang"], 0), r["total_docs"])
+        batch_sums[r["lang"]] += r["batch_docs"]
+    assert finals == dict(true_counts)
+    assert dict(batch_sums) == dict(true_counts)
+    by_lang_bytes = {
+        r["lang"]: r["total_bytes"]
+        for r in out
+        if r["total_docs"] == finals[r["lang"]]
+    }
+    assert by_lang_bytes == dict(true_bytes)
+    # state actually crossed batches: some lang saw >1 micro-batch row
+    assert any(
+        sum(1 for r in out if r["lang"] == lang) > 1 for lang in finals
+    )
