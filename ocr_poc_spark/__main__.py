@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets-per-pass", type=int, default=None)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--repartition", type=int, default=None)
+    ap.add_argument(
+        "--dedup", action="store_true",
+        help="after extraction, write MinHash-LSH near-dup pairs over body_text",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("ocr_poc_spark.job", cpus=args.cpus)
@@ -47,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
         buckets_per_pass=args.buckets_per_pass,
         repartition=args.repartition,
     )
+    if args.dedup:
+        from .plans.job import run_dedup
+
+        summary.update(run_dedup(spark, args.out))
     print(json.dumps(summary))
     return 0
 

@@ -187,3 +187,20 @@ def run_job(
         "extracted_dir": ext_dir,
         "lineage_dir": lin_dir,
     }
+
+
+def run_dedup(spark: SparkSession, out_dir: str, jaccard_threshold: float = 0.8) -> dict:
+    """Post-extraction near-duplicate pass over the extracted corpus
+    (training-data curation stage): MinHash+LSH over body_text of
+    successful documents -> <out>/dup_pairs parquet."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    docs = ext.where(
+        F.col("success") & F.col("body_text").isNotNull()
+    ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
+    dup_dir = os.path.join(out_dir, "dup_pairs")
+    pairs.write.mode("overwrite").parquet(dup_dir)
+    n = spark.read.parquet(dup_dir).count()
+    return {"dup_pairs": n, "dup_dir": dup_dir}

@@ -50,3 +50,42 @@ def test_relational_mode_job(spark, pages_df, tmp_path):
     ext = spark.read.parquet(out + "/extracted")
     assert ext.count() == 40
     assert "body_text" in ext.columns and "spans" in ext.columns
+
+
+def test_iceberg_gate_without_connector(spark):
+    from ocr_poc_spark.sources.pages import iceberg_available, read_pages
+
+    if iceberg_available(spark):
+        return  # connector present: nothing to gate
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="Iceberg connector"):
+        read_pages(spark, "iceberg:db.pages")
+
+
+def test_cli_dedup_stage(spark, pages_df, tmp_path):
+    """Near-dup curation stage over extracted body_text: duplicate pages
+    must pair up."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_dedup, run_job
+
+    # duplicate a subset of pages under new urls -> guaranteed near-dups
+    base = pages_df.limit(30)
+    dups = base.select(
+        F.concat(F.lit("https://mirror.example/"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    out = str(tmp_path / "dd")
+    run_job(spark, base.unionByName(dups), out, mode="fused", n_buckets=2)
+    res = run_dedup(spark, out, jaccard_threshold=0.9)
+    assert res["dup_pairs"] > 0
+    pairs = spark.read.parquet(res["dup_dir"]).collect()
+    assert all(r["jaccard"] >= 0.9 for r in pairs)
+    # every pair links an original with its mirror (same page body)
+    n_mirror = sum(
+        1 for r in pairs
+        if r["id_a"].replace("https://mirror.example/", "") == r["id_b"].replace("https://mirror.example/", "")
+        or r["id_b"].replace("https://mirror.example/", "") == r["id_a"]
+    )
+    assert n_mirror == len(pairs)
