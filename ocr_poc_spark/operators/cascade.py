@@ -420,20 +420,7 @@ def run_cascade(
         .join(anchor_idxs, ["url", "idx"], "left_anti")
         .join(used_all, ["url", "text"], "left_anti")
     )
-    body_agg = body.groupBy("url").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "text"))),
-                lambda s: s["text"],
-            ),
-            "\n\n",
-        ).alias("body_text"),
-        F.array_sort(
-            F.collect_list(F.struct("idx", "char_offset", "n_chars"))
-        ).alias("body_span_src"),
-    )
-
-    # ---- spans ----------------------------------------------------------
+    # ---- spans + body text (ONE aggregation pass) -----------------------
     # Source block per anchor/positional value: first (min idx) block in
     # the remaining stream with text == value.
     w_src = Window.partitionBy("url", "field").orderBy("idx")
@@ -468,6 +455,7 @@ def run_cascade(
         F.col("field"),
         F.col("char_offset").alias("start"),
         (F.col("char_offset") + F.col("n_chars")).alias("end"),
+        F.lit(None).cast("string").alias("body_part"),
     )
     body_spans = body.select(
         "url",
@@ -477,21 +465,40 @@ def run_cascade(
         F.lit("body").alias("field"),
         F.col("char_offset").alias("start"),
         (F.col("char_offset") + F.col("n_chars")).alias("end"),
+        F.col("text").alias("body_part"),
+    )
+    # Single collect_list builds both outputs: spans (field spans in
+    # ALL_FIELDS order, then body spans by idx) and body_text (the
+    # '\n\n'-join of body rows, null when there are none).
+    sorted_rows = F.array_sort(
+        F.collect_list(
+            F.struct("k0", "k1", "k2", "field", "start", "end", "body_part")
+        )
     )
     spans_agg = (
         field_spans.unionByName(body_spans)
         .groupBy("url")
-        .agg(
+        .agg(sorted_rows.alias("_rows"))
+        .select(
+            "url",
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("k0", "k1", "k2", "field", "start", "end"))
-                ),
+                "_rows",
                 lambda s: F.struct(
                     s["field"].alias("field"),
                     s["start"].alias("start"),
                     s["end"].alias("end"),
                 ),
-            ).alias("spans")
+            ).alias("spans"),
+            F.nullif(
+                F.array_join(
+                    F.transform(
+                        F.filter("_rows", lambda s: s["k0"] == 1),
+                        lambda s: s["body_part"],
+                    ),
+                    "\n\n",
+                ),
+                F.lit(""),
+            ).alias("body_text"),
         )
     )
 
@@ -529,7 +536,6 @@ def run_cascade(
     out = (
         gate.drop("blocks")
         .join(consolidated, "url", "left")
-        .join(body_agg.select("url", "body_text"), "url", "left")
         .join(spans_agg, "url", "left")
         .join(adet, "url", "left")
     )
@@ -578,7 +584,7 @@ def run_cascade(
             parsed=parsed, gate=gate, stream=stream, remaining=remaining,
             fixed_rows=fixed_rows, hits=hits, best_anchor=best_anchor,
             bound=bound, accepted=accepted, positional=positional,
-            site_cand=site_cand, all_values=all_values, body_agg=body_agg,
+            site_cand=site_cand, all_values=all_values,
             spans_agg=spans_agg, adet=adet, consolidated=consolidated,
         )
     return out
