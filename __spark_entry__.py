@@ -427,6 +427,22 @@ def q_band_join(spark, sf_dir):  # J4: directional band binding w/ boost
     )
 
 
+
+def q_json_props(spark, sf_dir):  # semi-structured metadata extraction
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_gate": q_quality_gate,
@@ -453,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": q_region_rollup,
         "salted_agg": q_salted_agg,
         "range_join": q_range_join,
+        "json_props": q_json_props,
         "band_join": q_band_join,
         "extract_pipeline": q_extract_pipeline,
     }
@@ -656,6 +673,14 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": """
             SELECT event_type, COUNT(*) AS n_rows,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "json_props": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+                       AS sum_k
             FROM events GROUP BY event_type
         """,
         "range_join": """

@@ -23,7 +23,12 @@ from .scoring import block_score
 PAGE_H = 800.0
 
 _BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
-_TD = re.compile(rb"(-?[\d.]+)\s+(-?[\d.]+)\s+Td")
+_TD = re.compile(rb"(-?[\d.]+)\s+(-?[\d.]+)\s+(Td|TD)")
+_TM = re.compile(
+    rb"(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+Tm"
+)
+_TL = re.compile(rb"(-?[\d.]+)\s+TL")
+_TSTAR = re.compile(rb"T\*")
 _TJ_STR = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
 _TJ_ARR = re.compile(rb"\[((?:\\.|[^\]])*)\]\s*TJ")
 _ARR_STR = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
@@ -71,12 +76,27 @@ def parse_pdf_blocks(payload: bytes) -> tuple[list[Block], str]:
     shows: list[tuple[float, float, str]] = []  # (x, y_down, text)
     for obj in _BT_ET.finditer(payload):
         body = obj.group(1)
-        x, y = 72.0, 720.0
-        pos = 0
-        # Interleave Td moves and Tj/TJ shows in stream order.
+        # Text-positioning state per PDF 1.7 §9.4.2: the line matrix is
+        # identity at BT; Td/TD translate RELATIVE to the current line
+        # start; Tm sets it absolutely (e,f components); TL sets the
+        # leading used by T* (move to next line). Fixtures emit a single
+        # Td from the BT origin, for which relative == absolute.
+        x, y = 0.0, 0.0
+        leading = 0.0
         events: list[tuple[int, str, object]] = []
         for mt in _TD.finditer(body):
-            events.append((mt.start(), "td", (float(mt.group(1)), float(mt.group(2)))))
+            events.append(
+                (mt.start(), "td",
+                 (float(mt.group(1)), float(mt.group(2)), mt.group(3) == b"TD"))
+            )
+        for mm in _TM.finditer(body):
+            events.append(
+                (mm.start(), "tm", (float(mm.group(5)), float(mm.group(6))))
+            )
+        for ml in _TL.finditer(body):
+            events.append((ml.start(), "tl", float(ml.group(1))))
+        for ms in _TSTAR.finditer(body):
+            events.append((ms.start(), "tstar", None))
         for ms in _TJ_STR.finditer(body):
             events.append((ms.start(), "tj", _unescape(ms.group(1))))
         for ma in _TJ_ARR.finditer(body):
@@ -85,10 +105,19 @@ def parse_pdf_blocks(payload: bytes) -> tuple[list[Block], str]:
         events.sort(key=lambda e: e[0])
         for _, kind, val in events:
             if kind == "td":
-                x, y = val  # fixtures emit absolute Td per line
+                tx, ty, sets_leading = val
+                x += tx
+                y += ty
+                if sets_leading:  # TD also sets leading = -ty
+                    leading = -ty
+            elif kind == "tm":
+                x, y = val
+            elif kind == "tl":
+                leading = val
+            elif kind == "tstar":
+                y -= leading
             else:
                 shows.append((x, PAGE_H - y, str(val)))
-            pos += 1
 
     blocks: list[Block] = []
     offset = 0

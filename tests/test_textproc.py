@@ -94,3 +94,19 @@ def test_is_likely_label():
     assert is_likely_label("by")                      # exact keyword
     assert not is_likely_label("Jane Doe")
     assert not is_likely_label("A perfectly normal sentence about foxes.")
+
+
+def test_pdf_relative_positioning_operators():
+    # Relative Td accumulation, Tm absolute set, TL + T* line advance
+    payload = (
+        b"%PDF-1.4\n"
+        b"stream\nBT 16 TL 72 760 Td (line1) Tj 0 -20 Td (line2) Tj T* (line3) Tj ET\n"
+        b"BT 1 0 0 1 100 400 Tm (line4) Tj ET\nendstream\n%%EOF\n"
+    )
+    blocks, _ = parse_pdf_blocks(payload)
+    assert [b.text for b in blocks] == ["line1", "line2", "line3", "line4"]
+    ys = [b.y for b in blocks]
+    assert ys[0] == 800.0 - 760.0
+    assert ys[1] == 800.0 - 740.0          # relative Td: 760 - 20
+    assert ys[2] == 800.0 - (740.0 - 16.0)  # T* advances by TL
+    assert blocks[3].x == 100.0 and blocks[3].y == 400.0  # Tm absolute
