@@ -443,6 +443,18 @@ def q_json_props(spark, sf_dir):  # semi-structured metadata extraction
     )
 
 
+
+def q_set_ops(spark, sf_dir):  # union/intersect/except (§2.7 set ops)
+    d = _t(spark, sf_dir, "documents")
+    long_docs = d.where(F.col("n_chars") > 250).select("doc_id")
+    en_docs = d.where(F.col("lang") == "en").select("doc_id")
+    inter = long_docs.intersect(en_docs).withColumn("which", F.lit("long_and_en"))
+    only_long = long_docs.exceptAll(en_docs).withColumn("which", F.lit("long_not_en"))
+    return inter.unionByName(only_long).groupBy("which").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_gate": q_quality_gate,
@@ -470,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "range_join": q_range_join,
         "json_props": q_json_props,
+        "set_ops": q_set_ops,
         "band_join": q_band_join,
         "extract_pipeline": q_extract_pipeline,
     }
@@ -674,6 +687,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_rows,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        "set_ops": """
+            WITH long_docs AS (SELECT doc_id FROM documents WHERE n_chars > 250),
+                 en_docs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+                 u AS (
+                   SELECT doc_id, 'long_and_en' AS which
+                   FROM (SELECT doc_id FROM long_docs INTERSECT SELECT doc_id FROM en_docs)
+                   UNION ALL
+                   SELECT doc_id, 'long_not_en' AS which
+                   FROM (SELECT doc_id FROM long_docs EXCEPT ALL SELECT doc_id FROM en_docs)
+                 )
+            SELECT which, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+            FROM u GROUP BY which
         """,
         "json_props": """
             SELECT event_type, COUNT(*) AS n_events,
