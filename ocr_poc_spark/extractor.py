@@ -159,6 +159,8 @@ POSITIONAL_FIELDS = ["title", "author", "category"]  # fallback-assignable
 
 INSUFFICIENT_QUALITY_MSG = "insufficient_quality"
 EMPTY_DOC_MSG = "empty_document"
+UNSUPPORTED_FORMAT_MSG = "unsupported_format"  # INVALID_FILE_TYPE analogue
+                                               # (api_server.py:96-99)
 
 
 @dataclass
@@ -177,11 +179,21 @@ class ExtractResult:
     n_blocks: int = 0
 
 
+def _looks_binary(payload: bytes) -> bool:
+    """Non-text payload sniff (Common-Crawl WARCs carry images/archives):
+    NUL bytes in the head are decisive for every text encoding we accept."""
+    return b"\x00" in payload[:1024]
+
+
 def sniff_and_parse(payload: bytes) -> tuple[list[Block], str]:
-    """Payload -> (blocks, doc_kind). doc_kind = fmt '/' layout."""
+    """Payload -> (blocks, doc_kind). doc_kind = fmt '/' layout; raw
+    binary payloads yield no blocks and the 'binary/unknown' kind (the
+    extension allow-list analogue, api_server.py:96-99)."""
     if is_pdf(payload):
         blocks, layout = parse_pdf_blocks(payload)
         return blocks, f"pdf/{layout}"
+    if payload and _looks_binary(payload):
+        return [], "binary/unknown"
     blocks, layout = parse_html_blocks(payload)
     return blocks, f"html/{layout}"
 
@@ -350,8 +362,9 @@ def extract_document(url: str, payload: bytes) -> ExtractResult:
     raw_text = " ".join(b.text for b in blocks)  # ref id_card_data_extractor.py:44
 
     if not blocks:
+        msg = UNSUPPORTED_FORMAT_MSG if doc_kind == "binary/unknown" else EMPTY_DOC_MSG
         return ExtractResult(
-            url=url, doc_kind=doc_kind, success=False, message=EMPTY_DOC_MSG,
+            url=url, doc_kind=doc_kind, success=False, message=msg,
             quality_score=0.0, confidence=0.0, raw_text=raw_text,
             fields={f: None for f in ALL_FIELDS}, body_text=None, n_blocks=0,
         )

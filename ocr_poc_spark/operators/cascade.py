@@ -37,6 +37,7 @@ from ..extractor import (
     ALL_FIELDS,
     EMPTY_DOC_MSG,
     INSUFFICIENT_QUALITY_MSG,
+    UNSUPPORTED_FORMAT_MSG,
     KIND_GATES,
     POSITIONAL_FIELDS,
     QUALITY_THRESHOLD,
@@ -558,7 +559,11 @@ def run_cascade(
         "url",
         "doc_kind",
         F.col("can_proceed").alias("success"),
-        F.when(F.col("n_blocks") == 0, F.lit(EMPTY_DOC_MSG))
+        F.when(
+            (F.col("n_blocks") == 0) & (F.col("doc_kind") == "binary/unknown"),
+            F.lit(UNSUPPORTED_FORMAT_MSG),
+        )
+        .when(F.col("n_blocks") == 0, F.lit(EMPTY_DOC_MSG))
         .when(~F.col("can_proceed"), F.lit(INSUFFICIENT_QUALITY_MSG))
         .alias("message"),
         "quality_score",

@@ -170,3 +170,12 @@ def test_site_name_pattern_fallback_listing_only():
     res2 = extract_document("u", html2)
     assert res2.doc_kind == "html/article"
     assert res2.fields["site_name"] is None
+
+
+def test_binary_payload_unsupported_format():
+    res = extract_document("u", b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR")
+    assert not res.success and res.message == "unsupported_format"
+    assert res.doc_kind == "binary/unknown" and res.n_blocks == 0
+    # PDFs are still PDFs even with binary bytes inside
+    res2 = extract_document("u", b"%PDF-1.4\n\x00binary stream\n%%EOF")
+    assert res2.doc_kind.startswith("pdf/")

@@ -14,7 +14,8 @@ from ocr_poc_spark.textproc.scoring import block_score
 def test_sniff_and_parse_never_raises(payload):
     blocks, kind = sniff_and_parse(payload)
     fmt, layout = kind.split("/")
-    assert fmt in ("html", "pdf") and layout in ("article", "listing")
+    assert fmt in ("html", "pdf", "binary")
+    assert layout in ("article", "listing", "unknown")
     offset = 0
     for i, b in enumerate(blocks):
         assert b.idx == i
