@@ -121,6 +121,17 @@ def make_article_html(rng: random.Random, lang: str) -> str:
         parts.append(f"<p>{rng.choice(_CATEGORY_LABELS)}</p><p>{author}</p>")
     if rng.random() < 0.2:  # short non-latin token (noise-filter path)
         parts.append(f"<p>{rng.choice(['é', '→', '☆', '¶a'])}</p>")
+    if rng.random() < 0.3:  # structural variety: quote/pre/table blocks
+        parts.append(f"<blockquote><p>{_sentence(rng, lang, 12)}</p></blockquote>")
+    if rng.random() < 0.2:
+        parts.append(f"<pre>{_sentence(rng, lang, 8)}</pre>")
+    if rng.random() < 0.25:
+        cells = "".join(
+            f"<tr><td>{_sentence(rng, lang, 3)[:-1]}</td>"
+            f"<td>{rng.randint(1, 999)}</td></tr>"
+            for _ in range(rng.randint(2, 4))
+        )
+        parts.append(f"<table>{cells}</table>")
     parts.append(paras)
     parts.append("</article>")
     if rng.random() < 0.3:
