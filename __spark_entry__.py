@@ -332,10 +332,23 @@ def q_tpch_top_orders(spark, sf_dir):  # Q3-style join + top-k
         .groupBy("o_orderkey")
         .agg(F.sum(rev).alias("revenue_dec"))
     )
-    w = Window.orderBy(F.desc("revenue_dec"), F.asc("o_orderkey"))
+    # Distributed top-k: sort+limit compiles to TakeOrderedAndProject (per-
+    # partition heap + driver merge), never the single-partition WindowExec
+    # a global row_number() would force. The rank is then derived on the 10
+    # survivors with a tiny broadcast self-join (rnk = 1 + #rows ahead).
+    top = j.orderBy(F.desc("revenue_dec"), F.asc("o_orderkey")).limit(10)
+    ahead = top.select(
+        F.col("o_orderkey").alias("b_key"), F.col("revenue_dec").alias("b_rev")
+    )
     return (
-        j.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 10)
+        top.join(
+            F.broadcast(ahead),
+            (F.col("b_rev") > F.col("revenue_dec"))
+            | ((F.col("b_rev") == F.col("revenue_dec")) & (F.col("b_key") < F.col("o_orderkey"))),
+            "left",
+        )
+        .groupBy("o_orderkey", "revenue_dec")
+        .agg((F.count("b_key") + 1).cast("int").alias("rnk"))
         .select(
             "o_orderkey",
             F.col("revenue_dec").cast("double").alias("revenue"),

@@ -284,11 +284,17 @@ def run_cascade(
         (F.col("n_chars") <= 3 * _MAX_ANCHOR_LEN)  # coarse pre-prune
     )
     pairs = cand.join(F.broadcast(adf))
-    # Exact mirror of the kernel's similarity_score length prune: keeps
-    # only pairs where 3*min(lt, la) >= max(lt, la).
+    # Conservative mirror of the kernel's similarity_score length prune.
+    # The kernel prunes on lengths measured AFTER Python .upper(), which
+    # can grow a string up to 3x per char (ß→SS, ΐ→3 chars) but never
+    # shrink it; here only the raw length lt is available, so a pair is
+    # dropped only when the kernel would drop it for EVERY possible
+    # upper-length LT in [lt, 3lt]: text-too-long (lt > 3*la, since
+    # LT >= lt) or text-way-too-short (9*lt < la, since LT <= 3lt).
+    # False keeps are harmless — sim_udf recomputes the exact prune.
     lt = F.length("text")
-    la = F.length("anchor")
-    pairs = pairs.where(3 * F.least(lt, la) >= F.greatest(lt, la))
+    la = F.length("anchor")  # anchors are ASCII: la == upper-length
+    pairs = pairs.where((lt <= 3 * la) & (9 * lt >= la))
     # Raw text into the UDF: similarity_score uppercases internally, so
     # case mapping is python's on both paths (kernel parity).
     pairs = pairs.withColumn("sim", sim_udf(F.col("text"), F.col("anchor")))

@@ -34,16 +34,31 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_ids: list[int] | None = None,
     k: int = 3,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for the query rows (default: all).
+    """Exact top-k cosine neighbors for the given query rows.
 
     Queries are broadcast against the corpus — at 100TB the corpus side
     stays partitioned and the small query side ships to every executor.
+    ``query_ids`` is therefore mandatory: broadcasting the whole corpus
+    as the query side would OOM the driver at scale (use lsh_ann_topk
+    for all-vs-all). A bounded query list over ``max_broadcast_queries``
+    is refused for the same reason.
     """
     from pyspark.sql import Window
 
+    if query_ids is None:
+        raise ValueError(
+            "cosine_topk requires explicit query_ids (the query side is "
+            "broadcast); for all-vs-all ANN use lsh_ann_topk"
+        )
+    if len(query_ids) > max_broadcast_queries:
+        raise ValueError(
+            f"refusing to broadcast {len(query_ids)} query vectors "
+            f"(> max_broadcast_queries={max_broadcast_queries})"
+        )
     base = with_norm(df.select(id_col, vec_col), vec_col)
-    q = base if query_ids is None else base.where(F.col(id_col).isin(query_ids))
+    q = base.where(F.col(id_col).isin(query_ids))
     q = q.select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("q_v"),

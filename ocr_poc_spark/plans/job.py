@@ -167,14 +167,26 @@ def run_job(
             ext.write.mode("overwrite").partitionBy("bucket").option(
                 "partitionOverwriteMode", "dynamic"
             ).parquet(ext_dir)
+            # Lineage uses the same bucket-scoped dynamic overwrite as the
+            # extracted table: a crash between this write and the manifest
+            # commit is repaired by the rerun REPLACING the bucket's rows
+            # (append would double-count SUM(n_docs) on resume).
             lineage = partition_metrics(ext, run_id)
-            lineage.write.mode("append").parquet(lin_dir)
-            n = ext.count()
+            lineage.write.mode("overwrite").partitionBy("bucket").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(lin_dir)
+            per_bucket = {
+                int(r["bucket"]): int(r["n"])
+                for r in ext.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # <= n_buckets rows — driver-side by design
+            }
+            n = sum(per_bucket.values())
         finally:
             ext.unpersist()
         secs = time.monotonic() - t0
         for b in batch:
-            _commit_bucket(out_dir, run_id, int(b), n, secs)
+            _commit_bucket(out_dir, run_id, int(b), per_bucket.get(int(b), 0), secs)
         total_rows += n
 
     return {

@@ -9,7 +9,7 @@ the downstream proximity-binding operator
 exact geometric semantics:
 
     x = depth * 50.0        (indentation ~ horizontal position)
-    y = idx   * 20.0        (reading order ~ line position)
+    y = idx   * 40.0        (reading order ~ line position)
 
 Block fields:
     idx          int     reading order (elimination/anti-join key)

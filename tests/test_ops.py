@@ -69,6 +69,18 @@ def test_cosine_topk_exact(spark):
     assert out[0]["cosine"] > 0.99
 
 
+def test_cosine_topk_broadcast_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="query_ids"):
+        cosine_topk(df, k=1)
+    with pytest.raises(ValueError, match="refusing to broadcast"):
+        cosine_topk(df, query_ids=list(range(10)), k=1, max_broadcast_queries=5)
+
+
 def test_lsh_ann_agrees_with_bruteforce_mostly(spark, fixture_rows):
     import numpy as np
 
@@ -77,7 +89,7 @@ def test_lsh_ann_agrees_with_bruteforce_mostly(spark, fixture_rows):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     exact = {
         (r["query_id"], r["rank"]): r["neighbor_id"]
-        for r in cosine_topk(df, k=1).collect()
+        for r in cosine_topk(df, query_ids=list(range(80)), k=1).collect()
     }
     approx = {
         (r["query_id"], r["rank"]): r["neighbor_id"]
