@@ -160,6 +160,12 @@ POSITIONAL_FIELDS = ["title", "author", "category"]  # fallback-assignable
 INSUFFICIENT_QUALITY_MSG = "insufficient_quality"
 EMPTY_DOC_MSG = "empty_document"
 UNSUPPORTED_FORMAT_MSG = "unsupported_format"  # INVALID_FILE_TYPE analogue
+# Per-document crash isolation (the reference returns typed per-request
+# errors, api_server.py:177-236, instead of failing the server): a payload
+# whose parse RAISES becomes a success=false row with doc_kind
+# "error/<ExcType>" and this message prefix — one poison pill must never
+# fail a whole task/bucket.
+INTERNAL_ERROR_MSG_PREFIX = "internal_error: "
                                                # (api_server.py:96-99)
 
 
@@ -357,8 +363,19 @@ def _body_blocks(
 
 
 def extract_document(url: str, payload: bytes) -> ExtractResult:
-    """Full per-document cascade (ref extract(), _18_f.py:442-520)."""
-    blocks, doc_kind = sniff_and_parse(payload)
+    """Full per-document cascade (ref extract(), _18_f.py:442-520).
+
+    Never raises on a malformed payload: a parser exception is converted
+    to a typed failure row (see INTERNAL_ERROR_MSG_PREFIX)."""
+    try:
+        blocks, doc_kind = sniff_and_parse(payload)
+    except Exception as e:  # poison-pill isolation — typed, per document
+        return ExtractResult(
+            url=url, doc_kind=f"error/{type(e).__name__}", success=False,
+            message=INTERNAL_ERROR_MSG_PREFIX + type(e).__name__,
+            quality_score=0.0, confidence=0.0, raw_text="",
+            fields={f: None for f in ALL_FIELDS}, body_text=None, n_blocks=0,
+        )
     raw_text = " ".join(b.text for b in blocks)  # ref id_card_data_extractor.py:44
 
     if not blocks:

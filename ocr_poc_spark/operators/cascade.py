@@ -37,6 +37,7 @@ from ..extractor import (
     ALL_FIELDS,
     EMPTY_DOC_MSG,
     INSUFFICIENT_QUALITY_MSG,
+    INTERNAL_ERROR_MSG_PREFIX,
     UNSUPPORTED_FORMAT_MSG,
     KIND_GATES,
     POSITIONAL_FIELDS,
@@ -249,6 +250,19 @@ def run_cascade(
     them. At 10^12-doc scale, `materialize=False` + writing the parsed
     block table between the two stages replaces the in-memory persist.
     """
+    # Unique per-document key: re-crawled corpora legitimately contain the
+    # same url twice (distinct warc_ts); every window/join/aggregation
+    # below keys on `url`, so two rows sharing one would get their block
+    # streams interleaved and merged. Suffix a monotonic row id (US-unit
+    # separator cannot occur in a url) and strip it again on output —
+    # each input ROW then flows through the cascade as its own document,
+    # matching the fused path's one-output-row-per-input-row contract.
+    parsed = parsed.withColumn(
+        "url",
+        F.concat_ws(
+            "\x1f", "url", F.monotonically_increasing_id().cast("string")
+        ),
+    )
     if materialize:
         # localCheckpoint (lazy) instead of persist: it also truncates the
         # LOGICAL lineage, so the ~10 downstream branches embed a short
@@ -256,7 +270,7 @@ def run_cascade(
         # analysis of this fan-out plan drops from ~13s to <1s per
         # action. Fault recovery for the truncated stage is provided at
         # the job level by the bucket manifest (plans/job.py), not by
-        # RDD lineage.
+        # RDD lineage. It also freezes the monotonic row ids above.
         parsed = parsed.localCheckpoint(eager=True)
     gate = _gate_exprs(parsed)
     passing = gate.where("can_proceed")
@@ -566,6 +580,13 @@ def run_cascade(
         "doc_kind",
         F.col("can_proceed").alias("success"),
         F.when(
+            F.col("doc_kind").startswith("error/"),
+            F.concat(
+                F.lit(INTERNAL_ERROR_MSG_PREFIX),
+                F.split("doc_kind", "/").getItem(1),
+            ),
+        )
+        .when(
             (F.col("n_blocks") == 0) & (F.col("doc_kind") == "binary/unknown"),
             F.lit(UNSUPPORTED_FORMAT_MSG),
         )
@@ -590,6 +611,8 @@ def run_cascade(
         ).alias("anchors_detected"),
         "n_blocks",
     )
+    # Strip the uniquifying row-id suffix added at cascade entry.
+    out = out.withColumn("url", F.substring_index("url", "\x1f", 1))
     if debug_frames is not None:
         debug_frames.update(
             parsed=parsed, gate=gate, stream=stream, remaining=remaining,

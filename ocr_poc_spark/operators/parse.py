@@ -34,7 +34,16 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_kind: list[str] = []
         out_blocks: list[list[dict]] = []
         for payload in payloads:
-            blocks, kind = sniff_and_parse(bytes(payload) if payload is not None else b"")
+            try:
+                blocks, kind = sniff_and_parse(
+                    bytes(payload) if payload is not None else b""
+                )
+            except Exception as e:
+                # Poison-pill isolation (same typed contract as the kernel,
+                # extractor.extract_document): the cascade turns
+                # doc_kind='error/<ExcType>' + zero blocks into a
+                # success=false row with message 'internal_error: <ExcType>'.
+                blocks, kind = [], f"error/{type(e).__name__}"
             out_kind.append(kind)
             out_blocks.append(
                 [

@@ -46,7 +46,27 @@ def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows: list[dict] = []
         for url, payload in zip(pdf["url"], pdf["html"]):
-            r = extract_document(url, bytes(payload) if payload is not None else b"")
+            try:
+                r = extract_document(
+                    url, bytes(payload) if payload is not None else b""
+                )
+            except Exception as e:
+                # extract_document already isolates parser crashes; this
+                # outer guard covers any residual kernel bug so one doc can
+                # never fail a whole task/bucket (typed contract as above).
+                from ocr_poc_spark.extractor import (
+                    INTERNAL_ERROR_MSG_PREFIX,
+                    ExtractResult,
+                )
+
+                r = ExtractResult(
+                    url=url, doc_kind=f"error/{type(e).__name__}",
+                    success=False,
+                    message=INTERNAL_ERROR_MSG_PREFIX + type(e).__name__,
+                    quality_score=0.0, confidence=0.0, raw_text="",
+                    fields={f: None for f in ALL_FIELDS}, body_text=None,
+                    n_blocks=0,
+                )
             d = {
                 "url": r.url,
                 "doc_kind": r.doc_kind,

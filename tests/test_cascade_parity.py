@@ -43,6 +43,79 @@ def test_fused_path_matches_oracle(spark, pages_df, oracle_results):
     assert_matches_oracle(got, oracle_results)
 
 
+def test_duplicate_urls_stay_separate_documents(spark, fixture_rows):
+    """Re-crawled corpora carry the same url twice (distinct warc_ts).
+    Each input ROW must flow through the relational cascade as its own
+    document — the block streams of same-url rows must never interleave
+    — and both physical paths must agree row-for-row."""
+    import datetime as dt
+
+    rows = []
+    for i, r in enumerate(fixture_rows[:12]):
+        rows.append((r["url"], r["warc_ts"], r["html"], "", r["lang"]))
+        # Re-crawl: same url, DIFFERENT payload (a later fixture's html).
+        other = fixture_rows[20 + i]
+        rows.append(
+            (r["url"], r["warc_ts"] + dt.timedelta(days=30), other["html"], "", r["lang"])
+        )
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def key(d):
+        spans = [(s["field"], s["start"], s["end"]) for s in (d["spans"] or [])]
+        return (d["url"], d["doc_kind"], d["raw_text"], d["body_text"],
+                d["success"], d["n_blocks"], tuple(spans))
+
+    rel = sorted(key(r.asDict(recursive=True))
+                 for r in run_cascade(parse_pages(pages), spark).collect())
+    fus = sorted(key(r.asDict(recursive=True))
+                 for r in extract_fused(pages).collect())
+    assert len(rel) == len(rows) == 24
+    assert rel == fus
+    # And each row matches the kernel run on ITS OWN payload.
+    from ocr_poc_spark.extractor import extract_document
+
+    exp = sorted(
+        (url, res.doc_kind, res.raw_text, res.body_text, res.success,
+         res.n_blocks, tuple(tuple(s) for s in res.spans))
+        for url, _, html, _, _ in rows
+        for res in [extract_document(url, html)]
+    )
+    assert rel == exp
+
+
+def test_poison_pill_isolated_in_both_paths(spark, fixture_rows):
+    """One genuinely malformed payload (a %PDF whose Td operands crash
+    float()) must yield ONE typed failure row — success=false, doc_kind
+    'error/ValueError', message 'internal_error: ValueError' — while the
+    other N-1 documents extract normally, in BOTH physical paths
+    (reference analogue: typed per-request errors, api_server.py:177-236
+    — a poison doc never fails the task/bucket)."""
+    poison = b"%PDF-1.4\nBT ... .. Td (boom) Tj ET"
+    rows = [(r["url"], r["html"]) for r in fixture_rows[:20]]
+    rows.append(("https://bad.example/poison", poison))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+
+    for name, out in (
+        ("fused", extract_fused(pages)),
+        ("relational", run_cascade(parse_pages(pages), spark)),
+    ):
+        got = {r["url"]: r for r in out.collect()}
+        assert len(got) == 21, name
+        bad = got["https://bad.example/poison"]
+        assert bad["success"] is False, name
+        assert bad["doc_kind"] == "error/ValueError", name
+        assert bad["message"] == "internal_error: ValueError", name
+        assert bad["n_blocks"] == 0 and bad["body_text"] is None, name
+        n_ok = sum(1 for r in got.values() if r["success"])
+        assert n_ok == sum(
+            1 for u, h in rows[:20]
+            if __import__("ocr_poc_spark.extractor", fromlist=["x"])
+            .extract_document(u, h).success
+        ), name
+
+
 def test_parse_scan_prunes_columns(spark, tmp_path):
     """Column pruning must reach the parquet scan: the parse stage reads
     only (url, html) — at 100TB the heavy binary column is the only
