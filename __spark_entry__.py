@@ -2,10 +2,12 @@
 
 queries() exposes the operator inventory of SURVEY.md §2 (re-expressed
 relationally over the driver's testdata tables) plus the training-data
-pipeline operators (dedup / similarity / text stats). Every SQL-
-expressible operator has a DuckDB oracle in oracle_sql(); Spark-hash-
-dependent ops (MinHash/SimHash/LSH/winnowing) and the full extraction
-pipeline are rows-only checks.
+pipeline operators (dedup / similarity / text stats). EVERY query has a
+DuckDB oracle in oracle_sql(): SQL-expressible ops are re-derived in
+SQL (incl. the exact all-pairs Jaccard behind MinHash and a from-
+scratch SQL recompute of the 60-bit SimHash); hyperplane LSH and the
+HTML extraction cascade compare against committed golden parquet from
+independent reimplementations (scripts/make_goldens.py).
 
 Cross-engine float discipline: aggregates over doubles are cast to
 DECIMAL before summing (exact, associative); ratios/cosines are rounded
@@ -758,6 +760,68 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
         """,
-        # dedup_minhash / dedup_simhash / ann_lsh / extract_pipeline:
-        # Spark-hash-dependent or non-SQL -> rows-only checks (omitted).
+        # MinHash+LSH oracle: the EXACT all-pairs shingle Jaccard — fully
+        # independent of the Spark hash path. The LSH banding's recall on
+        # this corpus is exactly 1.0 (all true pairs have jaccard >= 0.9,
+        # band-collision p ~ 1-4e-4), and the verify step filters on the
+        # exact jaccard, so LSH output == exact output. A banding recall
+        # miss would surface here as a row-count mismatch — that is the
+        # point of the oracle (it caught the seeded-minhash bug).
+        "dedup_minhash": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len({_WORDS_SQL})-2, 0)+1),
+                         i -> array_to_string(({_WORDS_SQL})[i:i+2], ' '))) AS sh
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh)) AS j
+              FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE j >= 0.5
+        """,
+        # SimHash oracle: the 60-bit fingerprint is recomputed from
+        # scratch in SQL (md5-hex15 token hash -> per-bit +/-1 sums ->
+        # sign reassembly) and compared ALL-PAIRS — independent of the
+        # Spark banding, whose pigeonhole slicing guarantees recall 1.0.
+        "dedup_simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
+              FROM documents, unnest({_WORDS_SQL}) AS w(w)),
+            bits AS (SELECT doc_id, {{bit_sums}} FROM tok GROUP BY doc_id),
+            sh AS (SELECT doc_id, {{reassemble}} AS simhash FROM bits)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """.format(
+            bit_sums=", ".join(
+                f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+                for b in range(60)
+            ),
+            reassemble=" + ".join(
+                f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+                for b in range(60)
+            ),
+        ),
+        # ann_lsh / extract_pipeline: semantics not expressible in SQL
+        # (seeded hyperplane LSH; HTML DOM cascade). Oracle = committed
+        # golden parquet produced by an INDEPENDENT reimplementation
+        # (scripts/make_goldens.py: pure-Python LSH mirror resp. the
+        # parity-tested sequential kernel over identically synthesised
+        # pages, both at the driver's sf0.01 correctness scale);
+        # tests/test_goldens.py asserts the files are current.
+        "ann_lsh": """
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   ROUND(cosine, 6) AS cosine
+            FROM read_parquet('/root/repo/dist/golden/ann_lsh_sf001.parquet')
+        """,
+        "extract_pipeline": """
+            SELECT url, doc_kind, success,
+                   ROUND(quality_score, 6) AS quality_score,
+                   ROUND(confidence, 6) AS confidence,
+                   title, author, pub_date, reading_time, body_text, n_blocks
+            FROM read_parquet('/root/repo/dist/golden/extract_sf001.parquet')
+        """,
     }

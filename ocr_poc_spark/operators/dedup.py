@@ -6,13 +6,16 @@ All-native column expressions (zero Python in the hot path):
 - n-gram Jaccard       : word-set similarity on bounded prefixes
 - MinHash + LSH        : shingle -> 32 minhashes -> 8 banded signatures
                          -> bucket self-join -> candidate pairs
-- SimHash              : 64-bit sign-aggregated word-hash fingerprint +
-                         banded hamming-distance near-dup pairs
+- SimHash              : 60-bit sign-aggregated word-hash fingerprint +
+                         banded hamming-distance near-dup pairs with
+                         pigeonhole-exact recall (max_hamming+1 bands)
 
 Scale notes: MinHash/SimHash avoid the O(n^2) pair explosion by joining
-only within LSH bands / 16-bit simhash bands; the exact-jaccard verify
-runs on candidates only. All shuffles key on the band signature, which
-is uniform by construction (hash output) — no skew handling needed.
+only within LSH / simhash bands; only ids ride the band shuffles (the
+shingle arrays / fingerprints are joined back per deduped candidate
+pair) and the exact verify runs on candidates only. All shuffles key on
+the band signature, which is uniform by construction (hash output) — no
+skew handling needed.
 """
 
 from __future__ import annotations
@@ -53,12 +56,21 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> 
 
 
 def minhash_signature(df: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
-    """Adds minhash_0..N-1 columns: min over shingles of xxhash64(shingle, seed)."""
-    for j in range(num_hashes):
-        df = df.withColumn(
-            f"minhash_{j}",
-            F.array_min(F.transform("shingles", lambda s, j=j: F.xxhash64(s, F.lit(j)))),
+    """Adds minhash_0..N-1 columns: min over shingles of xxhash64(shingle, seed).
+
+    NB the seed must be closed over via a factory function: a two-arg
+    lambda (`lambda s, j=j: ...`) is interpreted by F.transform as
+    (element, index) and the array INDEX silently overrides the seed —
+    degenerating all N hashes to one identical function (found by the
+    DuckDB exact-Jaccard oracle: a 0.989-Jaccard pair missed 32/32)."""
+
+    def _mh(j: int):
+        return F.array_min(
+            F.transform("shingles", lambda s: F.xxhash64(s, F.lit(j)))
         )
+
+    for j in range(num_hashes):
+        df = df.withColumn(f"minhash_{j}", _mh(j))
     return df
 
 
@@ -73,28 +85,37 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (id_a < id_b) via MinHash banding, verified
     with exact shingle-set Jaccard on the candidates only."""
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature(word_shingles(df.select(id_col, text_col), text_col), num_hashes)
+    shingled = word_shingles(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("id"), "shingles"
+    )
+    sig = minhash_signature(shingled, num_hashes)
     bands = []
     for b in range(num_bands):
         cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
         bands.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig")))
-    sig = sig.select(
-        F.col(id_col).alias("id"),
-        F.col("shingles"),
-        F.explode(F.array(*bands)).alias("bs"),
-    ).select("id", "shingles", "bs.band", "bs.sig")
+    # Ids ONLY through the band shuffle: shipping the document-sized
+    # shingle arrays on both sides of the self-join would multiply
+    # shuffle volume by ~doc_size x num_bands at 100TB. Candidate id
+    # pairs are deduped first; the shingle arrays are joined back ONCE
+    # per side for the exact-Jaccard verify.
+    band_ids = sig.select(
+        "id", F.explode(F.array(*bands)).alias("bs")
+    ).select("id", "bs.band", "bs.sig")
 
-    left = sig.select(
-        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "sig"
-    )
-    right = sig.select(
-        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "sig"
-    )
+    left = band_ids.select(F.col("id").alias("id_a"), "band", "sig")
+    right = band_ids.select(F.col("id").alias("id_b"), "band", "sig")
     cand = (
         left.join(right, ["band", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
     )
     sa = F.array_distinct("sh_a")
     sb = F.array_distinct("sh_b")
@@ -137,19 +158,49 @@ def ngram_jaccard_pairs(
     )
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 — fits a signed 64-bit long
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: sign of per-bit sums of word hashes."""
+    """60-bit SimHash per document: sign of per-bit sums of word hashes
+    (one ±1 vote per token OCCURRENCE).
+
+    The token hash is the first 15 hex chars of md5 parsed as an integer
+    — chosen over xxhash64 deliberately: md5 is bit-identical across
+    engines, so an independent DuckDB oracle can recompute the whole
+    fingerprint and verify emitted pairs exactly (xxhash64 exists only
+    in Spark)."""
     tok = df.select(id_col, F.explode(_words(text_col)).alias("w"))
-    tok = tok.withColumn("h", F.xxhash64("w"))
+    tok = tok.withColumn(
+        "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    )
     aggs = []
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
         aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
     per_doc = tok.groupBy(id_col).agg(*aggs)
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         sim = sim + F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
     return per_doc.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def _band_slices(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per band: max_hamming+1 near-equal slices of the 60
+    bits. Pigeonhole GUARANTEES recall 1.0: a pair with <= max_hamming
+    differing bits cannot differ in all max_hamming+1 disjoint slices,
+    so it agrees exactly on >= 1 band key."""
+    n_bands = max_hamming + 1
+    if n_bands > SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
+    base, extra = divmod(SIMHASH_BITS, n_bands)
+    slices = []
+    shift = 0
+    for q in range(n_bands):
+        width = base + (1 if q < extra else 0)
+        slices.append((shift, width))
+        shift += width
+    return slices
 
 
 def simhash_near_pairs(
@@ -158,30 +209,39 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band on each 16-bit quarter (a pair
-    within hamming<=3 must agree exactly on at least one quarter), then
-    verify bit_count(xor) on candidates."""
+    """Near-dup pairs by SimHash with PROVABLY exact recall: band on
+    max_hamming+1 disjoint bit slices (see _band_slices), candidate ids
+    only through the band self-join, verify bit_count(xor) <= max_hamming
+    after pair-dedup. Output == exact all-pairs hamming filter, which is
+    what the DuckDB oracle checks."""
     s = simhash(df, id_col, text_col)
     bands = F.array(
         *[
             F.struct(
                 F.lit(q).alias("q"),
-                F.shiftright(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.shiftright(F.col("simhash"), shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
             )
-            for q in range(4)
+            for q, (shift, width) in enumerate(_band_slices(max_hamming))
         ]
     )
-    e = s.select("id", "simhash", F.explode(bands).alias("b")).select(
-        "id", "simhash", "b.q", "b.key"
-    )
-    a = e.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "q", "key")
-    bdf = e.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "q", "key")
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
+    e = s.select("id", F.explode(bands).alias("b")).select("id", "b.q", "b.key")
+    a = e.select(F.col("id").alias("id_a"), "q", "key")
+    bdf = e.select(F.col("id").alias("id_b"), "q", "key")
+    cand = (
         a.join(bdf, ["q", "key"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", ham)
+    )
+    # Fingerprints joined back AFTER pair-dedup (ids only ride the bands).
+    cand = cand.join(
+        s.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a")), "id_a"
+    ).join(s.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b")), "id_b")
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -127,22 +127,33 @@ def lsh_ann_topk(
     """Approximate top-k: exact cosine re-rank within LSH buckets, union
     of candidates over n_tables hash tables. The bucket equi-join
     replaces the cross join — shuffle keys are hash buckets (uniform),
-    candidate count ~ N * n_tables / 2^planes per row."""
+    candidate count ~ N * n_tables / 2^planes per row.
+
+    Ids ONLY ride the bucket self-join (shipping the vectors through it
+    would multiply shuffle volume by dim x n_tables); candidate pairs
+    are deduped across tables first, then the vectors are joined back
+    once per side for the exact scoring."""
     from pyspark.sql import Window
 
     b = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, dim, n_planes, seed, n_tables)
-    left = b.select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
-        F.col("_norm").alias("q_norm"), "tbl", "bucket",
-    )
-    right = b.select(
-        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("c_v"),
-        F.col("_norm").alias("c_norm"), "tbl", "bucket",
-    )
+    band_ids = b.select(id_col, "tbl", "bucket")
+    left = band_ids.select(F.col(id_col).alias("query_id"), "tbl", "bucket")
+    right = band_ids.select(F.col(id_col).alias("neighbor_id"), "tbl", "bucket")
     pairs = (
         left.join(right, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    vecs = with_norm(df.select(id_col, vec_col), vec_col)
+    pairs = pairs.join(
+        vecs.select(F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
+                    F.col("_norm").alias("q_norm")),
+        "query_id",
+    ).join(
+        vecs.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("c_v"),
+                    F.col("_norm").alias("c_norm")),
+        "neighbor_id",
     )
     cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -168,16 +179,29 @@ def embedding_near_dup_pairs(
     candidates (high-cosine pairs agree on all sign bits of a table with
     probability (1 - theta/pi)^planes, so >=1 of n_tables catches them)."""
     b = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, dim, n_planes, seed, n_tables)
-    left = b.select(F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"),
-                    F.col("_norm").alias("n_a"), "tbl", "bucket")
-    right = b.select(F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"),
-                     F.col("_norm").alias("n_b"), "tbl", "bucket")
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
-    return (
+    band_ids = b.select(id_col, "tbl", "bucket")
+    left = band_ids.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    right = band_ids.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    cand = (
         left.join(right, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cos)
+    )
+    # Vectors joined back AFTER pair-dedup (ids only ride the band join).
+    vecs = with_norm(df.select(id_col, vec_col), vec_col)
+    cand = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"),
+                    F.col("_norm").alias("n_a")),
+        "id_a",
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"),
+                    F.col("_norm").alias("n_b")),
+        "id_b",
+    )
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.withColumn("cosine", cos)
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
