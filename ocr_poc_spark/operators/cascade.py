@@ -219,18 +219,11 @@ def _fixed_claims(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .when(F.col("claimed_field") == "doc_ref", F.col("text"))
     )
-    fixed_rows = s.where(F.col("claimed_field").isNotNull()).select(
-        "url",
-        F.col("claimed_field").alias("field"),
-        value.alias("value"),
-        "idx",
-        "char_offset",
-        "n_chars",
-    )
-    remaining = s.where(F.col("claimed_field").isNull()).drop(
-        "claimed_field", *claim_cols
-    )
-    return remaining, fixed_rows
+    # One ANNOTATED stream (claimed_field + normalized claim value on the
+    # claimer rows, null elsewhere) — the caller splits it into
+    # remaining/fixed_rows AFTER a single checkpoint, instead of
+    # materializing two separate frames.
+    return s.withColumn("claim_value", value).drop(*claim_cols)
 
 
 def run_cascade(
@@ -282,15 +275,26 @@ def run_cascade(
     # THE one url-hash exchange for the whole cascade.
     stream = stream.repartition("url")
 
-    remaining, fixed_rows = _fixed_claims(stream)
-    remaining = remaining.withColumn("is_label", is_label_udf("text"))
+    annotated = _fixed_claims(stream)
+    annotated = annotated.withColumn("is_label", is_label_udf("text"))
     if materialize:
-        # Compact (url, idx, text, score, x, y, offsets, is_label) rows —
-        # orders of magnitude smaller than the raw payloads; checkpointing
-        # stops the claim windows + label UDF re-running per branch AND
-        # keeps the url-hash partitioning as the cached layout.
-        remaining = remaining.localCheckpoint(eager=True)
-        fixed_rows = fixed_rows.localCheckpoint(eager=True)
+        # Compact (url, idx, text, score, x, y, offsets, claimed_field,
+        # is_label) rows — orders of magnitude smaller than the raw
+        # payloads; ONE checkpoint stops the claim windows + label UDF
+        # re-running per branch AND keeps the url-hash partitioning as
+        # the cached layout (remaining/fixed_rows are cheap filters of it).
+        annotated = annotated.localCheckpoint(eager=True)
+    remaining = annotated.where(F.col("claimed_field").isNull()).drop(
+        "claimed_field", "claim_value"
+    )
+    fixed_rows = annotated.where(F.col("claimed_field").isNotNull()).select(
+        "url",
+        F.col("claimed_field").alias("field"),
+        F.col("claim_value").alias("value"),
+        "idx",
+        "char_offset",
+        "n_chars",
+    )
 
     # ---- J1: fuzzy anchor detection (broadcast theta-join) -------------
     adf = anchors_df(spark)
@@ -441,7 +445,14 @@ def run_cascade(
         .join(anchor_idxs, ["url", "idx"], "left_anti")
         .join(used_all, ["url", "text"], "left_anti")
     )
-    # ---- spans + body text (ONE aggregation pass) -----------------------
+    # ---- fused final assembly: ONE groupBy(url) pass ---------------------
+    # Spans, body_text, anchors_detected AND the consolidated field values
+    # all come out of a single collect_list aggregation over one tagged
+    # union (previously three groupBy passes + a crossJoin + three final
+    # joins — fused to cut per-invocation stage count and driver-side
+    # Catalyst analysis; every input is already url-partitioned so the
+    # one exchange is reused).
+    #
     # Source block per anchor/positional value: first (min idx) block in
     # the remaining stream with text == value.
     w_src = Window.partitionBy("url", "field").orderBy("idx")
@@ -465,104 +476,111 @@ def run_cascade(
     field_ord_expr = F.lit(None).cast("int")
     for f, i in field_ord_map.items():
         field_ord_expr = F.when(F.col("field") == f, F.lit(i)).otherwise(field_ord_expr)
-    field_spans = value_src.unionByName(
+
+    null_s = F.lit(None).cast("string")
+    null_i = F.lit(None).cast("int")
+    # Tagged rows — sort key is (kind, ord, idx2): kind 0 = field spans in
+    # ALL_FIELDS order, kind 1 = body spans in block order; kinds 2
+    # (anchor-field hit) and 3 (consolidated value) are payload-only.
+    field_span_rows = value_src.unionByName(
         fixed_rows.select("url", "field", "idx", "char_offset", "n_chars"),
         allowMissingColumns=True,
     ).select(
         "url",
-        F.lit(0).alias("k0"),
-        field_ord_expr.alias("k1"),
-        F.lit(0).alias("k2"),
+        F.lit(0).alias("kind"),
+        field_ord_expr.alias("ord"),
+        F.lit(0).alias("idx2"),
         F.col("field"),
         F.col("char_offset").alias("start"),
         (F.col("char_offset") + F.col("n_chars")).alias("end"),
-        F.lit(None).cast("string").alias("body_part"),
+        null_s.alias("text"),
     )
-    body_spans = body.select(
+    body_rows = body.select(
         "url",
-        F.lit(1).alias("k0"),
-        F.lit(0).alias("k1"),
-        F.col("idx").alias("k2"),
+        F.lit(1).alias("kind"),
+        F.lit(0).alias("ord"),
+        F.col("idx").alias("idx2"),
         F.lit("body").alias("field"),
         F.col("char_offset").alias("start"),
         (F.col("char_offset") + F.col("n_chars")).alias("end"),
-        F.col("text").alias("body_part"),
+        F.col("text"),
     )
-    # Single collect_list builds both outputs: spans (field spans in
-    # ALL_FIELDS order, then body spans by idx) and body_text (the
-    # '\n\n'-join of body rows, null when there are none).
-    sorted_rows = F.array_sort(
-        F.collect_list(
-            F.struct("k0", "k1", "k2", "field", "start", "end", "body_part")
-        )
-    )
-    spans_agg = (
-        field_spans.unionByName(body_spans)
-        .groupBy("url")
-        .agg(sorted_rows.alias("_rows"))
+    hit_rows = (
+        hits.select("url", "field")
+        .distinct()
         .select(
-            "url",
-            F.transform(
-                "_rows",
-                lambda s: F.struct(
-                    s["field"].alias("field"),
-                    s["start"].alias("start"),
-                    s["end"].alias("end"),
-                ),
-            ).alias("spans"),
-            F.nullif(
-                F.array_join(
-                    F.transform(
-                        F.filter("_rows", lambda s: s["k0"] == 1),
-                        lambda s: s["body_part"],
-                    ),
-                    "\n\n",
-                ),
-                F.lit(""),
-            ).alias("body_text"),
+            "url", F.lit(2).alias("kind"), F.lit(0).alias("ord"),
+            F.lit(0).alias("idx2"), "field",
+            null_i.alias("start"), null_i.alias("end"), null_s.alias("text"),
         )
     )
-
-    # ---- anchors_detected map (all 4 fields, False when no hit) --------
-    afields = spark.createDataFrame(
-        [(f, i) for i, f in enumerate(ANCHOR_FIELDS)], "field string, aord int"
-    )
-    adet = (
-        passing_urls.crossJoin(F.broadcast(afields))
-        .join(hits.select("url", "field").distinct().withColumn("hit", F.lit(True)),
-              ["url", "field"], "left")
-        .groupBy("url")
-        .agg(
-            F.map_from_entries(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("aord", "field", F.coalesce("hit", F.lit(False)).alias("hit"))
-                        )
-                    ),
-                    lambda s: F.struct(s["field"].alias("key"), s["hit"].alias("value")),
-                )
-            ).alias("anchors_detected")
-        )
-    )
-
-    # ---- A3 consolidation (pivot) + A2 confidence ----------------------
-    consolidated = (
+    value_rows = (
         all_values.unionByName(fixed_rows.select("url", "field", "value"))
-        .groupBy("url")
-        .pivot("field", ALL_FIELDS)
-        .agg(F.first("value"))
+        .select(
+            "url", F.lit(3).alias("kind"), F.lit(0).alias("ord"),
+            F.lit(0).alias("idx2"), "field",
+            null_i.alias("start"), null_i.alias("end"),
+            F.col("value").alias("text"),
+        )
+    )
+    unioned = (
+        field_span_rows.unionByName(body_rows)
+        .unionByName(hit_rows)
+        .unionByName(value_rows)
+    )
+    agg = unioned.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("kind", "ord", "idx2", "field", "start", "end", "text")
+            )
+        ).alias("_rows")
     )
 
-    out = (
-        gate.drop("blocks")
-        .join(consolidated, "url", "left")
-        .join(spans_agg, "url", "left")
-        .join(adet, "url", "left")
+    def _field_val(f: str):
+        # NB single-arg lambda (two-arg would be read as (element, index)).
+        return F.get(
+            F.filter(
+                "_rows",
+                lambda r: (r["kind"] == 3) & (r["field"] == F.lit(f)),
+            ),
+            0,
+        )["text"]
+
+    span_structs = F.transform(
+        F.filter("_rows", lambda r: r["kind"] <= 1),
+        lambda s: F.struct(
+            s["field"].alias("field"),
+            s["start"].alias("start"),
+            s["end"].alias("end"),
+        ),
     )
-    filled = sum(
-        (F.col(f).isNotNull()).cast("int") for f in ALL_FIELDS
+    body_text_expr = F.nullif(
+        F.array_join(
+            F.transform(
+                F.filter("_rows", lambda r: r["kind"] == 1), lambda s: s["text"]
+            ),
+            "\n\n",
+        ),
+        F.lit(""),
     )
+
+    def _anchor_hit(f: str):
+        return F.coalesce(
+            F.exists("_rows", lambda r: (r["kind"] == 2) & (r["field"] == F.lit(f))),
+            F.lit(False),
+        )
+
+    anchors_map = F.map_from_entries(
+        F.array(
+            *[
+                F.struct(F.lit(f).alias("key"), _anchor_hit(f).alias("value"))
+                for f in ANCHOR_FIELDS
+            ]
+        )
+    )
+
+    out = gate.drop("blocks").join(agg, "url", "left")
+    filled = sum((_field_val(f).isNotNull()).cast("int") for f in ALL_FIELDS)
     # Per-kind confidence divisor (anchors + kind battery + site_name on
     # listings); fields outside the kind's set are always null, so the
     # union-wide `filled` equals the kind-scoped count.
@@ -598,17 +616,20 @@ def run_cascade(
             F.col("can_proceed"), filled / n_kind_fields.cast("double")
         ).otherwise(F.lit(0.0)).alias("confidence"),
         "raw_text",
-        *[F.col(f) for f in ALL_FIELDS],
-        "body_text",
-        F.when(F.col("can_proceed"), F.coalesce("spans", F.array()))
+        *[_field_val(f).alias(f) for f in ALL_FIELDS],
+        body_text_expr.alias("body_text"),
+        F.when(F.col("can_proceed"), F.coalesce(span_structs, F.array()))
         .otherwise(F.array().cast("array<struct<field:string,start:int,end:int>>"))
         .alias("spans"),
-        F.coalesce(
-            "anchors_detected",
+        # Passing doc with zero union rows -> all-False map (the kernel's
+        # detect_anchors always returns all 4 keys); failed doc -> {}.
+        F.when(F.col("can_proceed"), anchors_map)
+        .otherwise(
             F.map_from_entries(
                 F.array().cast("array<struct<key:string,value:boolean>>")
-            ),
-        ).alias("anchors_detected"),
+            )
+        )
+        .alias("anchors_detected"),
         "n_blocks",
     )
     # Strip the uniquifying row-id suffix added at cascade entry.
@@ -618,7 +639,6 @@ def run_cascade(
             parsed=parsed, gate=gate, stream=stream, remaining=remaining,
             fixed_rows=fixed_rows, hits=hits, best_anchor=best_anchor,
             bound=bound, accepted=accepted, positional=positional,
-            site_cand=site_cand, all_values=all_values,
-            spans_agg=spans_agg, adet=adet, consolidated=consolidated,
+            site_cand=site_cand, all_values=all_values, agg=agg,
         )
     return out
