@@ -163,9 +163,14 @@ def q_proximity_binding(spark, sf_dir):  # J2/W2: bind nearest scored event
         F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
         F.col("value").alias("p_value"),
     )
-    pairs = clicks.join(buys, "user_id").where(
-        (F.col("p_us") > F.col("c_us"))
-        & (F.col("p_us") <= F.col("c_us") + F.lit(3600_000_000))
+    # Skew-bounded: equi-key is (user_id, coarse hour bucket), not
+    # user_id alone — a hot user no longer funnels through one reducer.
+    # Output provably identical to the plain key join (operators/bandjoin).
+    from ocr_poc_spark.operators.bandjoin import time_banded_join
+
+    pairs = time_banded_join(
+        clicks, buys, key="user_id", left_us="c_us", right_us="p_us",
+        band_us=3600_000_000,
     )
     score = F.round(
         F.col("p_value") / (F.lit(1.0) + (F.col("p_us") - F.col("c_us")) / F.lit(1e6)), 6

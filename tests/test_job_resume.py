@@ -89,3 +89,22 @@ def test_cli_dedup_stage(spark, pages_df, tmp_path):
         or r["id_b"].replace("https://mirror.example/", "") == r["id_a"]
     )
     assert n_mirror == len(pairs)
+
+
+def test_iceberg_gate_contract(spark, tmp_path, pages_df):
+    """The Iceberg leg of S1/S4 cannot run here (no connector jar in the
+    sandbox, no network to vendor one — exclusion documented in
+    COVERAGE.md). What IS contractual and tested: the 'iceberg:' prefix
+    dispatches to the connector gate and fails with an actionable error
+    when the connector is absent; plain paths read parquet."""
+    from ocr_poc_spark.sources.pages import iceberg_available, read_pages
+
+    assert iceberg_available(spark) is False  # sandbox reality
+    import pytest
+
+    with pytest.raises(RuntimeError, match="Iceberg connector not on classpath"):
+        read_pages(spark, "iceberg:warehouse.pages")
+
+    p = str(tmp_path / "pages.parquet")
+    pages_df.limit(5).write.parquet(p)
+    assert read_pages(spark, p).count() == 5

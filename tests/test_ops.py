@@ -149,3 +149,29 @@ def test_host_stats_salted_equals_direct(spark, pages_df):
     # fixture hosts are genuinely skewed: top host owns > 15% of pages
     total = sum(n for n, _ in direct.values())
     assert max(n for n, _ in direct.values()) > 0.15 * total
+
+
+def test_time_banded_join_equals_plain_join_on_hot_key(spark):
+    """Skew fixture: user 0 owns ~10% of all events. The bucketed band
+    join must return EXACTLY the rows of the plain key join + band
+    filter, while keying the shuffle on (user, hour-bucket)."""
+    from ocr_poc_spark.operators.bandjoin import time_banded_join
+
+    BAND = 3600_000_000
+    rows_l, rows_r = [], []
+    for i in range(400):
+        user = 0 if i % 10 == 0 else i % 37          # hot user 0
+        ts = (i * 977_000_003) % (50 * BAND)         # spread over 50 hours
+        rows_l.append((i, user, ts))
+        rows_r.append((10_000 + i, user, (ts + (i % 3) * BAND // 2) % (50 * BAND), float(i)))
+    left = spark.createDataFrame(rows_l, "click_id long, user_id long, c_us long")
+    right = spark.createDataFrame(rows_r, "purchase_id long, user_id long, p_us long, p_value double")
+
+    banded = time_banded_join(left, right, "user_id", "c_us", "p_us", BAND)
+    plain = left.join(right, "user_id").where(
+        (F.col("p_us") > F.col("c_us")) & (F.col("p_us") <= F.col("c_us") + BAND)
+    )
+    cols = ["click_id", "purchase_id"]
+    b = sorted(tuple(r) for r in banded.select(cols).collect())
+    p = sorted(tuple(r) for r in plain.select(cols).collect())
+    assert b == p and len(b) > 0
