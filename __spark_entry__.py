@@ -448,6 +448,37 @@ def q_band_join(spark, sf_dir):  # J4: directional band binding w/ boost
 
 
 
+def q_zone_transform(spark, sf_dir):  # J3+: zone join after estimated rotation
+    """Template zones bound after per-document transform estimation
+    (rotation from first two anchor points, offset/scale from bounds) —
+    the notebook's estimate_transformation/extract_from_zone semantics
+    over synthetic positioned points derived from the events table."""
+    from ocr_poc_spark.operators.zones import (
+        estimate_transform,
+        transformed_zone_join,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    blocks = e.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("url"),
+        F.col("event_id").cast("int").alias("idx"),
+        F.col("event_type").alias("text"),
+        ((F.col("event_id") % 37) * F.lit(10.0)).alias("x"),
+        ((F.col("event_id") % 23) * F.lit(12.0)).alias("y"),
+    )
+    bounds = blocks.groupBy("url").agg(
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+    )
+    tr = estimate_transform(bounds, blocks)
+    zones = spark.createDataFrame(
+        [("hot", 0.0, 0.0, 0.5, 0.5), ("cold", 0.5, 0.5, 0.5, 0.5)],
+        "field string, zx double, zy double, zw double, zh double",
+    )
+    out = transformed_zone_join(blocks, zones, tr)
+    return out.select("url", "field", "idx", "text", F.round("dist", 6).alias("dist"))
+
+
 def q_json_props(spark, sf_dir):  # semi-structured metadata extraction
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -501,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": q_region_rollup,
         "salted_agg": q_salted_agg,
         "range_join": q_range_join,
+        "zone_transform": q_zone_transform,
         "json_props": q_json_props,
         "set_ops": q_set_ops,
         "band_join": q_band_join,
@@ -764,6 +796,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
+        """,
+        "zone_transform": """
+            WITH b AS (
+              SELECT 'u' || user_id AS url, CAST(event_id AS INT) AS idx,
+                     event_type AS text,
+                     (event_id % 37) * 10.0 AS x, (event_id % 23) * 12.0 AS y
+              FROM events),
+            bounds AS (SELECT url, MIN(x) AS min_x, MAX(x) AS max_x,
+                              MIN(y) AS min_y, MAX(y) AS max_y
+                       FROM b GROUP BY url),
+            a2 AS (SELECT * FROM (
+                     SELECT url, x, y,
+                            ROW_NUMBER() OVER (PARTITION BY url ORDER BY idx ASC) AS rn
+                     FROM b) WHERE rn <= 2),
+            piv AS (SELECT url,
+                           MIN(CASE WHEN rn=1 THEN x END) AS p1x,
+                           MIN(CASE WHEN rn=1 THEN y END) AS p1y,
+                           MIN(CASE WHEN rn=2 THEN x END) AS p2x,
+                           MIN(CASE WHEN rn=2 THEN y END) AS p2y,
+                           COUNT(*) AS n_anchors
+                    FROM a2 GROUP BY url),
+            tr AS (SELECT bounds.url, min_x AS offset_x, min_y AS offset_y,
+                          max_x - min_x AS width, max_y - min_y AS height,
+                          COALESCE(CASE
+                            WHEN n_anchors < 2 THEN 0.0
+                            WHEN abs(atan2(p2y-p1y, p2x-p1x)) < pi()/4
+                                 THEN atan2(p2y-p1y, p2x-p1x)
+                            WHEN abs(atan2(p2y-p1y, p2x-p1x) - pi()/2) < pi()/4
+                                 THEN atan2(p2y-p1y, p2x-p1x) - pi()/2
+                            ELSE 0.0 END, 0.0) AS rotation
+                   FROM bounds LEFT JOIN piv ON bounds.url = piv.url),
+            g AS (SELECT b.url, z.field, b.idx, b.text, b.x, b.y,
+                         offset_x + width/2 AS cx, offset_y + height/2 AS cy,
+                         cos(-rotation) AS cr, sin(-rotation) AS sr,
+                         z.zx*width + offset_x AS xa1, z.zy*height + offset_y AS ya1,
+                         (z.zx+z.zw)*width + offset_x AS xa2,
+                         (z.zy+z.zh)*height + offset_y AS ya2
+                  FROM b JOIN tr ON b.url = tr.url
+                  CROSS JOIN (VALUES ('hot',0.0,0.0,0.5,0.5),
+                                     ('cold',0.5,0.5,0.5,0.5))
+                       z(field, zx, zy, zw, zh)),
+            r AS (SELECT url, field, idx, text, x, y,
+                         cr*(xa1-cx) - sr*(ya1-cy) + cx AS x1r,
+                         sr*(xa1-cx) + cr*(ya1-cy) + cy AS y1r,
+                         cr*(xa2-cx) - sr*(ya2-cy) + cx AS x2r,
+                         sr*(xa2-cx) + cr*(ya2-cy) + cy AS y2r
+                  FROM g),
+            zz AS (SELECT url, field, idx, text, x, y,
+                          least(x1r,x2r) AS x1, greatest(x1r,x2r) AS x2,
+                          least(y1r,y2r) AS y1, greatest(y1r,y2r) AS y2
+                   FROM r),
+            cand AS (SELECT url, field, idx, text,
+                            sqrt(power(x-(x1+x2)/2, 2) + power(y-(y1+y2)/2, 2)) AS dist
+                     FROM zz
+                     WHERE x >= x1 - (x2-x1)*0.2 AND x <= x2 + (x2-x1)*0.2
+                       AND y >= y1 - (y2-y1)*0.2 AND y <= y2 + (y2-y1)*0.2)
+            SELECT url, field, idx, text, ROUND(dist, 6) AS dist FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY url, field
+                         ORDER BY dist ASC, idx ASC) AS rn FROM cand)
+            WHERE rn = 1
         """,
         # MinHash+LSH oracle: the EXACT all-pairs shingle Jaccard — fully
         # independent of the Spark hash path. The LSH banding's recall on

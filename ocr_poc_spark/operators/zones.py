@@ -83,6 +83,98 @@ def band_join(
     )
 
 
+def estimate_transform(
+    bounds: DataFrame, anchors: DataFrame, doc_col: str = "url"
+) -> DataFrame:
+    """Per-document geometric transform estimation (main.ipynb cell 2,
+    estimate_transformation): offset/size from the document bounds plus a
+    rotation angle from the first two anchor points — atan2(dy, dx)
+    snapped to the nearest axis (|a| < pi/4 keeps a; |a - pi/2| < pi/4
+    uses a - pi/2; anything else, or < 2 anchors, means no rotation).
+
+    bounds: doc_bounds() output; anchors: (doc, idx, x, y) anchor hits.
+    Pure column arithmetic — one url-keyed aggregation, no UDF."""
+    import math
+
+    w = Window.partitionBy(doc_col).orderBy(F.asc("idx"))
+    a2 = anchors.withColumn("rn", F.row_number().over(w)).where("rn <= 2")
+    piv = a2.groupBy(doc_col).agg(
+        F.min(F.when(F.col("rn") == 1, F.col("x"))).alias("p1x"),
+        F.min(F.when(F.col("rn") == 1, F.col("y"))).alias("p1y"),
+        F.min(F.when(F.col("rn") == 2, F.col("x"))).alias("p2x"),
+        F.min(F.when(F.col("rn") == 2, F.col("y"))).alias("p2y"),
+        F.count(F.lit(1)).alias("n_anchors"),
+    )
+    angle = F.atan2(F.col("p2y") - F.col("p1y"), F.col("p2x") - F.col("p1x"))
+    rotation = (
+        F.when(F.col("n_anchors") < 2, F.lit(0.0))
+        .when(F.abs(angle) < math.pi / 4, angle)
+        .when(F.abs(angle - math.pi / 2) < math.pi / 4, angle - math.pi / 2)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        bounds.join(piv, doc_col, "left")
+        .select(
+            doc_col,
+            F.col("min_x").alias("offset_x"),
+            F.col("min_y").alias("offset_y"),
+            (F.col("max_x") - F.col("min_x")).alias("width"),
+            (F.col("max_y") - F.col("min_y")).alias("height"),
+            F.coalesce(rotation, F.lit(0.0)).alias("rotation"),
+        )
+    )
+
+
+def transformed_zone_join(
+    blocks: DataFrame,
+    zones: DataFrame,
+    transform: DataFrame,
+    doc_col: str = "url",
+    margin: float = 0.2,
+    top_1: bool = True,
+) -> DataFrame:
+    """J3 with transform alignment (main.ipynb extract_from_zone): the
+    NORMALISED template zones (field, zx, zy, zw, zh in [0,1]) are
+    inverse-transformed into each document's image space (denormalise by
+    width/height/offset, inverse-rotate about the document centre), the
+    corner order is fixed up, the zone is expanded by `margin`, and
+    blocks whose centroid falls inside bind — best per (doc, field) by
+    distance to the zone centre.
+
+    Join shape: blocks x transform is an equi-join on the doc id (the
+    url-hash clustering is reused, no skew key); the tiny zone table is
+    broadcast. All geometry is Catalyst arithmetic — no UDF."""
+    j = blocks.join(transform, doc_col).join(F.broadcast(zones))
+    cx = F.col("offset_x") + F.col("width") / 2
+    cy = F.col("offset_y") + F.col("height") / 2
+    cos_r = F.cos(-F.col("rotation"))
+    sin_r = F.sin(-F.col("rotation"))
+
+    def inv(zx, zy):  # template [0,1] -> image space, then inverse-rotate
+        xa = zx * F.col("width") + F.col("offset_x")
+        ya = zy * F.col("height") + F.col("offset_y")
+        xr = cos_r * (xa - cx) - sin_r * (ya - cy) + cx
+        yr = sin_r * (xa - cx) + cos_r * (ya - cy) + cy
+        return xr, yr
+
+    x1r, y1r = inv(F.col("zx"), F.col("zy"))
+    x2r, y2r = inv(F.col("zx") + F.col("zw"), F.col("zy") + F.col("zh"))
+    x1, x2 = F.least(x1r, x2r), F.greatest(x1r, x2r)
+    y1, y2 = F.least(y1r, y2r), F.greatest(y1r, y2r)
+    mx = (x2 - x1) * F.lit(margin)
+    my = (y2 - y1) * F.lit(margin)
+    zcx, zcy = (x1 + x2) / 2, (y1 + y2) / 2
+    dist = F.sqrt((F.col("x") - zcx) ** 2 + (F.col("y") - zcy) ** 2)
+    out = j.where(
+        (F.col("x") >= x1 - mx) & (F.col("x") <= x2 + mx)
+        & (F.col("y") >= y1 - my) & (F.col("y") <= y2 + my)
+    ).select(doc_col, "field", "idx", "text", dist.alias("dist"))
+    if not top_1:
+        return out
+    w = Window.partitionBy(doc_col, "field").orderBy(F.asc("dist"), F.asc("idx"))
+    return out.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+
+
 def doc_bounds(parsed: DataFrame) -> DataFrame:
     """A5: per-document min/max x/y over the block array — higher-order
     functions only, no explode, no shuffle."""
