@@ -448,6 +448,40 @@ def q_band_join(spark, sf_dir):  # J4: directional band binding w/ boost
 
 
 
+def q_multimodal_decode(spark, sf_dir):  # opaque-binary media decode plumbing
+    """Multimodal column plumbing checked end-to-end: media payloads are
+    synthesised NATIVELY (binary header + body built from documents), the
+    Arrow-batched decode UDF parses them, and the DuckDB oracle re-derives
+    every output (dims, byte stats feature vector, unsupported fallback)
+    from the same arithmetic — documents are ASCII so char counts == byte
+    counts on both engines."""
+    from ocr_poc_spark.operators.multimodal import decode_media
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    w = (did % 100 + 1).cast("int")
+    h = (did % 50 + 1).cast("int")
+    nf = (did % 10 + 1).cast("int")
+    kch = F.element_at(F.array(F.lit("I"), F.lit("A"), F.lit("V")), (did % 3 + 1).cast("int"))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (did % 3 + 1).cast("int")
+    )
+    z = F.char(F.lit(0))
+    hdr = F.concat(F.lit("FAKE"), kch, F.char(w), z, F.char(h), z, F.char(nf), z)
+    payload = F.when(did % 7 == 0, F.col("text")).otherwise(
+        F.concat(hdr, F.col("text"))
+    ).cast("binary")
+    media = d.select(did.alias("media_id"), kind.alias("kind"), payload.alias("payload"))
+    dec = decode_media(media)
+    return dec.select(
+        "media_id", "kind", "status", "width", "height", "n_frames", "n_bytes",
+        F.get("feature", 0).alias("f_len"),
+        F.round(F.get("feature", 1), 6).alias("f_mean"),
+        F.get("feature", 2).alias("f_min"),
+        F.get("feature", 3).alias("f_max"),
+    )
+
+
 def q_zone_transform(spark, sf_dir):  # J3+: zone join after estimated rotation
     """Template zones bound after per-document transform estimation
     (rotation from first two anchor points, offset/scale from bounds) —
@@ -533,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "range_join": q_range_join,
         "zone_transform": q_zone_transform,
+        "multimodal_decode": q_multimodal_decode,
         "json_props": q_json_props,
         "set_ops": q_set_ops,
         "band_join": q_band_join,
@@ -796,6 +831,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
+        """,
+        "multimodal_decode": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+                     (doc_id % 7 = 0) AS raw,
+                     CAST(doc_id % 100 + 1 AS INT) AS w,
+                     CAST(doc_id % 50 + 1 AS INT) AS h,
+                     CAST(doc_id % 10 + 1 AS INT) AS nf,
+                     text,
+                     list_transform(range(1, length(text) + 1),
+                                    i -> ascii(text[i])) AS codes
+              FROM documents)
+            SELECT media_id, kind,
+                   CASE WHEN raw THEN 'unsupported' ELSE 'ok' END AS status,
+                   CASE WHEN raw THEN NULL ELSE w END AS width,
+                   CASE WHEN raw THEN NULL ELSE h END AS height,
+                   CASE WHEN raw THEN NULL ELSE nf END AS n_frames,
+                   CAST(CASE WHEN raw THEN length(text)
+                             ELSE length(text) + 11 END AS BIGINT) AS n_bytes,
+                   CASE WHEN raw THEN NULL
+                        ELSE CAST(length(text) AS DOUBLE) END AS f_len,
+                   CASE WHEN raw THEN NULL
+                        ELSE ROUND(list_sum(codes)::DOUBLE
+                                   / greatest(length(text), 1), 6) END AS f_mean,
+                   CASE WHEN raw THEN NULL
+                        ELSE CAST(list_min(codes) AS DOUBLE) END AS f_min,
+                   CASE WHEN raw THEN NULL
+                        ELSE CAST(list_max(codes) AS DOUBLE) END AS f_max
+            FROM m
         """,
         "zone_transform": """
             WITH b AS (
