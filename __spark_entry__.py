@@ -301,10 +301,12 @@ def q_quality_score(spark, sf_dir):  # heuristic quality scoring
     return quality_score(_t(spark, sf_dir, "documents"))
 
 
-def q_fingerprint(spark, sf_dir):  # md5 document fingerprint
+def q_fingerprint(spark, sf_dir):  # md5 + winnowed document fingerprints
     from ocr_poc_spark.operators.textstats import fingerprint
 
-    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "md5_fp")
+    return fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "md5_fp", "winnow_fp"
+    )
 
 
 def q_tpch_pricing(spark, sf_dir):  # TPC-H Q1-style agg (decimal-exact)
@@ -738,9 +740,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint": """
-            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-                   AS md5_fp
-            FROM documents
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                  ' ') AS w
+              FROM documents)
+            SELECT doc_id, md5(norm) AS md5_fp,
+                   list_min(list_transform(
+                       range(1, greatest(len(w) - 4, 0) + 1),
+                       i -> ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),
+                                            1, 15))::BIGINT)) AS winnow_fp
+            FROM n
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -33,9 +33,15 @@ def _words(text_col: str):
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact dedup: one row per duplicated text with keeper id + count."""
+    """Exact dedup: one row per duplicated text with keeper id + count.
+
+    Groups on the sha2-256 digest, not the text itself: at 100TB the
+    shuffle then carries 64 hex chars per document instead of the
+    document body (collision probability is negligible at any corpus
+    size; a paranoid caller can re-verify within groups)."""
     return (
-        df.groupBy(text_col)
+        df.select(id_col, F.sha2(F.col(text_col), 256).alias("_digest"))
+        .groupBy("_digest")
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("n_copies"),

@@ -103,14 +103,16 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Document fingerprints: md5 of whitespace-normalised text (engine-
-    portable) + a 64-bit rolling xxhash over 5-word windows, min-sampled
-    (winnowing-style; Spark-native)."""
+    """Document fingerprints: md5 of whitespace-normalised text + a
+    60-bit rolling hash over 5-word windows, min-sampled (winnowing-
+    style). The window hash is the first 15 hex chars of md5 parsed as
+    an integer — chosen over xxhash64 so an independent engine (the
+    DuckDB oracle) can recompute the winnowed fingerprint exactly."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     words = F.split(norm, " ")
     window_expr = (
         "transform(sequence(1, greatest(size(_w) - 4, 0)), "
-        "i -> xxhash64(concat_ws(' ', slice(_w, i, 5))))"
+        "i -> cast(conv(substring(md5(concat_ws(' ', slice(_w, i, 5))), 1, 15), 16, 10) as bigint))"
     )
     return (
         df.withColumn("_w", words)

@@ -75,3 +75,39 @@ def start_throughput_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    watermark_delay: str | None = None,
+) -> StreamingQuery:
+    """Streaming ingest dedup: newly-landed pages whose text digest was
+    already seen in ANY earlier micro-batch are dropped before they
+    reach the corpus (the streaming leg of the exact-dedup curation
+    operator, operators/dedup.py).
+
+    State is the Spark-managed digest set keyed by sha2-256 — the
+    shuffle and the state store carry 64-char digests, never the page
+    bodies. Unbounded by default (exact forever-dedup); pass
+    `watermark_delay` (e.g. '1 hour') to bound state at scale via
+    dropDuplicatesWithinWatermark — late re-crawls beyond the delay
+    then count as fresh, which is the standard state/recall trade."""
+    pages = read_pages_stream(spark, in_path)
+    keyed = pages.withColumn("digest", F.sha2(F.col("text"), 256))
+    if watermark_delay is not None:
+        deduped = keyed.withWatermark("warc_ts", watermark_delay)
+        deduped = deduped.dropDuplicatesWithinWatermark(["digest"])
+    else:
+        deduped = keyed.dropDuplicates(["digest"])
+    return (
+        deduped.drop("digest")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -114,3 +114,26 @@ def test_stateful_running_totals(spark, tmp_path):
     assert any(
         sum(1 for r in out if r["lang"] == lang) > 1 for lang in finals
     )
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Cross-batch dedup state: a page whose text digest appeared in an
+    EARLIER micro-batch file must be dropped when it re-arrives later
+    (maxFilesPerTrigger=16 still processes files in order within the
+    availableNow run; the state store carries digests between them)."""
+    from ocr_poc_spark.streaming.stream_job import start_dedup_stream
+
+    rows = gen_pages(30, seed=11)
+    for i, r in enumerate(rows):
+        r["text"] = f"unique text {i}" if i % 3 else "repeated text body"
+    in_dir = str(tmp_path / "in")
+    _write_pages_dir(rows, in_dir)  # two files, repeats span both
+
+    out = str(tmp_path / "out")
+    q = start_dedup_stream(spark, in_dir, out, str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = spark.read.parquet(out).select("url", "text").collect()
+    texts = [r["text"] for r in got]
+    assert texts.count("repeated text body") == 1          # one survivor
+    n_unique_expected = len({r["text"] for r in rows})
+    assert len(got) == n_unique_expected
