@@ -1,0 +1,68 @@
+"""Physical-plan regression guards for the scale-critical properties the
+engine claims (a plan that silently regresses to a global shuffle or an
+unpartitioned window would still pass value checks at test scale — these
+tests pin the PLAN, not the answer)."""
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fused_extraction_is_map_only(spark, pages_df):
+    """The production path must stay zero-shuffle: no Exchange anywhere."""
+    from ocr_poc_spark.plans.job import extract_fused
+
+    plan = _plan(extract_fused(pages_df))
+    assert "Exchange" not in plan, plan
+
+
+def test_top_orders_uses_distributed_topk(spark):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge), never a single-partition Window."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_tpch_top_orders(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_all_windows_are_partitioned_in_entry_queries(spark):
+    """No driver-contract query may contain an unpartitioned window
+    (WindowExec with an empty partition spec moves ALL rows to one
+    partition). windowspecdefinition(<order only>) lacks a partition
+    column before the first ASC/DESC token."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    for name, fn in entry_mod.queries().items():
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            first = spec.split(",")[0]
+            assert "ASC" not in first and "DESC" not in first, (
+                f"{name}: unpartitioned window: {spec[:120]}"
+            )
+
+
+def test_minhash_band_shuffle_carries_ids_only(spark):
+    """The LSH band self-join must not ship shingle arrays through the
+    exchange: every Exchange's output schema stays free of array-typed
+    shingle columns."""
+    from ocr_poc_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.createDataFrame(
+        [(i, f"w{i} " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(minhash_lsh_pairs(d))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "band" in line:
+            assert "sh_a" not in line and "sh_b" not in line and "shingles" not in line, line
