@@ -279,6 +279,17 @@ def q_ann_lsh(spark, sf_dir):  # hyperplane-LSH ANN (rows-only)
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):  # embedding-cosine near-dup pairs
+    """Exact all-pairs variant (oracle-checkable);
+    similarity.embedding_near_dup_pairs is the LSH-bucketed scale path."""
+    from ocr_poc_spark.operators.similarity import cosine_near_dup_pairs_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs_exact(emb, cosine_threshold=0.45).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_lang_id(spark, sf_dir):  # stopword-argmax language ID
     from ocr_poc_spark.operators.textstats import lang_id
 
@@ -559,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -702,6 +714,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM pairs)
             WHERE rank <= 3
+        """,
+        "embedding_near_dup": """
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                          FROM embeddings)
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, c.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+            FROM base a JOIN base c ON a.vec_id < c.vec_id
+            WHERE list_dot_product(a.v, c.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(c.v, c.v))) >= 0.45
         """,
         "lang_id": f"""
             WITH scored AS (SELECT doc_id, lang AS lang_true, {lang_hits}

@@ -165,6 +165,30 @@ def lsh_ann_topk(
     )
 
 
+def cosine_near_dup_pairs_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs: all-pairs self-join with
+    the threshold filter — the small-scale / oracle-checkable variant
+    (O(n^2); embedding_near_dup_pairs is the LSH-bucketed scale path,
+    same contract, approximate recall)."""
+    base = with_norm(df.select(id_col, vec_col), vec_col)
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"),
+                    F.col("_norm").alias("n_a"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"),
+                    F.col("_norm").alias("n_b"))
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
