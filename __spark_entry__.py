@@ -23,8 +23,19 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a driver table. The testdata parquet files are single-row-
+    group (unsplittable), so a scan is ONE task; queries with heavy
+    per-row compute BEFORE their first shuffle pass spread=True to add
+    an explicit round-robin repartition — the same post-scan rebalance a
+    production job applies after reading few-large-files inputs
+    (plans/job.py does it with a url-hash)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        df = df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +227,7 @@ def q_dedup_exact(spark, sf_dir):  # exact dedup on normalised 5-word prefix
 def q_dedup_ngram_jaccard(spark, sf_dir):  # n-gram Jaccard near-dup pairs
     from ocr_poc_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     d = d.withColumn("grp_sl", F.concat_ws("|", "source", "lang"))
     pairs = ngram_jaccard_pairs(
         d, id_col="doc_id", text_col="text", group_col="grp_sl",
@@ -225,19 +236,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):  # n-gram Jaccard near-dup pairs
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_dedup_minhash(spark, sf_dir):  # MinHash+LSH (Spark-hash; rows-only)
+def q_dedup_minhash(spark, sf_dir):  # MinHash+LSH, exact-Jaccard verified
     from ocr_poc_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_pairs(d, jaccard_threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
-def q_dedup_simhash(spark, sf_dir):  # SimHash near-dups (rows-only)
+def q_dedup_simhash(spark, sf_dir):  # SimHash near-dups (oracle-exact)
     from ocr_poc_spark.operators.dedup import simhash_near_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return simhash_near_pairs(d, max_hamming=8)
 
 
@@ -270,10 +281,10 @@ def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k
     )
 
 
-def q_ann_lsh(spark, sf_dir):  # hyperplane-LSH ANN (rows-only)
+def q_ann_lsh(spark, sf_dir):  # hyperplane-LSH ANN
     from ocr_poc_spark.operators.similarity import lsh_ann_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     return lsh_ann_topk(emb, k=3, dim=64, n_planes=8).select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
@@ -284,7 +295,7 @@ def q_embedding_near_dup(spark, sf_dir):  # embedding-cosine near-dup pairs
     similarity.embedding_near_dup_pairs is the LSH-bucketed scale path."""
     from ocr_poc_spark.operators.similarity import cosine_near_dup_pairs_exact
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     return cosine_near_dup_pairs_exact(emb, cosine_threshold=0.45).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
@@ -315,7 +326,7 @@ def q_quality_score(spark, sf_dir):  # heuristic quality scoring
 def q_fingerprint(spark, sf_dir):  # md5 + winnowed document fingerprints
     from ocr_poc_spark.operators.textstats import fingerprint
 
-    return fingerprint(_t(spark, sf_dir, "documents")).select(
+    return fingerprint(_t(spark, sf_dir, "documents", spread=True)).select(
         "doc_id", "md5_fp", "winnow_fp"
     )
 
@@ -505,7 +516,7 @@ def q_zone_transform(spark, sf_dir):  # J3+: zone join after estimated rotation
         transformed_zone_join,
     )
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", spread=True)
     blocks = e.select(
         F.concat(F.lit("u"), F.col("user_id")).alias("url"),
         F.col("event_id").cast("int").alias("idx"),

@@ -169,26 +169,56 @@ SIMHASH_BITS = 60  # 15 hex chars of md5 — fits a signed 64-bit long
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash per document: sign of per-bit sums of word hashes
-    (one ±1 vote per token OCCURRENCE).
+    (one ±1 vote per token OCCURRENCE) — bit b set iff
+    2 * count(tokens with bit b) > n_tokens.
 
     The token hash is the first 15 hex chars of md5 parsed as an integer
     — chosen over xxhash64 deliberately: md5 is bit-identical across
     engines, so an independent DuckDB oracle can recompute the whole
     fingerprint and verify emitted pairs exactly (xxhash64 exists only
-    in Spark)."""
-    tok = df.select(id_col, F.explode(_words(text_col)).alias("w"))
-    tok = tok.withColumn(
-        "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    in Spark).
+
+    ZERO-SHUFFLE: the per-bit counts are higher-order aggregates over
+    the in-row token-hash array (no explode, no groupBy) — the
+    fingerprint stage is a narrow map, so at 100TB it scales with input
+    splits like the extraction path."""
+    words = _words(text_col)
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
     )
-    aggs = []
-    for b in range(SIMHASH_BITS):
-        bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
-    per_doc = tok.groupBy(id_col).agg(*aggs)
+    d = df.select(
+        F.col(id_col).alias("id"), hashes.alias("_h"), F.size(words).alias("_n")
+    )
+
+    # Bit-sliced counting: each aggregate pass maintains FOUR 15-bit
+    # counters packed in one long (lanes at bit offsets 0/15/30/45), so
+    # the 60 per-bit counts need 15 passes instead of 60. Sound for
+    # documents under 2^15 = 32768 tokens (far above any web page; the
+    # top lane stays clear of the sign bit).
+    def _packed(g: int):
+        # factory closure: never capture a loop var inside the lambda
+        def step(acc, h):
+            contrib = F.shiftright(h, g).bitwiseAND(F.lit(1))
+            for lane in (1, 2, 3):
+                contrib = contrib + F.shiftleft(
+                    F.shiftright(h, g + 15 * lane).bitwiseAND(F.lit(1)), 15 * lane
+                )
+            return acc + contrib
+
+        return F.aggregate("_h", F.lit(0).cast("long"), step)
+
+    d = d.select(
+        "id", "_n", *[_packed(g).alias(f"_p{g}") for g in range(15)]
+    )
     sim = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-    return per_doc.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+        g, lane = b % 15, b // 15
+        ones = F.shiftright(F.col(f"_p{g}"), 15 * lane).bitwiseAND(F.lit(0x7FFF))
+        sim = sim + F.when(
+            2 * ones > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+    return d.select("id", sim.alias("simhash"))
 
 
 def _band_slices(max_hamming: int) -> list[tuple[int, int]]:
