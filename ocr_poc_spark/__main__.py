@@ -33,7 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--repartition", type=int, default=None)
     ap.add_argument(
         "--dedup", action="store_true",
-        help="after extraction, write MinHash-LSH near-dup pairs over body_text",
+        help="after extraction, write near-dup pairs over body_text",
+    )
+    ap.add_argument(
+        "--dedup-method", choices=["minhash", "simhash"], default="minhash",
+        help="near-dup detector: MinHash+LSH (exact-Jaccard verified) or "
+             "SimHash banding (pigeonhole-exact recall)",
     )
     args = ap.parse_args(argv)
 
@@ -54,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.dedup:
         from .plans.job import run_dedup
 
-        summary.update(run_dedup(spark, args.out))
+        summary.update(run_dedup(spark, args.out, method=args.dedup_method))
     print(json.dumps(summary))
     return 0
 

@@ -221,18 +221,32 @@ def run_job(
     }
 
 
-def run_dedup(spark: SparkSession, out_dir: str, jaccard_threshold: float = 0.8) -> dict:
+def run_dedup(
+    spark: SparkSession,
+    out_dir: str,
+    jaccard_threshold: float = 0.8,
+    method: str = "minhash",
+    max_hamming: int = 3,
+) -> dict:
     """Post-extraction near-duplicate pass over the extracted corpus
-    (training-data curation stage): MinHash+LSH over body_text of
-    successful documents -> <out>/dup_pairs parquet."""
-    from ..operators.dedup import minhash_lsh_pairs
+    (training-data curation stage) -> <out>/dup_pairs parquet.
+
+    method='minhash': MinHash+LSH banding verified by exact shingle
+    Jaccard >= jaccard_threshold. method='simhash': 60-bit fingerprint
+    banding with pigeonhole-exact recall at hamming <= max_hamming."""
+    from ..operators.dedup import minhash_lsh_pairs, simhash_near_pairs
 
     ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
     docs = ext.where(
         F.col("success") & F.col("body_text").isNotNull()
     ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
+    elif method == "simhash":
+        pairs = simhash_near_pairs(docs, max_hamming=max_hamming)
+    else:
+        raise ValueError(method)
     dup_dir = os.path.join(out_dir, "dup_pairs")
     pairs.write.mode("overwrite").parquet(dup_dir)
     n = spark.read.parquet(dup_dir).count()
-    return {"dup_pairs": n, "dup_dir": dup_dir}
+    return {"dup_pairs": n, "dup_dir": dup_dir, "dedup_method": method}

@@ -108,3 +108,29 @@ def test_iceberg_gate_contract(spark, tmp_path, pages_df):
     p = str(tmp_path / "pages.parquet")
     pages_df.limit(5).write.parquet(p)
     assert read_pages(spark, p).count() == 5
+
+
+def test_run_dedup_simhash_method(spark, tmp_path, pages_df):
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_dedup
+
+    base = pages_df.limit(30)
+    dups = base.select(
+        F.concat(F.lit("https://mirror.example/"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    out = str(tmp_path / "ds")
+    run_job(spark, base.unionByName(dups), out, mode="fused", n_buckets=2)
+    res = run_dedup(spark, out, method="simhash", max_hamming=3)
+    assert res["dedup_method"] == "simhash" and res["dup_pairs"] > 0
+    pairs = spark.read.parquet(res["dup_dir"]).collect()
+    assert all(r["hamming"] <= 3 for r in pairs)
+    # identical bodies (mirror pairs) are hamming 0
+    mirrors = [
+        r for r in pairs
+        if r["id_a"].replace("https://mirror.example/", "")
+        == r["id_b"].replace("https://mirror.example/", "")
+        or r["id_b"].replace("https://mirror.example/", "") == r["id_a"]
+    ]
+    assert mirrors and all(r["hamming"] == 0 for r in mirrors)
