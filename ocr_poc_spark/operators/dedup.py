@@ -142,9 +142,28 @@ def ngram_jaccard_pairs(
     group_col: str | None = "lang",
     prefix_words: int = 30,
     threshold: float = 0.5,
+    max_group_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact word-set Jaccard over bounded word prefixes, within groups
-    (small-scale / oracle-checkable variant; MinHash is the scale path)."""
+    — the O(n^2)-WITHIN-GROUP small-scale / oracle-checkable variant;
+    minhash_lsh_pairs is the curation/scale path. To make that intent
+    unmissable, the call REFUSES inputs whose largest group exceeds
+    max_group_rows (pass None to waive, accepting the quadratic join)."""
+    if max_group_rows is not None:
+        gcol = F.col(group_col) if group_col else F.lit(1)
+        biggest = (
+            df.groupBy(gcol.alias("_g"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        if biggest and biggest > max_group_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs is the all-pairs-within-group oracle "
+                f"variant: largest group has {biggest} rows "
+                f"(> max_group_rows={max_group_rows}). Use minhash_lsh_pairs "
+                f"at scale, or pass max_group_rows=None to accept O(n^2)."
+            )
     base = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(group_col).alias("grp")] if group_col else [F.lit(1).alias("grp")] ),

@@ -210,3 +210,17 @@ def test_simhash_banding_recall_is_exact(spark):
             if bin(a["simhash"] ^ b["simhash"]).count("1") <= h
         }
         assert banded == exact and len(exact) > 0, (h, len(banded), len(exact))
+
+
+def test_ngram_jaccard_refuses_oversized_groups(spark):
+    """The all-pairs variant must refuse quadratic blowups explicitly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, "same words here", "en", "s0") for i in range(30)],
+        "doc_id long, text string, lang string, source string",
+    )
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(df, group_col="lang", max_group_rows=10)
+    # waivable, and the small default passes untouched
+    assert ngram_jaccard_pairs(df, group_col="lang", max_group_rows=None).count() > 0
