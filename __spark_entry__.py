@@ -44,7 +44,9 @@ def _t(
 # data — so the flagship extraction pipeline can run on driver testdata.
 # ---------------------------------------------------------------------------
 def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # spread: the parse/extract UDF downstream is the heavy stage and the
+    # single-row-group testdata parquet would otherwise make it ONE task.
+    d = _t(spark, sf_dir, "documents", spread=True)
     day = (F.col("doc_id") % 28 + 1).cast("int")
     month = (F.col("doc_id") % 12 + 1).cast("int")
     year = (F.col("doc_id") % 15 + 2010).cast("int")
@@ -523,6 +525,7 @@ def q_zone_transform(spark, sf_dir):  # J3+: zone join after estimated rotation
         F.col("event_type").alias("text"),
         ((F.col("event_id") % 37) * F.lit(10.0)).alias("x"),
         ((F.col("event_id") % 23) * F.lit(12.0)).alias("y"),
+        ((F.col("event_id") % 13 + 1) / F.lit(13.0)).alias("score"),
     )
     bounds = blocks.groupBy("url").agg(
         F.min("x").alias("min_x"), F.max("x").alias("max_x"),
@@ -530,11 +533,15 @@ def q_zone_transform(spark, sf_dir):  # J3+: zone join after estimated rotation
     )
     tr = estimate_transform(bounds, blocks)
     zones = spark.createDataFrame(
-        [("hot", 0.0, 0.0, 0.5, 0.5), ("cold", 0.5, 0.5, 0.5, 0.5)],
-        "field string, zx double, zy double, zw double, zh double",
+        [("hot", 0.0, 0.0, 0.5, 0.5, ["click"]),
+         ("cold", 0.5, 0.5, 0.5, 0.5, [])],
+        "field string, zx double, zy double, zw double, zh double, "
+        "anchors array<string>",
     )
-    out = transformed_zone_join(blocks, zones, tr)
-    return out.select("url", "field", "idx", "text", F.round("dist", 6).alias("dist"))
+    out = transformed_zone_join(blocks, zones, tr, score_col="score")
+    return out.select(
+        "url", "field", "idx", "text", F.round("zscore", 6).alias("zscore")
+    )
 
 
 def q_json_props(spark, sf_dir):  # semi-structured metadata extraction
@@ -939,33 +946,42 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0.0 END, 0.0) AS rotation
                    FROM bounds LEFT JOIN piv ON bounds.url = piv.url),
             g AS (SELECT b.url, z.field, b.idx, b.text, b.x, b.y,
+                         (b.idx % 13 + 1) / 13.0 AS score, z.anchors,
                          offset_x + width/2 AS cx, offset_y + height/2 AS cy,
                          cos(-rotation) AS cr, sin(-rotation) AS sr,
                          z.zx*width + offset_x AS xa1, z.zy*height + offset_y AS ya1,
                          (z.zx+z.zw)*width + offset_x AS xa2,
                          (z.zy+z.zh)*height + offset_y AS ya2
                   FROM b JOIN tr ON b.url = tr.url
-                  CROSS JOIN (VALUES ('hot',0.0,0.0,0.5,0.5),
-                                     ('cold',0.5,0.5,0.5,0.5))
-                       z(field, zx, zy, zw, zh)),
-            r AS (SELECT url, field, idx, text, x, y,
+                  CROSS JOIN (VALUES ('hot',0.0,0.0,0.5,0.5,['click']),
+                                     ('cold',0.5,0.5,0.5,0.5,[]))
+                       z(field, zx, zy, zw, zh, anchors)),
+            r AS (SELECT url, field, idx, text, x, y, score, anchors,
                          cr*(xa1-cx) - sr*(ya1-cy) + cx AS x1r,
                          sr*(xa1-cx) + cr*(ya1-cy) + cy AS y1r,
                          cr*(xa2-cx) - sr*(ya2-cy) + cx AS x2r,
                          sr*(xa2-cx) + cr*(ya2-cy) + cy AS y2r
                   FROM g),
-            zz AS (SELECT url, field, idx, text, x, y,
-                          least(x1r,x2r) AS x1, greatest(x1r,x2r) AS x2,
-                          least(y1r,y2r) AS y1, greatest(y1r,y2r) AS y2
+            zz AS (SELECT url, field, idx, text, x, y, score, anchors,
+                          least(x1r,x2r) - (greatest(x1r,x2r)-least(x1r,x2r))*0.2 AS x1,
+                          greatest(x1r,x2r) + (greatest(x1r,x2r)-least(x1r,x2r))*0.2 AS x2,
+                          least(y1r,y2r) - (greatest(y1r,y2r)-least(y1r,y2r))*0.2 AS y1,
+                          greatest(y1r,y2r) + (greatest(y1r,y2r)-least(y1r,y2r))*0.2 AS y2
                    FROM r),
             cand AS (SELECT url, field, idx, text,
-                            sqrt(power(x-(x1+x2)/2, 2) + power(y-(y1+y2)/2, 2)) AS dist
+                            score * (CASE WHEN sqrt(power(x2-x1,2)+power(y2-y1,2)) > 0
+                                     THEN 1.0 - sqrt(power(x-(x1+x2)/2, 2)
+                                                     + power(y-(y1+y2)/2, 2))
+                                          / sqrt(power(x2-x1,2)+power(y2-y1,2))
+                                     ELSE 1.0 END) AS zscore
                      FROM zz
-                     WHERE x >= x1 - (x2-x1)*0.2 AND x <= x2 + (x2-x1)*0.2
-                       AND y >= y1 - (y2-y1)*0.2 AND y <= y2 + (y2-y1)*0.2)
-            SELECT url, field, idx, text, ROUND(dist, 6) AS dist FROM (
+                     WHERE length(trim(text)) > 0
+                       AND x >= x1 AND x <= x2 AND y >= y1 AND y <= y2
+                       AND len(list_filter(anchors,
+                               a -> position(upper(a) IN upper(text)) > 0)) = 0)
+            SELECT url, field, idx, text, ROUND(zscore, 6) AS zscore FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY url, field
-                         ORDER BY dist ASC, idx ASC) AS rn FROM cand)
+                         ORDER BY zscore DESC, idx ASC) AS rn FROM cand)
             WHERE rn = 1
         """,
         # MinHash+LSH oracle: the EXACT all-pairs shingle Jaccard — fully

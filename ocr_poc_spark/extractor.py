@@ -160,13 +160,13 @@ POSITIONAL_FIELDS = ["title", "author", "category"]  # fallback-assignable
 INSUFFICIENT_QUALITY_MSG = "insufficient_quality"
 EMPTY_DOC_MSG = "empty_document"
 UNSUPPORTED_FORMAT_MSG = "unsupported_format"  # INVALID_FILE_TYPE analogue
+                                               # (api_server.py:96-99)
 # Per-document crash isolation (the reference returns typed per-request
 # errors, api_server.py:177-236, instead of failing the server): a payload
 # whose parse RAISES becomes a success=false row with doc_kind
 # "error/<ExcType>" and this message prefix — one poison pill must never
 # fail a whole task/bucket.
 INTERNAL_ERROR_MSG_PREFIX = "internal_error: "
-                                               # (api_server.py:96-99)
 
 
 @dataclass

@@ -250,6 +250,13 @@ def run_cascade(
     # separator cannot occur in a url) and strip it again on output —
     # each input ROW then flows through the cascade as its own document,
     # matching the fused path's one-output-row-per-input-row contract.
+    #
+    # CONTRACT for materialize=False: the ids are only consistent across
+    # the cascade's branches when the eager localCheckpoint below freezes
+    # them. Callers that disable materialization (the write-intermediate-
+    # tables deployment) MUST feed a STABLE source (a written table, not
+    # a live round-robin repartition), or re-evaluation could assign
+    # different ids per branch and mis-join documents.
     parsed = parsed.withColumn(
         "url",
         F.concat_ws(

@@ -52,11 +52,18 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
-    """Adds a `shingles` column: k-word n-grams (native HOF, no UDF)."""
+    """Adds a `shingles` column: k-word n-grams (native HOF, no UDF).
+
+    Documents with fewer than k words get an EMPTY shingle array — the
+    naive `sequence(1, greatest(size-k+1, 0))` is a trap: for short docs
+    it evaluates to sequence(1, 0) = [1, 0] (descending) and slice(_, 0,
+    k) throws at runtime, poison-pilling the whole dedup job."""
     df = df.withColumn("_words", _words(text_col))
     expr = (
-        f"transform(sequence(1, greatest(size(_words) - {k - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(_words, i, {k})))"
+        f"CASE WHEN size(_words) >= {k} THEN "
+        f"transform(sequence(1, size(_words) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(_words, i, {k}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     return df.withColumn("shingles", F.expr(expr)).drop("_words")
 
@@ -149,26 +156,38 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs is the curation/scale path. To make that intent
     unmissable, the call REFUSES inputs whose largest group exceeds
     max_group_rows (pass None to waive, accepting the quadratic join)."""
-    if max_group_rows is not None:
-        gcol = F.col(group_col) if group_col else F.lit(1)
-        biggest = (
-            df.groupBy(gcol.alias("_g"))
-            .count()
-            .agg(F.max("count"))
-            .collect()[0][0]
-        )
-        if biggest and biggest > max_group_rows:
-            raise ValueError(
-                f"ngram_jaccard_pairs is the all-pairs-within-group oracle "
-                f"variant: largest group has {biggest} rows "
-                f"(> max_group_rows={max_group_rows}). Use minhash_lsh_pairs "
-                f"at scale, or pass max_group_rows=None to accept O(n^2)."
-            )
     base = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(group_col).alias("grp")] if group_col else [F.lit(1).alias("grp")] ),
         F.array_distinct(F.slice(_words(text_col), 1, prefix_words)).alias("ws"),
     )
+    if max_group_rows is not None:
+        # In-pipeline guard (no separate eager job recomputing the input):
+        # a count window on grp — the same key the join shuffles on, so
+        # the clustering is reused — raises at execution time the moment
+        # any group exceeds the bound.
+        from pyspark.sql import Window
+
+        base = base.withColumn(
+            "_gcnt", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+        )
+        base = base.where(
+            F.when(
+                F.col("_gcnt") > F.lit(max_group_rows),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "ngram_jaccard_pairs is the all-pairs-within-group "
+                            "oracle variant: group "
+                        ),
+                        F.col("grp").cast("string"),
+                        F.lit(f" exceeds max_group_rows={max_group_rows}. Use "
+                              "minhash_lsh_pairs at scale, or pass "
+                              "max_group_rows=None to accept O(n^2)."),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        ).drop("_gcnt")
     a = base.select(F.col("id").alias("id_a"), "grp", F.col("ws").alias("ws_a"))
     b = base.select(F.col("id").alias("id_b"), "grp", F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
@@ -184,6 +203,7 @@ def ngram_jaccard_pairs(
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 — fits a signed 64-bit long
+SIMHASH_MAX_TOKENS = 32767  # 15-bit packed counters (see simhash())
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -200,8 +220,14 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     ZERO-SHUFFLE: the per-bit counts are higher-order aggregates over
     the in-row token-hash array (no explode, no groupBy) — the
     fingerprint stage is a narrow map, so at 100TB it scales with input
-    splits like the extraction path."""
-    words = _words(text_col)
+    splits like the extraction path.
+
+    Votes are counted over the FIRST 32767 tokens (SIMHASH_MAX_TOKENS):
+    the bit-sliced counters below hold 15 bits per lane, and a silent
+    overflow on a mega-document would corrupt adjacent counters and
+    void the exact-recall contract. The cap is enforced identically in
+    the DuckDB oracle, so both engines fingerprint the same prefix."""
+    words = F.slice(_words(text_col), 1, SIMHASH_MAX_TOKENS)
     hashes = F.transform(
         words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
     )
@@ -211,9 +237,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     # Bit-sliced counting: each aggregate pass maintains FOUR 15-bit
     # counters packed in one long (lanes at bit offsets 0/15/30/45), so
-    # the 60 per-bit counts need 15 passes instead of 60. Sound for
-    # documents under 2^15 = 32768 tokens (far above any web page; the
-    # top lane stays clear of the sign bit).
+    # the 60 per-bit counts need 15 passes instead of 60. Overflow-safe
+    # by construction: the token slice above caps counts at 32767 and
+    # the top lane stays clear of the sign bit.
     def _packed(g: int):
         # factory closure: never capture a loop var inside the lambda
         def step(acc, h):

@@ -110,15 +110,20 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     DuckDB oracle) can recompute the winnowed fingerprint exactly."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     words = F.split(norm, " ")
+    # Short docs (<5 words) yield winnow_fp = NULL, matching the DuckDB
+    # oracle's list_min([]) — NOT sequence(1, greatest(n,0)), which for
+    # short docs is the descending [1,0] and crashes slice() at index 0.
     window_expr = (
-        "transform(sequence(1, greatest(size(_w) - 4, 0)), "
-        "i -> cast(conv(substring(md5(concat_ws(' ', slice(_w, i, 5))), 1, 15), 16, 10) as bigint))"
+        "CASE WHEN size(_w) >= 5 THEN "
+        "array_min(transform(sequence(1, size(_w) - 4), "
+        "i -> cast(conv(substring(md5(concat_ws(' ', slice(_w, i, 5))), 1, 15), 16, 10) as bigint))) "
+        "ELSE CAST(NULL AS BIGINT) END"
     )
     return (
         df.withColumn("_w", words)
         .select(
             id_col,
             F.md5(norm).alias("md5_fp"),
-            F.array_min(F.expr(window_expr)).alias("winnow_fp"),
+            F.expr(window_expr).alias("winnow_fp"),
         )
     )

@@ -132,14 +132,20 @@ def transformed_zone_join(
     doc_col: str = "url",
     margin: float = 0.2,
     top_1: bool = True,
+    score_col: str | None = None,
 ) -> DataFrame:
-    """J3 with transform alignment (main.ipynb extract_from_zone): the
-    NORMALISED template zones (field, zx, zy, zw, zh in [0,1]) are
-    inverse-transformed into each document's image space (denormalise by
-    width/height/offset, inverse-rotate about the document centre), the
-    corner order is fixed up, the zone is expanded by `margin`, and
-    blocks whose centroid falls inside bind — best per (doc, field) by
-    distance to the zone centre.
+    """J3 with transform alignment (main.ipynb extract_from_zone, exact
+    semantics): the NORMALISED template zones (field, zx, zy, zw, zh in
+    [0,1], optional `anchors` array<string>) are inverse-transformed
+    into each document's image space (denormalise by width/height/
+    offset, inverse-rotate about the document centre), the corner order
+    is fixed up, and the zone is expanded by `margin`. Candidates are
+    NON-EMPTY blocks whose centroid falls inside the expanded zone and
+    that do not contain any of the zone's anchor words (case-
+    insensitive substring); the best per (doc, field) maximises
+    ocr_score * proximity, where proximity = 1 - dist/diagonal (1 when
+    the zone is degenerate) — the reference's exact candidate ranking.
+    Without `score_col` the ocr_score factor is 1 (rank by proximity).
 
     Join shape: blocks x transform is an equi-join on the doc id (the
     url-hash clustering is reused, no skew key); the tiny zone table is
@@ -159,19 +165,37 @@ def transformed_zone_join(
 
     x1r, y1r = inv(F.col("zx"), F.col("zy"))
     x2r, y2r = inv(F.col("zx") + F.col("zw"), F.col("zy") + F.col("zh"))
-    x1, x2 = F.least(x1r, x2r), F.greatest(x1r, x2r)
-    y1, y2 = F.least(y1r, y2r), F.greatest(y1r, y2r)
-    mx = (x2 - x1) * F.lit(margin)
-    my = (y2 - y1) * F.lit(margin)
+    # Expand by margin FIRST (the reference computes centre/diagonal from
+    # the expanded bounds; the centre is unchanged, the diagonal is not).
+    mx = (F.greatest(x1r, x2r) - F.least(x1r, x2r)) * F.lit(margin)
+    my = (F.greatest(y1r, y2r) - F.least(y1r, y2r)) * F.lit(margin)
+    x1, x2 = F.least(x1r, x2r) - mx, F.greatest(x1r, x2r) + mx
+    y1, y2 = F.least(y1r, y2r) - my, F.greatest(y1r, y2r) + my
     zcx, zcy = (x1 + x2) / 2, (y1 + y2) / 2
     dist = F.sqrt((F.col("x") - zcx) ** 2 + (F.col("y") - zcy) ** 2)
+    diag = F.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)
+    proximity = F.when(diag > 0, F.lit(1.0) - dist / diag).otherwise(F.lit(1.0))
+    ocr_score = F.col(score_col) if score_col else F.lit(1.0)
+    is_anchor = (
+        F.exists(
+            F.coalesce(F.col("anchors"), F.array().cast("array<string>")),
+            lambda a: F.instr(F.upper(F.col("text")), F.upper(a)) > 0,
+        )
+        if "anchors" in zones.columns
+        else F.lit(False)
+    )
     out = j.where(
-        (F.col("x") >= x1 - mx) & (F.col("x") <= x2 + mx)
-        & (F.col("y") >= y1 - my) & (F.col("y") <= y2 + my)
-    ).select(doc_col, "field", "idx", "text", dist.alias("dist"))
+        (F.length(F.trim("text")) > 0)
+        & (F.col("x") >= x1) & (F.col("x") <= x2)
+        & (F.col("y") >= y1) & (F.col("y") <= y2)
+        & ~is_anchor
+    ).select(
+        doc_col, "field", "idx", F.trim("text").alias("text"),
+        (ocr_score * proximity).alias("zscore"),
+    )
     if not top_1:
         return out
-    w = Window.partitionBy(doc_col, "field").orderBy(F.asc("dist"), F.asc("idx"))
+    w = Window.partitionBy(doc_col, "field").orderBy(F.desc("zscore"), F.asc("idx"))
     return out.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
 
 
