@@ -154,7 +154,7 @@ SITE_NAME_FIELD = "site_name"
 SITE_NAME_RE = re.compile(r"^[A-Z]\S*( [A-Z]\S*)+$")
 SITE_NAME_MIN_SCORE = 0.9
 
-ALL_FIELDS = ANCHOR_FIELDS + FIXED_FIELD_NAMES + [SITE_NAME_FIELD]  # 8 fields
+ALL_FIELDS = ANCHOR_FIELDS + FIXED_FIELD_NAMES + [SITE_NAME_FIELD]  # 11 fields
 POSITIONAL_FIELDS = ["title", "author", "category"]  # fallback-assignable
 
 INSUFFICIENT_QUALITY_MSG = "insufficient_quality"
@@ -194,7 +194,16 @@ def _looks_binary(payload: bytes) -> bool:
 def sniff_and_parse(payload: bytes) -> tuple[list[Block], str]:
     """Payload -> (blocks, doc_kind). doc_kind = fmt '/' layout; raw
     binary payloads yield no blocks and the 'binary/unknown' kind (the
-    extension allow-list analogue, api_server.py:96-99)."""
+    extension allow-list analogue, api_server.py:96-99).
+
+    May raise on pathological payloads — callers isolate that into a
+    typed per-document failure row (extract_document / the parse UDF).
+    The %RAISE-TEST% marker is a fault-injection hook for exercising
+    that isolation through real Spark workers (the per-document analogue
+    of run_job's fail_after_passes): after round-2 parser hardening no
+    known byte sequence crashes the parsers organically."""
+    if payload.startswith(b"%RAISE-TEST%"):
+        raise ValueError("injected poison payload (test hook)")
     if is_pdf(payload):
         blocks, layout = parse_pdf_blocks(payload)
         return blocks, f"pdf/{layout}"
@@ -282,14 +291,16 @@ def detect_anchors(data: list[Block]) -> dict[str, list[tuple[int, str, float]]]
 
 def extract_by_proximity(
     data: list[Block], anchor_pos: int
-) -> str | None:
+) -> Block | None:
     """Proximity value binding (ref extract_by_proximity,
     _18_f.py:293-351): candidates strictly right or below the anchor
-    centroid, scored block_score * 1/(1+dist/100); first maximum wins."""
+    centroid, scored block_score * 1/(1+dist/100); first maximum wins.
+    Returns the bound BLOCK (its .text is the value; keeping the block
+    lets spans point at the true source occurrence)."""
     if anchor_pos >= len(data):
         return None
     a = data[anchor_pos]
-    best_text: str | None = None
+    best_block: Block | None = None
     best_score = float("-inf")
     for pos, b in enumerate(data):
         if pos == anchor_pos:
@@ -306,16 +317,20 @@ def extract_by_proximity(
         s = b.score * (1.0 / (1.0 + dist / 100.0))
         if s > best_score:  # strict: first maximum kept (python max())
             best_score = s
-            best_text = b.text
-    return best_text
+            best_block = b
+    return best_block
 
 
 def extract_remaining_fields(
     data: list[Block], anchors: dict[str, list[tuple[int, str, float]]]
-) -> dict[str, str | None]:
+) -> tuple[dict[str, str | None], dict[str, Block]]:
     """Anchor-bound extraction + positional fallback
-    (ref extract_remaining_fields, _18_f.py:359-440)."""
+    (ref extract_remaining_fields, _18_f.py:359-440). Returns
+    (values, source block per filled field) — recording the ACTUAL
+    source block means field spans point at the occurrence the value was
+    extracted from, not the first text duplicate in the stream."""
     results: dict[str, str | None] = {f: None for f in ANCHOR_FIELDS}
+    sources: dict[str, Block] = {}
     used_values: set[str] = set()
 
     for fname in ANCHOR_FIELDS:
@@ -323,10 +338,11 @@ def extract_remaining_fields(
             continue
         # max() keeps the first maximum -> tie-break = lowest position.
         best_anchor = max(anchors[fname], key=lambda t: t[2])
-        value = extract_by_proximity(data, best_anchor[0])
-        if value and not is_likely_label(value) and value not in used_values:
-            results[fname] = value
-            used_values.add(value)
+        src = extract_by_proximity(data, best_anchor[0])
+        if src and src.text and not is_likely_label(src.text) and src.text not in used_values:
+            results[fname] = src.text
+            sources[fname] = src
+            used_values.add(src.text)
 
     # Positional fallback for missing fields (ref _18_f.py:400-440):
     # remaining non-label unclaimed blocks sorted by y.
@@ -340,9 +356,10 @@ def extract_remaining_fields(
     for fname in POSITIONAL_FIELDS:
         if results[fname] is None and queue:
             results[fname] = queue[0].text
+            sources[fname] = queue[0]
             used_values.add(queue[0].text)
             queue.pop(0)
-    return results
+    return results, sources
 
 
 def _body_blocks(
@@ -398,10 +415,11 @@ def extract_document(url: str, payload: bytes) -> ExtractResult:
 
     data = preprocess(blocks, doc_kind)
     fixed_values, fixed_claimed, remove = extract_fixed_format_fields(data, doc_kind)
-    remaining = [b for pos, b in enumerate(data) if pos not in set(remove)]
+    removed = set(remove)
+    remaining = [b for pos, b in enumerate(data) if pos not in removed]
 
     anchors = detect_anchors(remaining)
-    anchor_values = extract_remaining_fields(remaining, anchors)
+    anchor_values, value_sources = extract_remaining_fields(remaining, anchors)
 
     fields: dict[str, str | None] = {f: None for f in ALL_FIELDS}
     fields.update(anchor_values)
@@ -421,6 +439,7 @@ def extract_document(url: str, payload: bytes) -> ExtractResult:
                 and not is_likely_label(b.text)
             ):
                 fields[SITE_NAME_FIELD] = b.text
+                value_sources[SITE_NAME_FIELD] = b
                 used_values.add(b.text)
                 break
     body = _body_blocks(remaining, anchors, used_values)
@@ -428,15 +447,15 @@ def extract_document(url: str, payload: bytes) -> ExtractResult:
 
     # Spans: field spans (value source block) in ALL_FIELDS order, then one
     # 'body' span per body block (north_star span-offsets requirement).
+    # Sources are the RECORDED blocks each value was extracted from — a
+    # first-text-match lookup would mis-attribute the span whenever the
+    # value's text also occurs in an earlier unrelated block.
     spans: list[tuple[str, int, int]] = []
     for fname in ALL_FIELDS:
         v = fields.get(fname)
         if v is None:
             continue
-        if fname in fixed_claimed:
-            src = fixed_claimed[fname]
-        else:
-            src = next((b for b in remaining if b.text == v), None)
+        src = fixed_claimed.get(fname) or value_sources.get(fname)
         if src is not None:
             spans.append((fname, src.char_offset, src.char_offset + src.n_chars))
     for b in body:

@@ -377,7 +377,11 @@ def run_cascade(
         cand2.withColumn("combined", combined)
         .withColumn("rn", F.row_number().over(w_bind))
         .where("rn = 1")
-        .select("url", "field", "field_ord", F.col("v_text").alias("value"))
+        .select(
+            "url", "field", "field_ord",
+            F.col("v_text").alias("value"),
+            F.col("v_idx").alias("src_idx"),
+        )
     )
 
     # ---- used_values dedup: first field (priority order) keeps a value -
@@ -385,7 +389,7 @@ def run_cascade(
     accepted = (
         bound.withColumn("vrn", F.row_number().over(w_val))
         .where("vrn = 1")
-        .select("url", "field", "field_ord", "value")
+        .select("url", "field", "field_ord", "value", "src_idx")
     )
 
     # ---- W3: positional fallback for missing title/author/category ----
@@ -414,12 +418,17 @@ def run_cascade(
         )
     )
     positional = missing.join(
-        rem_pos.select("url", F.col("pos_rank").alias("miss_rank"), F.col("text").alias("value")),
+        rem_pos.select(
+            "url", F.col("pos_rank").alias("miss_rank"),
+            F.col("text").alias("value"), F.col("idx").alias("src_idx"),
+        ),
         ["url", "miss_rank"],
-    ).select("url", "field", "value")
+    ).select("url", "field", "value", "src_idx")
 
     field_ord_map = {f: i for i, f in enumerate(ALL_FIELDS)}
-    all_values = accepted.select("url", "field", "value").unionByName(positional)
+    all_values = accepted.select("url", "field", "value", "src_idx").unionByName(
+        positional
+    )
 
     # ---- W5 pattern fallback: site_name for listing layouts ------------
     from ..extractor import SITE_NAME_FIELD, SITE_NAME_MIN_SCORE
@@ -436,7 +445,10 @@ def run_cascade(
             "rn", F.row_number().over(Window.partitionBy("url").orderBy("idx"))
         )
         .where("rn = 1")
-        .select("url", F.lit(SITE_NAME_FIELD).alias("field"), F.col("text").alias("value"))
+        .select(
+            "url", F.lit(SITE_NAME_FIELD).alias("field"),
+            F.col("text").alias("value"), F.col("idx").alias("src_idx"),
+        )
     )
     all_values = all_values.unionByName(site_cand)
     if materialize:
@@ -460,25 +472,17 @@ def run_cascade(
     # Catalyst analysis; every input is already url-partitioned so the
     # one exchange is reused).
     #
-    # Source block per anchor/positional value: first (min idx) block in
-    # the remaining stream with text == value.
-    w_src = Window.partitionBy("url", "field").orderBy("idx")
-    value_src = (
-        all_values.join(
-            remaining.select("url", "text", "idx", "char_offset", "n_chars"),
-            (all_values["url"] == remaining["url"])
-            & (all_values["value"] == remaining["text"]),
-        )
-        .select(
-            all_values["url"].alias("url"),
-            "field",
-            "idx",
-            "char_offset",
-            "n_chars",
-        )
-        .withColumn("rn", F.row_number().over(w_src))
-        .where("rn = 1")
-        .drop("rn")
+    # Source block per anchor/positional/site value: all_values carries
+    # the RECORDED src_idx of the block each value was extracted from
+    # (mirrors the kernel's value_sources) — an equi-join on (url, idx)
+    # fetches its offsets. A first-text-match lookup here would
+    # mis-attribute spans when the value text also occurs in an earlier
+    # unrelated block.
+    value_src = all_values.select(
+        "url", "field", F.col("src_idx").alias("idx")
+    ).join(
+        remaining.select("url", "idx", "char_offset", "n_chars"),
+        ["url", "idx"],
     )
     field_ord_expr = F.lit(None).cast("int")
     for f, i in field_ord_map.items():
@@ -522,7 +526,8 @@ def run_cascade(
         )
     )
     value_rows = (
-        all_values.unionByName(fixed_rows.select("url", "field", "value"))
+        all_values.select("url", "field", "value")
+        .unionByName(fixed_rows.select("url", "field", "value"))
         .select(
             "url", F.lit(3).alias("kind"), F.lit(0).alias("ord"),
             F.lit(0).alias("idx2"), "field",

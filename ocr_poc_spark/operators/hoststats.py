@@ -47,7 +47,10 @@ def salted_agg(
 
 
 def host_stats(pages: DataFrame, n_salts: int = N_SALTS) -> DataFrame:
-    """Per-host page counts + payload bytes over the pages table, salted."""
+    """Per-host page counts + payload bytes over the pages table — the
+    same two-phase salted scheme as salted_agg, reused so the salting
+    logic lives in exactly one place (byte sums stay integer longs here,
+    vs salted_agg's decimal money path)."""
     with_host = pages.select(
         host_of("url").alias("host"),
         F.col("url"),

@@ -60,7 +60,16 @@ def start_throughput_stream(
     query_name: str = "throughput",
 ) -> StreamingQuery:
     """Stateful side: per-minute ingest counts with late-data watermark
-    (the service-metrics analogue, api_server.py:54-58, as a stream)."""
+    (the service-metrics analogue, api_server.py:54-58, as a stream).
+
+    outputMode is UPDATE, not complete: Spark IGNORES a watermark under
+    complete mode (no state eviction, no late-data dropping, and the
+    memory/driver-side sink retains every window forever) — in update
+    mode the 10-minute watermark actually evicts window state and drops
+    later-than-watermark rows, which is the documented semantics. The
+    memory sink accumulates one row per window UPDATE, so consumers take
+    the latest row per (window, lang) — a continuous deployment would
+    point this at an idempotent upsert sink keyed the same way."""
     pages = read_pages_stream(spark, in_path)
     agg = (
         pages.withWatermark("warc_ts", "10 minutes")
@@ -70,7 +79,7 @@ def start_throughput_stream(
     return (
         agg.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode("update")
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -52,6 +52,26 @@ VOID_TAGS = {
     "embed", "source", "track", "wbr",
 }
 
+# HTML5 implied end tags (simplified): omitting </li>, </p>, </td> etc.
+# is spec-valid and ubiquitous on the real web; without these rules each
+# sibling nests under the previous one, monotonically inflating
+# depth/x and corrupting the synthetic proximity geometry.
+_SIBLING_CLOSERS: dict[str, frozenset[str]] = {
+    "li": frozenset({"li"}),
+    "dt": frozenset({"dt", "dd"}),
+    "dd": frozenset({"dt", "dd"}),
+    "option": frozenset({"option"}),
+    "tr": frozenset({"tr", "td", "th"}),
+    "td": frozenset({"td", "th"}),
+    "th": frozenset({"td", "th"}),
+}
+# Block-level start tags that implicitly close an open <p>.
+_P_CLOSERS = frozenset({
+    "address", "article", "aside", "blockquote", "div", "dl", "fieldset",
+    "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+    "header", "main", "nav", "ol", "p", "pre", "section", "table", "ul",
+})
+
 X_PER_DEPTH = 50.0
 Y_PER_IDX = 40.0
 
@@ -106,10 +126,31 @@ class _BlockParser(HTMLParser):
         self._cur_boiler = 0
 
     # -- HTMLParser hooks ------------------------------------------------
+    def _pop_one(self) -> str:
+        """Pop the top open element with full bookkeeping."""
+        top = self.stack.pop()
+        if top in BLOCK_TAGS and self._skip == 0:
+            self._flush()
+        if top in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        if top == "a":
+            self._link = max(0, self._link - 1)
+        if top in BOILER_TAGS:
+            self._boiler = max(0, self._boiler - 1)
+        return top
+
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
         if tag in VOID_TAGS:
             return
+        # Implied end tags: close open siblings / an open <p> that this
+        # start tag terminates per (simplified) HTML5 parsing rules.
+        sib = _SIBLING_CLOSERS.get(tag, frozenset())
+        while self.stack and (
+            self.stack[-1] in sib
+            or (self.stack[-1] == "p" and tag in _P_CLOSERS)
+        ):
+            self._pop_one()
         if tag in SKIP_TAGS:
             self._skip += 1
         if tag == "article":
@@ -130,16 +171,7 @@ class _BlockParser(HTMLParser):
             return
         # Pop (recovering from unclosed children) up to the matching tag.
         while self.stack:
-            top = self.stack.pop()
-            if top in BLOCK_TAGS and self._skip == 0:
-                self._flush()
-            if top in SKIP_TAGS:
-                self._skip = max(0, self._skip - 1)
-            if top == "a":
-                self._link = max(0, self._link - 1)
-            if top in BOILER_TAGS:
-                self._boiler = max(0, self._boiler - 1)
-            if top == tag:
+            if self._pop_one() == tag:
                 break
 
     def handle_data(self, data: str) -> None:

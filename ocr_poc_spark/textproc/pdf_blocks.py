@@ -23,16 +23,29 @@ from .scoring import block_score
 PAGE_H = 800.0
 
 _BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
-_TD = re.compile(rb"(-?[\d.]+)\s+(-?[\d.]+)\s+(Td|TD)")
-_TM = re.compile(
-    rb"(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+Tm"
+# One left-to-right token scan per text object: string literals and TJ
+# arrays are consumed as whole tokens FIRST, so shown text containing
+# e.g. "10 20 Td" can never inject phantom positioning events (operators
+# only match outside strings). The number pattern is a strict float —
+# the lax [\d.]+ accepted '1.2.3' / '...' and crashed float().
+_NUM = rb"-?(?:\d+\.?\d*|\.\d+)"
+_STR = rb"\((?:\\.|[^\\()])*\)"
+_TOKEN = re.compile(
+    rb"(?P<tjarr>\[(?:" + _STR + rb"|[^\]])*\]\s*TJ)"
+    rb"|(?P<tjstr>" + _STR + rb"\s*Tj)"
+    rb"|(?P<str>" + _STR + rb")"
+    rb"|(?P<tm>" + _NUM + rb"\s+" + _NUM + rb"\s+" + _NUM + rb"\s+"
+    + _NUM + rb"\s+(?P<tme>" + _NUM + rb")\s+(?P<tmf>" + _NUM + rb")\s+Tm)"
+    rb"|(?P<td>(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM + rb")\s+(?P<tdop>Td|TD))"
+    rb"|(?P<tl>(?P<tlv>" + _NUM + rb")\s+TL)"
+    rb"|(?P<tstar>T\*)",
+    re.DOTALL,
 )
-_TL = re.compile(rb"(-?[\d.]+)\s+TL")
-_TSTAR = re.compile(rb"T\*")
-_TJ_STR = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
-_TJ_ARR = re.compile(rb"\[((?:\\.|[^\]])*)\]\s*TJ")
-_ARR_STR = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
-_LAYOUT = re.compile(rb"%layout:(\w+)")
+_TJ_STR_INNER = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+# Line-anchored: the generator emits the layout dispatch comment at the
+# start of a line; a '%layout:' occurring inside shown text must not
+# flip the document's dispatch axis.
+_LAYOUT = re.compile(rb"^%layout:(\w+)", re.MULTILINE)
 
 _ESCAPES = {
     b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t", b"\\b": b"\b",
@@ -83,41 +96,30 @@ def parse_pdf_blocks(payload: bytes) -> tuple[list[Block], str]:
         # Td from the BT origin, for which relative == absolute.
         x, y = 0.0, 0.0
         leading = 0.0
-        events: list[tuple[int, str, object]] = []
-        for mt in _TD.finditer(body):
-            events.append(
-                (mt.start(), "td",
-                 (float(mt.group(1)), float(mt.group(2)), mt.group(3) == b"TD"))
-            )
-        for mm in _TM.finditer(body):
-            events.append(
-                (mm.start(), "tm", (float(mm.group(5)), float(mm.group(6))))
-            )
-        for ml in _TL.finditer(body):
-            events.append((ml.start(), "tl", float(ml.group(1))))
-        for ms in _TSTAR.finditer(body):
-            events.append((ms.start(), "tstar", None))
-        for ms in _TJ_STR.finditer(body):
-            events.append((ms.start(), "tj", _unescape(ms.group(1))))
-        for ma in _TJ_ARR.finditer(body):
-            parts = [_unescape(s.group(1)) for s in _ARR_STR.finditer(ma.group(1))]
-            events.append((ma.start(), "tj", "".join(parts)))
-        events.sort(key=lambda e: e[0])
-        for _, kind, val in events:
-            if kind == "td":
-                tx, ty, sets_leading = val
+        for m in _TOKEN.finditer(body):
+            if m.group("td") is not None:
+                tx = float(m.group("tdx"))
+                ty = float(m.group("tdy"))
                 x += tx
                 y += ty
-                if sets_leading:  # TD also sets leading = -ty
+                if m.group("tdop") == b"TD":  # TD also sets leading = -ty
                     leading = -ty
-            elif kind == "tm":
-                x, y = val
-            elif kind == "tl":
-                leading = val
-            elif kind == "tstar":
+            elif m.group("tm") is not None:
+                x, y = float(m.group("tme")), float(m.group("tmf"))
+            elif m.group("tl") is not None:
+                leading = float(m.group("tlv"))
+            elif m.group("tstar") is not None:
                 y -= leading
-            else:
-                shows.append((x, PAGE_H - y, str(val)))
+            elif m.group("tjstr") is not None:
+                s = _TJ_STR_INNER.search(m.group("tjstr"))
+                shows.append((x, PAGE_H - y, _unescape(s.group(1))))
+            elif m.group("tjarr") is not None:
+                parts = [
+                    _unescape(s.group(1))
+                    for s in _TJ_STR_INNER.finditer(m.group("tjarr"))
+                ]
+                shows.append((x, PAGE_H - y, "".join(parts)))
+            # bare 'str' tokens (a string with no Tj) are consumed silently
 
     blocks: list[Block] = []
     offset = 0

@@ -86,13 +86,17 @@ def test_duplicate_urls_stay_separate_documents(spark, fixture_rows):
 
 
 def test_poison_pill_isolated_in_both_paths(spark, fixture_rows):
-    """One genuinely malformed payload (a %PDF whose Td operands crash
-    float()) must yield ONE typed failure row — success=false, doc_kind
-    'error/ValueError', message 'internal_error: ValueError' — while the
-    other N-1 documents extract normally, in BOTH physical paths
-    (reference analogue: typed per-request errors, api_server.py:177-236
-    — a poison doc never fails the task/bucket)."""
-    poison = b"%PDF-1.4\nBT ... .. Td (boom) Tj ET"
+    """One raising payload must yield ONE typed failure row —
+    success=false, doc_kind 'error/ValueError', message
+    'internal_error: ValueError' — while the other N-1 documents extract
+    normally, in BOTH physical paths (reference analogue: typed
+    per-request errors, api_server.py:177-236 — a poison doc never fails
+    the task/bucket). Uses the documented %RAISE-TEST% fault-injection
+    hook: the round-2 parser hardening removed every known organic
+    crasher (the old malformed-%PDF float crash now parses gracefully),
+    so injection is the only way to drive the isolation path through
+    real Spark workers."""
+    poison = b"%RAISE-TEST% boom"
     rows = [(r["url"], r["html"]) for r in fixture_rows[:20]]
     rows.append(("https://bad.example/poison", poison))
     pages = spark.createDataFrame(rows, "url string, html binary")
@@ -131,3 +135,44 @@ def test_parse_scan_prunes_columns(spark, tmp_path):
     schema_line = m[0]
     assert "url" in schema_line and "html" in schema_line
     assert "warc_ts" not in schema_line and "lang" not in schema_line
+
+
+def test_span_points_at_true_source_occurrence(spark):
+    """A field value whose text also appears in an EARLIER unrelated
+    block must get its span from the block it was actually extracted
+    from (the recorded source), not the first text match — in the
+    kernel AND the relational cascade."""
+    from ocr_poc_spark.extractor import extract_document, sniff_and_parse
+
+    html = (
+        b"<html><body><article>"
+        b"<h1>Some Headline Words Here</h1>"
+        b"<p>Interesting Tech News</p>"
+        b"<p>Tech</p>"  # early duplicate of the value text
+        b"<p>Filler paragraph with enough words to score well indeed truly</p>"
+        b"<p>More filler text to pass the quality gate with several blocks</p>"
+        b"<p>Another block of sufficiently long prose for scoring purposes</p>"
+        b"<p>Yet another long block keeps the quality average high enough</p>"
+        b"<p>CATEGORY</p>"
+        b"<p>Tech</p>"  # the block actually bound to the anchor
+        b"</article></body></html>"
+    )
+    blocks, _ = sniff_and_parse(html)
+    tech_offsets = [b.char_offset for b in blocks if b.text == "Tech"]
+    assert len(tech_offsets) == 2
+    late = tech_offsets[1]
+
+    r = extract_document("u", html)
+    assert r.success and r.fields["category"] == "Tech"
+    cat_spans = [s for s in r.spans if s[0] == "category"]
+    assert cat_spans == [("category", late, late + 4)]
+
+    pages = spark.createDataFrame([("u", html)], "url string, html binary")
+    for name, out in (
+        ("fused", extract_fused(pages)),
+        ("relational", run_cascade(parse_pages(pages), spark)),
+    ):
+        row = out.collect()[0]
+        got = [(s["field"], s["start"], s["end"]) for s in row["spans"]
+               if s["field"] == "category"]
+        assert got == [("category", late, late + 4)], name

@@ -58,7 +58,12 @@ def test_throughput_window_agg(spark, tmp_path):
         spark, in_dir, str(tmp_path / "ckpt2"), query_name="tp_test"
     )
     q.awaitTermination(120)
-    agg = spark.sql("select sum(n_docs) as n from tp_test").collect()[0]["n"]
+    # update mode: one row per window UPDATE -> take the latest count per
+    # (window, lang); their sum must cover every ingested page exactly.
+    agg = spark.sql(
+        """select sum(n) as n from (
+             select max(n_docs) as n from tp_test group by window, lang)"""
+    ).collect()[0]["n"]
     assert agg == 40
 
 

@@ -110,3 +110,45 @@ def test_pdf_relative_positioning_operators():
     assert ys[1] == 800.0 - 740.0          # relative Td: 760 - 20
     assert ys[2] == 800.0 - (740.0 - 16.0)  # T* advances by TL
     assert blocks[3].x == 100.0 and blocks[3].y == 400.0  # Tm absolute
+
+
+def test_implied_end_tags_keep_siblings_flat():
+    """HTML5 optional end tags (<li>, <p>, <td> siblings without closers)
+    must not nest: depth/x stay constant across siblings instead of
+    monotonically inflating the synthetic proximity geometry."""
+    from ocr_poc_spark.textproc.html_blocks import parse_html_blocks
+
+    blocks, _ = parse_html_blocks(b"<ul><li>Alpha<li>Beta<li>Gamma<li>Delta</ul>")
+    assert [b.text for b in blocks] == ["Alpha", "Beta", "Gamma", "Delta"]
+    assert len({b.depth for b in blocks}) == 1
+    assert all(b.tag_path == "ul>li" for b in blocks)
+
+    blocks, _ = parse_html_blocks(b"<p>one<p>two<div><p>three</div><p>four")
+    assert [(b.text, b.tag_path) for b in blocks] == [
+        ("one", "p"), ("two", "p"), ("three", "div>p"), ("four", "p"),
+    ]
+
+    blocks, _ = parse_html_blocks(b"<table><tr><td>a<td>b<tr><td>c</table>")
+    assert all(b.tag_path == "table>tr>td" for b in blocks)
+
+
+def test_pdf_strings_cannot_inject_positioning():
+    """Positioning operators inside string literals are shown text, not
+    events; malformed operands degrade gracefully instead of raising."""
+    from ocr_poc_spark.textproc.pdf_blocks import parse_pdf_blocks
+
+    blocks, _ = parse_pdf_blocks(
+        b"%PDF-1.4\nBT 50 700 Td (move 10 20 Td then more) Tj 0 -40 Td (second line) Tj ET"
+    )
+    assert [(b.text, b.x, b.y) for b in blocks] == [
+        ("move 10 20 Td then more", 50.0, 100.0),
+        ("second line", 50.0, 140.0),
+    ]
+    # strict float: '1.2.3' no longer reaches float() and cannot crash
+    blocks, _ = parse_pdf_blocks(b"%PDF-1.4\nBT 1.2.3 4 Td (hi) Tj ET")
+    assert [b.text for b in blocks] == ["hi"]
+    # layout dispatch is line-anchored — inline mentions don't flip it
+    _, lay = parse_pdf_blocks(b"%PDF-1.4\nBT 1 2 Td (see %layout:listing here) Tj ET")
+    assert lay == "article"
+    _, lay2 = parse_pdf_blocks(b"%PDF-1.4\n%layout:listing\nBT 1 2 Td (x) Tj ET")
+    assert lay2 == "listing"
