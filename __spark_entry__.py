@@ -333,6 +333,31 @@ def q_fingerprint(spark, sf_dir):  # md5 + winnowed document fingerprints
     )
 
 
+def q_pii_scrub(spark, sf_dir):  # PII redaction + counts (curation pass)
+    """Deterministic synthetic PII is appended to each document (both
+    engines build the identical string), then scrubbed natively."""
+    from ocr_poc_spark.operators.textstats import scrub_pii
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com from 10.1."),
+        (F.col("doc_id") % 200), F.lit(".7 call +1 555 01"),
+        (F.col("doc_id") % 90 + 10),
+    )
+    out = scrub_pii(d.withColumn("text", t))
+    return out.select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )
+
+
+def q_repetition_stats(spark, sf_dir):  # Gopher-style shape/repetition signals
+    from ocr_poc_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents", spread=True))
+
+
 def q_tpch_pricing(spark, sf_dir):  # TPC-H Q1-style agg (decimal-exact)
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -593,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
         "tpch_pricing": q_tpch_pricing,
         "tpch_top_orders": q_tpch_top_orders,
         "region_rollup": q_region_rollup,
@@ -794,6 +821,64 @@ def oracle_sql() -> dict[str, str]:
                        i -> ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),
                                             1, 15))::BIGINT)) AS winnow_fp
             FROM n
+        """,
+        "pii_scrub": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.1.'
+                          || CAST(doc_id % 200 AS VARCHAR)
+                          || '.7 call +1 555 01'
+                          || CAST(doc_id % 90 + 10 AS VARCHAR) AS t
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                          CAST(len(regexp_extract_all(t,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                              AS n_emails,
+                          regexp_replace(t,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS t
+                   FROM aug),
+            s2 AS (SELECT doc_id, n_emails,
+                          CAST(len(regexp_extract_all(t,
+                              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
+                              AS n_ipv4,
+                          regexp_replace(t,
+                              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                              '<IP>', 'g') AS t
+                   FROM s1)
+            SELECT doc_id, n_emails, n_ipv4,
+                   CAST(len(regexp_extract_all(t, '\+[0-9][0-9 ]{7,}[0-9]')) AS INT)
+                       AS n_phones,
+                   md5(regexp_replace(t, '\+[0-9][0-9 ]{7,}[0-9]', '<PHONE>', 'g'))
+                       AS scrubbed_md5
+            FROM s2
+        """,
+        "repetition_stats": f"""
+            WITH d AS (
+              SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            t AS (
+              SELECT doc_id, w,
+                     CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+2], ' '))
+                     ELSE [] END AS tri
+              FROM d)
+            SELECT doc_id,
+                   CAST(len(w) AS INT) AS n_words,
+                   ROUND(CASE WHEN len(tri) > 0
+                         THEN (len(tri) - len(list_distinct(tri)))::DOUBLE / len(tri)
+                         ELSE 0.0 END, 6) AS dup_trigram_ratio,
+                   ROUND(CASE WHEN len(w) > 0
+                         THEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+                         ELSE 0.0 END, 6) AS mean_word_len,
+                   CAST(COALESCE(list_max(list_transform(w, x -> length(x))), 0) AS INT)
+                       AS max_word_len,
+                   ROUND(CASE WHEN len(w) > 0
+                         THEN len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$')))::DOUBLE
+                              / len(w)
+                         ELSE 0.0 END, 6) AS alpha_word_ratio
+            FROM t
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

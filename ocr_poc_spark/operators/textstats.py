@@ -127,3 +127,71 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             F.expr(window_expr).alias("winnow_fp"),
         )
     )
+
+
+# --- PII scrubbing (training-data curation staple) -------------------------
+# Patterns restricted to syntax shared verbatim by Java regex (Spark) and
+# RE2 (the DuckDB oracle): explicit classes, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9][0-9 ]{7,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redacts emails / IPv4s / international-format phone numbers into
+    typed placeholders and counts each kind — the pre-training PII pass.
+    Pure native regexp expressions (linear, no UDF, no shuffle);
+    replacement order matters (emails contain dots+digits, so they are
+    removed before the IP/phone patterns can see them)."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    step1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ipv4 = F.regexp_count(step1, F.lit(PII_IPV4_RE))
+    step2 = F.regexp_replace(step1, PII_IPV4_RE, "<IP>")
+    n_phones = F.regexp_count(step2, F.lit(PII_PHONE_RE))
+    scrubbed = F.regexp_replace(step2, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        id_col,
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/shape signals for corpus filtering:
+    duplicate-trigram ratio, mean/max word length, alphabetic-word
+    fraction. All higher-order array expressions — linear, no shuffle."""
+    words = _words(text_col)
+    n = F.size(words)
+    tri = F.expr(
+        "CASE WHEN size(_w) >= 3 THEN "
+        "transform(sequence(1, size(_w) - 2), i -> concat_ws(' ', slice(_w, i, 3))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    d = df.withColumn("_w", words).withColumn("_tri", tri)
+    n_tri = F.size("_tri")
+    dup_tri_ratio = F.when(
+        n_tri > 0,
+        (n_tri - F.size(F.array_distinct("_tri"))) / n_tri,
+    ).otherwise(F.lit(0.0))
+    total_chars = F.aggregate(
+        "_w", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(n > 0, total_chars / n).otherwise(F.lit(0.0))
+    max_word_len = F.coalesce(
+        F.array_max(F.transform("_w", lambda w: F.length(w))), F.lit(0)
+    )
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter("_w", lambda w: w.rlike("^[a-z]+$"))) / n,
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        id_col,
+        n.alias("n_words"),
+        F.round(dup_tri_ratio, 6).alias("dup_trigram_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        max_word_len.alias("max_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_ratio"),
+    )

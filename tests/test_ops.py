@@ -224,3 +224,28 @@ def test_ngram_jaccard_refuses_oversized_groups(spark):
         ngram_jaccard_pairs(df, group_col="lang", max_group_rows=10).count()
     # waivable, and the small default passes untouched
     assert ngram_jaccard_pairs(df, group_col="lang", max_group_rows=None).count() > 0
+
+
+def test_scrub_pii_and_repetition_stats(spark):
+    from ocr_poc_spark.operators.textstats import repetition_stats, scrub_pii
+
+    d = spark.createDataFrame(
+        [
+            (1, "reach me at a.b+c@corp.example.org or 192.168.1.20 tel +44 20 7946 0958 ok"),
+            (2, "no pii here just words words words words words words"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r for r in scrub_pii(d).collect()}
+    assert (s[1]["n_emails"], s[1]["n_ipv4"], s[1]["n_phones"]) == (1, 1, 1)
+    assert "<EMAIL>" in s[1]["scrubbed"] and "<IP>" in s[1]["scrubbed"]
+    assert "<PHONE>" in s[1]["scrubbed"] and "@" not in s[1]["scrubbed"]
+    assert s[2]["scrubbed"] == "no pii here just words words words words words words"
+
+    r = {x["doc_id"]: x for x in repetition_stats(d).collect()}
+    # doc 2: 'words'x6 run -> trigram 'words words words' repeats 3 times
+    assert r[2]["dup_trigram_ratio"] > 0.3
+    assert r[1]["dup_trigram_ratio"] == 0.0
+    assert r[2]["alpha_word_ratio"] == 1.0
+    assert r[3]["n_words"] == 1 and r[3]["max_word_len"] == 0  # split('')=['']
