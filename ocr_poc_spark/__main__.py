@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
         help="after extraction, write near-dup pairs over body_text",
     )
     ap.add_argument(
+        "--corpus-stats", action="store_true",
+        help="after extraction, write per-doc repetition/PII quality "
+             "signals over body_text",
+    )
+    ap.add_argument(
         "--dedup-method", choices=["minhash", "simhash"], default="minhash",
         help="near-dup detector: MinHash+LSH (exact-Jaccard verified) or "
              "SimHash banding (pigeonhole-exact recall)",
@@ -60,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.job import run_dedup
 
         summary.update(run_dedup(spark, args.out, method=args.dedup_method))
+    if args.corpus_stats:
+        from .plans.job import run_corpus_stats
+
+        summary.update(run_corpus_stats(spark, args.out))
     print(json.dumps(summary))
     return 0
 

@@ -250,3 +250,23 @@ def run_dedup(
     pairs.write.mode("overwrite").parquet(dup_dir)
     n = spark.read.parquet(dup_dir).count()
     return {"dup_pairs": n, "dup_dir": dup_dir, "dedup_method": method}
+
+
+def run_corpus_stats(spark: SparkSession, out_dir: str) -> dict:
+    """Post-extraction corpus-quality pass (training-data curation):
+    per-document repetition/shape signals + PII counts over the
+    extracted body_text -> <out>/corpus_stats parquet. Linear, no
+    shuffle beyond the scan."""
+    from ..operators.textstats import repetition_stats, scrub_pii
+
+    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    docs = ext.where(
+        F.col("success") & F.col("body_text").isNotNull()
+    ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+    stats = repetition_stats(docs).join(
+        scrub_pii(docs).drop("scrubbed"), "doc_id"
+    )
+    stats_dir = os.path.join(out_dir, "corpus_stats")
+    stats.write.mode("overwrite").parquet(stats_dir)
+    n = spark.read.parquet(stats_dir).count()
+    return {"corpus_stats_rows": n, "corpus_stats_dir": stats_dir}
