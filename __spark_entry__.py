@@ -255,31 +255,14 @@ def q_dedup_simhash(spark, sf_dir):  # SimHash near-dups (oracle-exact)
 
 
 def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k
+    # Reuses the operator directly (no inline re-implementation to
+    # drift); ranking happens on the UNROUNDED cosine in both engines.
+    from ocr_poc_spark.operators.similarity import cosine_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    q = base.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    c = base.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
-    cos = F.round(
-        dot(F.col("qv"), F.col("cv"))
-        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))),
-        6,
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+    out = cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
 
 
@@ -750,12 +733,13 @@ def oracle_sql() -> dict[str, str]:
                           FROM embeddings),
             pairs AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       ROUND(list_dot_product(q.v, c.v)
-                             / (sqrt(list_dot_product(q.v, q.v))
-                                * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+                       list_dot_product(q.v, c.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.v, c.v))) AS cosine
                 FROM base q CROSS JOIN base c
                 WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
-            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   ROUND(cosine, 6) AS cosine FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM pairs)
             WHERE rank <= 3
@@ -992,12 +976,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN raw THEN NULL
                         ELSE CAST(length(text) AS DOUBLE) END AS f_len,
                    CASE WHEN raw THEN NULL
-                        ELSE ROUND(list_sum(codes)::DOUBLE
+                        ELSE ROUND(COALESCE(list_sum(codes), 0)::DOUBLE
                                    / greatest(length(text), 1), 6) END AS f_mean,
                    CASE WHEN raw THEN NULL
-                        ELSE CAST(list_min(codes) AS DOUBLE) END AS f_min,
+                        ELSE CAST(COALESCE(list_min(codes), 0) AS DOUBLE) END AS f_min,
                    CASE WHEN raw THEN NULL
-                        ELSE CAST(list_max(codes) AS DOUBLE) END AS f_max
+                        ELSE CAST(COALESCE(list_max(codes), 0) AS DOUBLE) END AS f_max
             FROM m
         """,
         "zone_transform": """
@@ -1097,7 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": f"""
             WITH tok AS (
               SELECT doc_id, ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
-              FROM documents, unnest({_WORDS_SQL}) AS w(w)),
+              FROM documents, unnest(({_WORDS_SQL})[1:32767]) AS w(w)),
             bits AS (SELECT doc_id, {{bit_sums}} FROM tok GROUP BY doc_id),
             sh AS (SELECT doc_id, {{reassemble}} AS simhash FROM bits)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

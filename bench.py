@@ -35,13 +35,26 @@ def _sf_from_dir(d: str) -> float:
 
 
 def _pages_path(n_pages: int) -> str:
+    """Fixture cache keyed on (n_pages, hash of the generator source) so
+    a fixtures.py change invalidates stale corpora, written tmp+rename
+    so an interrupted generation can never leave a truncated parquet
+    that later runs silently trust."""
+    import hashlib
+
+    import ocr_poc_spark.fixtures as fixtures_mod
+
+    gen_hash = hashlib.md5(
+        open(fixtures_mod.__file__, "rb").read()
+    ).hexdigest()[:10]
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"pages_{n_pages}.parquet")
+    path = os.path.join(cache, f"pages_{n_pages}_{gen_hash}.parquet")
     if not os.path.exists(path):
         from ocr_poc_spark.fixtures import write_pages_parquet
 
-        write_pages_parquet(path, n_pages, seed=42)
+        tmp = path + ".tmp"
+        write_pages_parquet(tmp, n_pages, seed=42)
+        os.replace(tmp, path)
     return path
 
 

@@ -79,9 +79,12 @@ def decode_media(media: DataFrame) -> DataFrame:
                         "n_bytes": len(payload) if payload is not None else 0,
                         "feature": None}
                 try:
+                    # ANY decode failure (unknown codec, null payload,
+                    # truncated header -> IndexError/struct.error) must
+                    # degrade to status='unsupported', never fail the task.
                     d = _decode_one(bytes(payload))
                     base.update(d)
-                except NotImplementedError:
+                except Exception:
                     pass
                 rows.append(base)
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
@@ -106,11 +109,15 @@ def sample_frames(media: DataFrame, every_n: int = 2, frame_bytes: int = 16) -> 
         for pdf in it:
             out = {"media_id": [], "frame_no": [], "frame": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                p = bytes(payload)
-                if p[:4] != b"FAKE" or chr(p[4]) != "V":
+                try:
+                    p = bytes(payload)
+                    if len(p) < 11 or p[:4] != b"FAKE" or chr(p[4]) != "V":
+                        continue
+                    (_, _, n_frames) = struct.unpack("<HHH", p[5:11])
+                    body = p[11:]
+                except Exception:
+                    # null / truncated payloads are skipped, never fatal
                     continue
-                (_, _, n_frames) = struct.unpack("<HHH", p[5:11])
-                body = p[11:]
                 for f in range(0, n_frames, every_n):
                     start = f * frame_bytes
                     out["media_id"].append(int(mid))

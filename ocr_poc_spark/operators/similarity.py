@@ -98,8 +98,24 @@ def lsh_bucket(
     per table, bucket = sign bits of dots with n_planes seeded random
     hyperplanes (deterministic literals, broadcast free). Multiple
     tables give OR-amplification: a near pair collides in >=1 table with
-    high probability while random pairs stay spread."""
+    high probability while random pairs stay spread.
+
+    A wrong `dim` would be a SILENT total-recall loss (zip_with pads the
+    shorter side with nulls -> every bucket NULL -> the equi-join never
+    matches), so the vector length is asserted at execution time."""
     base = with_norm(df, vec_col)
+    base = base.where(
+        F.when(
+            F.size("_v") != F.lit(dim),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_bucket: dim={dim} but embedding has "),
+                    F.size("_v").cast("string"),
+                    F.lit(" elements"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
     entries = []
     for t in range(n_tables):
         bucket = F.lit(0).cast("long")

@@ -38,8 +38,22 @@ def read_pages(spark: SparkSession, path_or_table: str) -> DataFrame:
 
 
 def write_extracted(df: DataFrame, target: str, mode: str = "append") -> None:
-    """Sink: Iceberg append when available, parquet otherwise."""
+    """Sink: Iceberg when the connector is present, parquet otherwise.
+    `mode` is honored on BOTH paths (append -> .append(), overwrite ->
+    .overwritePartitions()); anything else on the Iceberg path raises
+    rather than silently appending."""
     if target.startswith("iceberg:"):
-        df.writeTo(target[len("iceberg:"):]).append()
+        if not iceberg_available(df.sparkSession):
+            raise RuntimeError(
+                "Iceberg connector not on classpath; use a parquet path "
+                "or add iceberg-spark-runtime to spark.jars.packages"
+            )
+        writer = df.writeTo(target[len("iceberg:"):])
+        if mode == "append":
+            writer.append()
+        elif mode == "overwrite":
+            writer.overwritePartitions()
+        else:
+            raise ValueError(f"unsupported mode for the Iceberg sink: {mode!r}")
     else:
         df.write.mode(mode).parquet(target)

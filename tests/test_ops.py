@@ -249,3 +249,31 @@ def test_scrub_pii_and_repetition_stats(spark):
     assert r[1]["dup_trigram_ratio"] == 0.0
     assert r[2]["alpha_word_ratio"] == 1.0
     assert r[3]["n_words"] == 1 and r[3]["max_word_len"] == 0  # split('')=['']
+
+
+def test_multimodal_robust_to_garbage_payloads(spark):
+    """Null / truncated / header-only payloads degrade to
+    status='unsupported' (decode) or are skipped (frames) — never a
+    failed task."""
+    rows = [
+        (1, "image", None),
+        (2, "image", b"FAKE"),          # truncated after magic
+        (3, "video", b"FAKEV"),         # truncated header
+        (4, "video", make_fake_payload("V", 10, 10, 4, bytes(range(64)))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    dec = {r["media_id"]: r["status"] for r in decode_media(media).collect()}
+    assert dec == {1: "unsupported", 2: "unsupported", 3: "unsupported", 4: "ok"}
+    frames = sample_frames(media, every_n=2, frame_bytes=16).collect()
+    assert {f["media_id"] for f in frames} == {4}
+
+
+def test_lsh_bucket_dim_mismatch_raises(spark):
+    """A wrong dim must raise loudly, not silently return zero rows."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 16), (1, [0.9] * 16)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="lsh_bucket: dim=64"):
+        lsh_ann_topk(df, k=1, dim=64, n_planes=4).collect()
