@@ -579,6 +579,40 @@ def q_set_ops(spark, sf_dir):  # union/intersect/except (§2.7 set ops)
     )
 
 
+def q_boilerplate_shingles(spark, sf_dir):  # RefinedWeb-style cross-doc span dedup signal
+    from ocr_poc_spark.operators.curation import boilerplate_shingle_stats
+
+    return boilerplate_shingle_stats(
+        _t(spark, sf_dir, "documents", spread=True), k=5, min_docs=2
+    )
+
+
+def q_decontaminate(spark, sf_dir):  # benchmark n-gram overlap (eval decontamination)
+    from ocr_poc_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    # Deterministic benchmark split: every 23rd doc plays the eval set.
+    bench = d.where(F.col("doc_id") % 23 == 0)
+    corpus = d.where(F.col("doc_id") % 23 != 0)
+    return decontaminate(corpus, bench, n=8, min_overlap=1)
+
+
+def q_stratified_sample(spark, sf_dir):  # deterministic corpus-mixing sampler
+    from ocr_poc_spark.operators.curation import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, {"en": 0.5, "fr": 0.25, "de": 0.1}, strat_col="lang"
+    ).select("doc_id", "lang", "source")
+
+
+def q_host_cap(spark, sf_dir):  # domain-balance cap, stable hash order
+    from ocr_poc_spark.operators.curation import host_cap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return host_cap(d, max_per_host=5, host_col="source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_gate": q_quality_gate,
@@ -613,6 +647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "set_ops": q_set_ops,
         "band_join": q_band_join,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "host_cap": q_host_cap,
         "extract_pipeline": q_extract_pipeline,
     }
 
@@ -1099,6 +1137,65 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         # ann_lsh / extract_pipeline: semantics not expressible in SQL
+        # Curation passes: the 60-bit shingle hash is the md5-hex15
+        # construction shared with fingerprint/minhash, so DuckDB
+        # recomputes every hash bit-exactly.
+        "boilerplate_shingles": """
+            WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              range(1, greatest(len(w) - 4, 0) + 1),
+                              i -> ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),
+                                                   1, 15))::BIGINT)) AS sh
+                   FROM w),
+            ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+            freq AS (SELECT h, COUNT(*) AS n_docs FROM ex GROUP BY h),
+            per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+                           SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_boiler
+                    FROM ex JOIN freq USING (h) GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+                   ROUND(COALESCE(per.n_boiler / per.n_shingles, 0.0), 6) AS boiler_ratio
+            FROM sh s LEFT JOIN per USING (doc_id)
+        """.format(words=_WORDS_SQL),
+        "decontaminate": """
+            WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+            ng AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              range(1, greatest(len(w) - 7, 0) + 1),
+                              i -> ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')),
+                                                   1, 15))::BIGINT)) AS ng
+                   FROM w),
+            bench AS (SELECT DISTINCT unnest(ng) AS h FROM ng WHERE doc_id % 23 = 0),
+            corpus AS (SELECT doc_id, ng FROM ng WHERE doc_id % 23 <> 0),
+            ex AS (SELECT doc_id, unnest(ng) AS h FROM corpus),
+            per AS (SELECT ex.doc_id, COUNT(*) AS n_ngrams,
+                           SUM(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+                    FROM ex LEFT JOIN bench ON ex.h = bench.h GROUP BY ex.doc_id)
+            SELECT c.doc_id,
+                   CAST(COALESCE(per.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(per.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   COALESCE(per.n_overlap, 0) >= 1 AS contaminated
+            FROM corpus c LEFT JOIN per USING (doc_id)
+        """.format(words=_WORDS_SQL),
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+                  < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500
+                              WHEN 'de' THEN 1000 ELSE 0 END
+        """,
+        "host_cap": """
+            SELECT doc_id, source, CAST(host_rank AS INTEGER) AS host_rank FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                    1, 15))::BIGINT ASC,
+                                    doc_id ASC) AS host_rank
+                FROM documents)
+            WHERE host_rank <= 5
+        """,
         # (seeded hyperplane LSH; HTML DOM cascade). Oracle = committed
         # golden parquet produced by an INDEPENDENT reimplementation
         # (scripts/make_goldens.py: pure-Python LSH mirror resp. the

@@ -1,0 +1,214 @@
+"""Corpus-curation operators beyond per-document signals: the cross-
+document passes a web-scale training-data pipeline runs between
+extraction and tokenization.
+
+- boilerplate_shingle_stats : RefinedWeb/C4-style "line dedup" analogue
+  — fraction of a document made of spans that repeat across the corpus
+  (nav menus, cookie banners, legal footers). Spans are k-word shingles
+  because the curated unit here is whitespace text; on corpora with
+  real newlines pass a line splitter instead.
+- decontaminate             : benchmark-overlap flagging (GPT-3/Llama
+  style eval decontamination) — count n-grams shared with a benchmark
+  set and flag contaminated documents.
+- stratified_sample         : deterministic per-stratum quota sampling
+  (corpus mixing) via a reproducible md5 bucket — no RNG, so re-runs
+  and resumed partitions select the same documents.
+- host_cap                  : at most k documents per host/source,
+  selected by a stable hash order (domain-balance cap).
+
+All native column expressions; every shuffle carries ids + 60-bit
+hashes only, never document bodies. The 60-bit hash is the md5-hex15
+trick shared with fingerprint/minhash so the DuckDB oracle can
+recompute every operator exactly.
+
+Scale notes (100 TB):
+- boilerplate: explode is per-DISTINCT-shingle (bounded by doc length);
+  the groupBy key is a uniform hash -> no skew; partial aggregation
+  collapses each doc's rows map-side before both shuffles.
+- decontaminate: the benchmark n-gram set is explicitly broadcast (eval
+  sets are ~10^6-10^7 n-grams — megabytes); the corpus side shuffles
+  once, on doc id, carrying one boolean per n-gram (map-side combine
+  collapses to one row per doc before the exchange because exploded
+  rows of a doc are co-partitioned with their input split).
+- stratified_sample: map-only, zero shuffle.
+- host_cap: window over host; the shuffle carries (host, id, hash)
+  only. A pathological host with 10^9 docs makes one heavy partition —
+  the mitigation at that scale is a pre-filter on a sampled per-host
+  hash threshold; the cap semantics (ANY stable k per host) make the
+  approximation safe. Documented, not implemented: at 10^12 docs per
+  host the cap itself is the wrong tool.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _norm_words(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _shingle_hashes(words_col: str, k: int):
+    """Array of 60-bit hashes of the k-word shingles of `words_col`.
+
+    md5-hex15 (not xxhash64) so the DuckDB oracle recomputes it
+    verbatim. The guard mirrors word_shingles: sequence(1, n) with
+    n <= 0 is a DESCENDING [1, 0] and slice(_, 0, k) throws.
+    """
+    return F.expr(
+        f"CASE WHEN size({words_col}) >= {k} THEN "
+        f"transform(sequence(1, size({words_col}) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', slice({words_col}, i, {k}))), 1, 15), 16, 10) as bigint)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+
+
+def boilerplate_shingle_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate fraction: share of the document's
+    distinct k-word shingles that appear in >= min_docs distinct
+    documents corpus-wide (the RefinedWeb "exact line dedup" signal,
+    expressed over shingles).
+
+    Returns (id, n_shingles, n_boiler, boiler_ratio); docs shorter than
+    k words report 0 shingles and ratio 0.0.
+
+    Plan: distinct-per-doc explode -> groupBy shingle (count == count
+    of distinct docs because of the per-doc distinct) -> join back on
+    shingle -> groupBy doc. Both shuffles key on a uniform 60-bit hash
+    or the doc id; only (id, hash) pairs ride them.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("_id"), _norm_words(text_col).alias("_w"))
+        .select("_id", F.array_distinct(_shingle_hashes("_w", k)).alias("_sh"))
+    )
+    exploded = sh.select("_id", F.explode("_sh").alias("_h"))
+    freq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_n_docs"))
+    per_doc = (
+        exploded.join(freq, "_h")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_n_docs") >= min_docs, 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    # Left join back so shingle-less (short) docs keep a row.
+    return (
+        sh.select("_id")
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("n_boiler") / F.col("n_shingles"), F.lit(0.0)), 6
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct n-gram hashes shared with `bench_df` (same text_col), and
+    a contaminated flag at `min_overlap`.
+
+    The benchmark side is collapsed to its distinct n-gram hashes and
+    broadcast — the canonical plan at scale, since eval suites are
+    orders of magnitude smaller than the corpus. The corpus side
+    shuffles once, on the doc id, after a map-side partial aggregate.
+    """
+    bench = (
+        bench_df.select(_norm_words(text_col).alias("_w"))
+        .select(F.explode(F.array_distinct(_shingle_hashes("_w", n))).alias("_h"))
+        .distinct()
+        .select("_h", F.lit(1).alias("_hit"))
+    )
+    corpus = (
+        df.select(F.col(id_col).alias("_id"), _norm_words(text_col).alias("_w"))
+        .select("_id", F.array_distinct(_shingle_hashes("_w", n)).alias("_sh"))
+    )
+    exploded = corpus.select("_id", F.explode("_sh").alias("_h"))
+    overlap = (
+        exploded.join(F.broadcast(bench), "_h", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_overlap"),
+        )
+    )
+    return (
+        corpus.select("_id")
+        .join(overlap, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def sample_bucket(id_col: str = "doc_id", denom: int = 10000):
+    """Deterministic [0, denom) bucket from the md5 of the id — the
+    reproducible substitute for rand() so resumed/re-run partitions
+    sample identically (and the DuckDB oracle can recompute it)."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(denom))
+
+
+def stratified_sample(
+    df: DataFrame,
+    quotas: dict[str, float],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    denom: int = 10000,
+) -> DataFrame:
+    """Corpus-mixing sampler: keep a deterministic `quotas[stratum]`
+    fraction of each stratum (language, source, quality bin). Map-only,
+    zero shuffle, stable under re-runs and resume.
+
+    Rates are quantised to 1/denom steps (default 0.01%)."""
+    bucket = sample_bucket(id_col, denom)
+    thresh = F.lit(int(default_rate * denom))
+    for key, rate in sorted(quotas.items()):
+        thresh = F.when(F.col(strat_col) == key, F.lit(int(rate * denom))).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
+def host_cap(
+    df: DataFrame,
+    max_per_host: int,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-balance cap: keep at most `max_per_host` documents per
+    host, chosen by a stable hash order (so the kept set is independent
+    of input partitioning and re-runs). Returns the capped frame with a
+    `host_rank` column.
+
+    The rank shuffle carries (host, id, 60-bit hash) only; payload
+    columns are joined back by id afterwards by the caller if needed —
+    here the input frame is narrow so we rank in place.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy(host_col).orderBy(F.asc("_hord"), F.asc(id_col))
+    return (
+        df.withColumn("_hord", h)
+        .withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= max_per_host)
+        .drop("_hord")
+    )

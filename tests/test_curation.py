@@ -1,0 +1,93 @@
+"""Unit tests for cross-document curation operators (boilerplate
+shingle dedup, benchmark decontamination, stratified sampling, host
+caps)."""
+
+import pyspark.sql.functions as F
+
+from ocr_poc_spark.operators.curation import (
+    boilerplate_shingle_stats,
+    decontaminate,
+    host_cap,
+    stratified_sample,
+)
+
+BOILER = "we use cookies to improve your experience on this site"
+
+
+def _docs(spark):
+    rows = [
+        (1, BOILER + " alpha beta gamma delta epsilon zeta eta theta", "en", "s0"),
+        (2, BOILER + " one two three four five six seven eight nine", "en", "s0"),
+        (3, "completely unique text about spark pipelines and shuffles here", "en", "s1"),
+        (4, "tiny doc", "en", "s1"),  # < k words -> zero shingles
+        (5, BOILER, "fr", "s1"),  # pure boilerplate
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_boilerplate_ratio_bounds_and_short_doc(spark):
+    out = {r["doc_id"]: r for r in boilerplate_shingle_stats(_docs(spark), k=5).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 4 is shorter than k: zero shingles, ratio 0, no crash.
+    assert out[4]["n_shingles"] == 0 and out[4]["boiler_ratio"] == 0.0
+    # doc 3 shares nothing: ratio 0 with nonzero shingles.
+    assert out[3]["n_shingles"] > 0 and out[3]["n_boiler"] == 0
+    # doc 5 is a strict prefix of docs 1/2: every one of its shingles is
+    # shared, ratio exactly 1.
+    assert out[5]["boiler_ratio"] == 1.0
+    # docs 1/2 share the 10-word boilerplate prefix (6 shingles of the
+    # prefix window) but their tails differ.
+    assert 0.0 < out[1]["boiler_ratio"] < 1.0
+    assert out[1]["n_boiler"] == out[2]["n_boiler"]
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [(100, BOILER + " held out eval continuation", "en", "bench")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=8).collect()}
+    # Docs 1/2/5 contain the full boilerplate sentence -> 8-gram overlap.
+    assert out[1]["contaminated"] and out[2]["contaminated"] and out[5]["contaminated"]
+    assert not out[3]["contaminated"]
+    # Doc 4 has no 8-grams at all but still gets a row.
+    assert out[4]["n_ngrams"] == 0 and not out[4]["contaminated"]
+    # Overlap never exceeds the doc's own n-gram count.
+    assert all(r["n_overlap"] <= r["n_ngrams"] for r in out.values())
+
+
+def test_stratified_sample_deterministic_and_exhaustive(spark):
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    kept = stratified_sample(docs, {"en": 0.5, "fr": 0.1}, strat_col="lang")
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # md5 buckets are uniform: expect ~500 en, ~100 fr with slack.
+    assert 400 <= counts["en"] <= 600
+    assert 60 <= counts.get("fr", 0) <= 140
+    # Deterministic: the same call keeps the same ids.
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, {"en": 0.5, "fr": 0.1}, strat_col="lang").collect())
+    assert a == b
+    # Unlisted strata default to rate 0.
+    none_kept = stratified_sample(docs, {"en": 0.5}, strat_col="lang")
+    assert none_kept.where(F.col("lang") == "fr").count() == 0
+
+
+def test_host_cap_stable_under_partitioning(spark):
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    capped = host_cap(docs, max_per_host=10, host_col="source")
+    per_host = {r["source"]: r["n"] for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_host == {"h0": 10, "h1": 10, "h2": 10}
+    # The kept SET is a function of ids only, not of input partitioning.
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in host_cap(docs.repartition(7), max_per_host=10, host_col="source").collect()
+    )
+    assert a == b
