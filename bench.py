@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "embedding_topk", "ann_lsh",
     "proximity_binding", "sessionization", "lang_id", "fingerprint",
     "zone_transform", "multimodal_decode",
+    "boilerplate_shingles", "decontaminate",
 ]
 # embedding_near_dup is deliberately absent: it is the documented
 # all-pairs EXACT oracle variant (O(n^2)); the benchmarked scale path

@@ -41,6 +41,19 @@ def main(argv: list[str] | None = None) -> int:
              "signals over body_text",
     )
     ap.add_argument(
+        "--curate", action="store_true",
+        help="after extraction, write a per-doc keep-list "
+             "(cross-corpus boilerplate ratio + optional per-host cap)",
+    )
+    ap.add_argument(
+        "--max-boiler-ratio", type=float, default=0.5,
+        help="curation: drop docs whose duplicated-shingle ratio exceeds this",
+    )
+    ap.add_argument(
+        "--host-cap", type=int, default=None,
+        help="curation: keep at most N docs per host (stable hash order)",
+    )
+    ap.add_argument(
         "--dedup-method", choices=["minhash", "simhash"], default="minhash",
         help="near-dup detector: MinHash+LSH (exact-Jaccard verified) or "
              "SimHash banding (pigeonhole-exact recall)",
@@ -69,6 +82,17 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.job import run_corpus_stats
 
         summary.update(run_corpus_stats(spark, args.out))
+    if args.curate:
+        from .plans.job import run_curate
+
+        summary.update(
+            run_curate(
+                spark,
+                args.out,
+                max_boiler_ratio=args.max_boiler_ratio,
+                max_per_host=args.host_cap,
+            )
+        )
     print(json.dumps(summary))
     return 0
 

@@ -194,6 +194,7 @@ def host_cap(
     max_per_host: int,
     host_col: str = "source",
     id_col: str = "doc_id",
+    filter: bool = True,
 ) -> DataFrame:
     """Domain-balance cap: keep at most `max_per_host` documents per
     host, chosen by a stable hash order (so the kept set is independent
@@ -206,9 +207,11 @@ def host_cap(
     """
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
     w = Window.partitionBy(host_col).orderBy(F.asc("_hord"), F.asc(id_col))
-    return (
+    ranked = (
         df.withColumn("_hord", h)
         .withColumn("host_rank", F.row_number().over(w))
-        .where(F.col("host_rank") <= max_per_host)
         .drop("_hord")
     )
+    if filter:
+        ranked = ranked.where(F.col("host_rank") <= max_per_host)
+    return ranked

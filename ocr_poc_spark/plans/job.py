@@ -270,3 +270,47 @@ def run_corpus_stats(spark: SparkSession, out_dir: str) -> dict:
     stats.write.mode("overwrite").parquet(stats_dir)
     n = spark.read.parquet(stats_dir).count()
     return {"corpus_stats_rows": n, "corpus_stats_dir": stats_dir}
+
+
+def run_curate(
+    spark: SparkSession,
+    out_dir: str,
+    max_boiler_ratio: float = 0.5,
+    max_per_host: int | None = None,
+) -> dict:
+    """Post-extraction keep-list pass (training-data curation): flag
+    documents whose extracted body is mostly corpus-duplicated
+    boilerplate, and optionally cap documents per host for domain
+    balance -> <out>/curation parquet with one row per successful doc
+    (url, host, boiler stats, host_rank, kept).
+
+    Scale shape: boilerplate_shingle_stats shuffles ids + 60-bit hashes
+    only; the host cap ranks on (host, stable hash) — no document
+    bodies ride any exchange."""
+    from ..operators.curation import boilerplate_shingle_stats, host_cap
+
+    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    docs = ext.where(
+        F.col("success") & F.col("body_text").isNotNull()
+    ).select(
+        F.col("url").alias("doc_id"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.col("body_text").alias("text"),
+    )
+    boiler = boilerplate_shingle_stats(docs)
+    cur = docs.select("doc_id", "host").join(boiler, "doc_id")
+    if max_per_host is not None:
+        cur = host_cap(cur, max_per_host, host_col="host", filter=False)
+    else:
+        cur = cur.withColumn("host_rank", F.lit(1))
+    cur = cur.withColumn(
+        "kept",
+        (F.col("boiler_ratio") <= max_boiler_ratio)
+        & (F.col("host_rank") <= (max_per_host or 2**31 - 1)),
+    )
+    cur_dir = os.path.join(out_dir, "curation")
+    cur.write.mode("overwrite").parquet(cur_dir)
+    persisted = spark.read.parquet(cur_dir)
+    n = persisted.count()
+    n_kept = persisted.where("kept").count()
+    return {"curation_rows": n, "curation_kept": n_kept, "curation_dir": cur_dir}

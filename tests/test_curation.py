@@ -91,3 +91,35 @@ def test_host_cap_stable_under_partitioning(spark):
         for r in host_cap(docs.repartition(7), max_per_host=10, host_col="source").collect()
     )
     assert a == b
+
+
+def test_run_curate_stage(spark, pages_df, tmp_path):
+    """CLI curation stage: pages mirrored under a second host share
+    their whole body -> boiler_ratio 1.0 on mirror AND original, both
+    dropped; unique docs stay kept subject to the per-host cap; over-cap
+    and over-ratio rows remain in the list with kept=False."""
+    from collections import Counter
+
+    from ocr_poc_spark.plans.job import run_curate, run_job
+
+    base = pages_df.limit(40)
+    dups = base.limit(10).select(
+        F.concat(F.lit("https://mirror.example/x"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    out = str(tmp_path / "cur")
+    run_job(spark, base.unionByName(dups), out, mode="fused", n_buckets=2)
+    res = run_curate(spark, out, max_boiler_ratio=0.5, max_per_host=5)
+    rows = spark.read.parquet(res["curation_dir"]).collect()
+    assert res["curation_rows"] == len(rows) > 0
+    # mirrored bodies are fully duplicated -> ratio 1.0 -> dropped
+    mirrored = [r for r in rows if r["host"] == "mirror.example"]
+    assert mirrored and all(r["boiler_ratio"] == 1.0 and not r["kept"] for r in mirrored)
+    # host cap: kept docs per host never exceed 5; over-cap rows remain
+    # in the list (kept=False), not silently dropped
+    kept_hosts = Counter(r["host"] for r in rows if r["kept"])
+    assert kept_hosts and all(n <= 5 for n in kept_hosts.values())
+    assert res["curation_kept"] == sum(kept_hosts.values())
+    assert all(
+        r["kept"] == (r["boiler_ratio"] <= 0.5 and r["host_rank"] <= 5) for r in rows
+    )
