@@ -16,6 +16,7 @@ instead of nom/prenom/lieu/profession.
 
 from __future__ import annotations
 
+import threading
 from difflib import SequenceMatcher
 from functools import lru_cache
 
@@ -56,6 +57,29 @@ SLASH_HINT_WORDS = [
 ]
 
 
+# SequenceMatcher preprocesses only seq2 (__chain_b + the quick_ratio
+# char-multiset); every caller passes an anchor/label from the small
+# fixed vocabulary as str2, so reusing one matcher per seq2 skips that
+# preprocessing on every call. set_seq1 invalidates difflib's cached
+# matching blocks, so results are bit-identical to a fresh matcher.
+# Thread-local because set_seq1 mutates the matcher (one Spark python
+# worker runs one task, but don't rely on it).
+_SM_CACHE = threading.local()
+_SM_CACHE_CAP = 4096  # vocabulary is ~60 strings; cap is paranoia
+
+
+def _matcher_for(s2: str) -> SequenceMatcher:
+    cache = getattr(_SM_CACHE, "by_b", None)
+    if cache is None:
+        cache = _SM_CACHE.by_b = {}
+    sm = cache.get(s2)
+    if sm is None:
+        sm = SequenceMatcher(None, "", s2)
+        if len(cache) < _SM_CACHE_CAP:
+            cache[s2] = sm
+    return sm
+
+
 def similarity_score(str1: str, str2: str) -> float:
     """difflib ratio + prefix bonus, capped at 1.0 (exact ref port).
 
@@ -79,7 +103,8 @@ def similarity_score(str1: str, str2: str) -> float:
     # value can never matter — every caller only compares against
     # thresholds >= 0.70. Skips the quadratic matching loop for most
     # non-matching pairs.
-    sm = SequenceMatcher(None, s1, s2)
+    sm = _matcher_for(s2)
+    sm.set_seq1(s1)
     if 0.4 + 0.6 * sm.quick_ratio() < 0.70:
         return 0.0
     base = sm.ratio()
