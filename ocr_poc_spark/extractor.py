@@ -32,6 +32,7 @@ from __future__ import annotations
 import math
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from .textproc.html_blocks import Block, parse_html_blocks
 from .textproc.pdf_blocks import is_pdf, parse_pdf_blocks
@@ -273,19 +274,31 @@ def extract_fixed_format_fields(
     return values, claimed, remove
 
 
+@lru_cache(maxsize=131072)
+def _anchor_matches(text_upper: str) -> tuple[tuple[str, float], ...]:
+    """Per-field (field, sim) of the FIRST anchor in list order reaching
+    the threshold — a pure function of the block text, memoized because
+    block texts (labels, boilerplate) repeat heavily across documents.
+    similarity_score uppercases internally (idempotent), so passing the
+    pre-uppered text is exact."""
+    out = []
+    for fname, anchor_list in ANCHORS.items():
+        for anchor in anchor_list:
+            sim = similarity_score(text_upper, anchor)
+            if sim >= SIMILARITY_THRESHOLD:
+                out.append((fname, sim))
+                break
+    return tuple(out)
+
+
 def detect_anchors(data: list[Block]) -> dict[str, list[tuple[int, str, float]]]:
     """Fuzzy anchor detection (ref detect_anchors, _18_f.py:214-249):
     per (block, field) the FIRST anchor in list order reaching the
     threshold wins (inner break)."""
     detected: dict[str, list[tuple[int, str, float]]] = {f: [] for f in ANCHORS}
     for pos, b in enumerate(data):
-        tu = b.text.upper()
-        for fname, anchor_list in ANCHORS.items():
-            for anchor in anchor_list:
-                sim = similarity_score(tu, anchor)
-                if sim >= SIMILARITY_THRESHOLD:
-                    detected[fname].append((pos, b.text, sim))
-                    break
+        for fname, sim in _anchor_matches(b.text.upper()):
+            detected[fname].append((pos, b.text, sim))
     return detected
 
 
