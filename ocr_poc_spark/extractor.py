@@ -40,8 +40,8 @@ from .textproc.simtext import (
     ANCHOR_FIELDS,
     ANCHORS,
     SIMILARITY_THRESHOLD,
+    _sim_core,
     is_likely_label,
-    similarity_score,
 )
 
 # ---------------------------------------------------------------------------
@@ -279,12 +279,13 @@ def _anchor_matches(text_upper: str) -> tuple[tuple[str, float], ...]:
     """Per-field (field, sim) of the FIRST anchor in list order reaching
     the threshold — a pure function of the block text, memoized because
     block texts (labels, boilerplate) repeat heavily across documents.
-    similarity_score uppercases internally (idempotent), so passing the
-    pre-uppered text is exact."""
+    upper/strip are idempotent and the anchor constants are their own
+    normal form (asserted in simtext), so _sim_core here is exact."""
     out = []
+    tus = text_upper.strip()
     for fname, anchor_list in ANCHORS.items():
         for anchor in anchor_list:
-            sim = similarity_score(text_upper, anchor)
+            sim = _sim_core(tus, anchor)
             if sim >= SIMILARITY_THRESHOLD:
                 out.append((fname, sim))
                 break

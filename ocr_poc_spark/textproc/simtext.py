@@ -50,6 +50,13 @@ LABEL_WORDS = [
 ]
 _LABEL_WORDS_SET = frozenset(LABEL_WORDS)
 
+# _sim_core contract: the vocabulary constants must be their own
+# upper().strip() normal form (checked once here, not per call).
+assert all(
+    a == a.upper().strip()
+    for a in (*(x for v in ANCHORS.values() for x in v), *EXTRA_LABELS)
+)
+
 # Bilingual-slash hint words (ref _18_f.py:258).
 SLASH_HINT_WORDS = [
     "TITLE", "HEADLINE", "AUTHOR", "CATEGORY", "SECTION", "SUMMARY",
@@ -92,8 +99,14 @@ def similarity_score(str1: str, str2: str) -> float:
     mirrored by the relational path's pre-join length filter
     (operators/cascade.py).
     """
-    s1 = str1.upper().strip()
-    s2 = str2.upper().strip()
+    return _sim_core(str1.upper().strip(), str2.upper().strip())
+
+
+def _sim_core(s1: str, s2: str) -> float:
+    """similarity_score after normalisation — callers that already hold
+    upper().strip()'d strings (the label/anchor loops, which would
+    otherwise re-upper the same text once per vocabulary entry) call
+    this directly. upper/strip are idempotent, so this is exact."""
     l1, l2 = len(s1), len(s2)
     if 3 * min(l1, l2) < max(l1, l2):
         return 0.0
@@ -131,8 +144,9 @@ def is_likely_label(text: str) -> bool:
     if "/" in text and any(w in text_upper for w in SLASH_HINT_WORDS):
         return True
 
+    tus = text_upper.strip()
     for label in ALL_LABELS:
-        if similarity_score(text_upper, label) >= LABEL_SIM_THRESHOLD:
+        if _sim_core(tus, label) >= LABEL_SIM_THRESHOLD:
             return True
 
     words = text_upper.split()
