@@ -39,6 +39,7 @@ from .textproc.pdf_blocks import is_pdf, parse_pdf_blocks
 from .textproc.simtext import (
     ANCHOR_FIELDS,
     ANCHORS,
+    MAX_ANCHOR_LEN,
     SIMILARITY_THRESHOLD,
     _sim_core,
     is_likely_label,
@@ -283,6 +284,10 @@ def _anchor_matches(text_upper: str) -> tuple[tuple[str, float], ...]:
     normal form (asserted in simtext), so _sim_core here is exact."""
     out = []
     tus = text_upper.strip()
+    # Paragraph-length skip: the 3*min<max prune inside _sim_core zeroes
+    # every anchor when len(tus) > 3*MAX_ANCHOR_LEN — exact.
+    if len(tus) > 3 * MAX_ANCHOR_LEN:
+        return ()
     for fname, anchor_list in ANCHORS.items():
         for anchor in anchor_list:
             sim = _sim_core(tus, anchor)

@@ -56,6 +56,8 @@ assert all(
     a == a.upper().strip()
     for a in (*(x for v in ANCHORS.values() for x in v), *EXTRA_LABELS)
 )
+_MAX_LABEL_LEN = max(len(a) for a in ALL_LABELS)
+MAX_ANCHOR_LEN = max(len(a) for v in ANCHORS.values() for a in v)
 
 # Bilingual-slash hint words (ref _18_f.py:258).
 SLASH_HINT_WORDS = [
@@ -145,9 +147,13 @@ def is_likely_label(text: str) -> bool:
         return True
 
     tus = text_upper.strip()
-    for label in ALL_LABELS:
-        if _sim_core(tus, label) >= LABEL_SIM_THRESHOLD:
-            return True
+    # Whole-loop skip for paragraph-length text: 3*min < max prunes
+    # every label when len(tus) > 3*max label length, so the loop would
+    # contribute nothing (exact, same proof as the in-score prune).
+    if len(tus) <= 3 * _MAX_LABEL_LEN:
+        for label in ALL_LABELS:
+            if _sim_core(tus, label) >= LABEL_SIM_THRESHOLD:
+                return True
 
     words = text_upper.split()
     if len(words) > 1:
