@@ -606,6 +606,31 @@ def q_stratified_sample(spark, sf_dir):  # deterministic corpus-mixing sampler
     ).select("doc_id", "lang", "source")
 
 
+def q_normalize_urls(spark, sf_dir):  # URL canonicalization (first CC pass)
+    from ocr_poc_spark.operators.curation import normalize_urls
+
+    d = _t(spark, sf_dir, "documents")
+    # Deterministic messy URLs synthesised from doc_id (mixed case,
+    # default ports, tracking params, fragments) — the oracle builds the
+    # identical strings and normalises them with its own functions.
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Site"), (i % 7).cast("string"), F.lit(".COM"),
+        F.when(i % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/articles/"), i.cast("string"))
+        ),
+        F.when(i % 2 == 0, F.lit("?utm_source=tw&b=2&a=1"))
+        .when(i % 3 == 0, F.lit("?ref=home"))
+        .otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    return normalize_urls(d.select("doc_id", url.alias("url"))).select(
+        "doc_id", "url", "url_norm"
+    )
+
+
 def q_host_cap(spark, sf_dir):  # domain-balance cap, stable hash order
     from ocr_poc_spark.operators.curation import host_cap
 
@@ -651,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "host_cap": q_host_cap,
+        "normalize_urls": q_normalize_urls,
         "extract_pipeline": q_extract_pipeline,
     }
 
@@ -1184,6 +1210,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
                   < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500
                               WHEN 'de' THEN 1000 ELSE 0 END
+        """,
+        "normalize_urls": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                     || '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+                     || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN ''
+                              ELSE '/articles/' || CAST(doc_id AS VARCHAR) END)
+                     || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=tw&b=2&a=1'
+                              WHEN doc_id % 3 = 0 THEN '?ref=home' ELSE '' END)
+                     || (CASE WHEN doc_id % 4 = 0 THEN '#sec2' ELSE '' END) AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+                     lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS host0,
+                     regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS path0,
+                     regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS qs
+              FROM t),
+            q AS (
+              SELECT *,
+                     list_sort(list_filter(string_split(qs, '&'),
+                       prm -> NOT (starts_with(prm, 'utm_')
+                                   OR regexp_matches(prm, '^(fbclid|gclid|msclkid|ref)(=|$)')
+                                   OR prm = ''))) AS kept
+              FROM p)
+            SELECT doc_id, url,
+                   CASE WHEN scheme = '' THEN url
+                        ELSE scheme || '://'
+                             || (CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+                                      THEN substr(host0, 1, length(host0) - 3)
+                                      WHEN scheme = 'https' AND host0 LIKE '%:443'
+                                      THEN substr(host0, 1, length(host0) - 4)
+                                      ELSE host0 END)
+                             || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+                             || (CASE WHEN len(kept) > 0
+                                      THEN '?' || array_to_string(kept, '&')
+                                      ELSE '' END)
+                   END AS url_norm
+            FROM q
         """,
         "host_cap": """
             SELECT doc_id, source, CAST(host_rank AS INTEGER) AS host_rank FROM (

@@ -215,3 +215,63 @@ def host_cap(
     if filter:
         ranked = ranked.where(F.col("host_rank") <= max_per_host)
     return ranked
+
+
+# Tracking query parameters stripped by URL canonicalization (the usual
+# analytics/click-id set; compared on the part before '=').
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "fbclid", "gclid", "msclkid", "ref",
+)
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds `url_norm`: the canonical form of a URL — the first pass of
+    a web-corpus pipeline so trivially-different spellings of one
+    resource dedup exactly.
+
+    - scheme and host lowercased; default ports (:80 http, :443 https)
+      stripped; empty path -> '/'
+    - fragment dropped
+    - tracking params (TRACKING_PARAMS) removed; surviving query params
+      sorted byte-lexicographically; '?' dropped when none remain
+    - inputs not matching scheme://authority... pass through unchanged
+
+    Pure native expressions (regexp_extract + array HOFs), map-only,
+    zero shuffle; the DuckDB oracle mirrors it function-for-function."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    host = F.lower(F.regexp_extract(u, _URL_RE, 2))
+    path = F.regexp_extract(u, _URL_RE, 3)
+    qs = F.regexp_extract(u, _URL_RE, 4)
+    host = (
+        F.when(
+            (scheme == "http") & host.endswith(":80"),
+            host.substr(F.lit(1), F.length(host) - 3),
+        )
+        .when(
+            (scheme == "https") & host.endswith(":443"),
+            host.substr(F.lit(1), F.length(host) - 4),
+        )
+        .otherwise(host)
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda prm: ~(
+                prm.startswith("utm_")
+                | prm.rlike("^(fbclid|gclid|msclkid|ref)(=|$)")
+                | (prm == "")
+            ),
+        )
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    norm = F.when(
+        scheme == "", u  # non-URL input: pass through unchanged
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qtail))
+    return df.withColumn("url_norm", norm)

@@ -123,3 +123,21 @@ def test_run_curate_stage(spark, pages_df, tmp_path):
     assert all(
         r["kept"] == (r["boiler_ratio"] <= 0.5 and r["host_rank"] <= 5) for r in rows
     )
+
+
+def test_normalize_urls_edges(spark):
+    from ocr_poc_spark.operators.curation import normalize_urls
+
+    cases = {
+        "HTTP://WWW.Ex.COM:80/A/b?utm_source=tw&b=2&a=1#frag": "http://www.ex.com/A/b?a=1&b=2",
+        "https://ex.com:443": "https://ex.com/",
+        "https://ex.com:8443/x": "https://ex.com:8443/x",  # non-default port kept
+        "http://ex.com:443/x": "http://ex.com:443/x",  # :443 is not http's default
+        "https://ex.com/x?ref=home": "https://ex.com/x",
+        "https://ex.com/x?ref2=keep&fbclid=1": "https://ex.com/x?ref2=keep",  # prefix!=param
+        "https://ex.com/y?": "https://ex.com/y",
+        "not a url": "not a url",  # pass-through
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = {r["url"]: r["url_norm"] for r in normalize_urls(df).collect()}
+    assert out == cases
