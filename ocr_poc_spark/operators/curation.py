@@ -79,38 +79,41 @@ def boilerplate_shingle_stats(
     Returns (id, n_shingles, n_boiler, boiler_ratio); docs shorter than
     k words report 0 shingles and ratio 0.0.
 
-    Plan: distinct-per-doc explode -> groupBy shingle (count == count
-    of distinct docs because of the per-doc distinct) -> join back on
-    shingle -> groupBy doc. Both shuffles key on a uniform 60-bit hash
-    or the doc id; only (id, hash) pairs ride them.
+    Plan (exactly TWO exchanges, both on uniform keys, only (id, hash)
+    pairs riding them): distinct-per-doc explode -> per-hash document
+    count as a window over the 60-bit hash (count == distinct docs
+    because of the per-doc distinct; no self-join, the shingle md5s are
+    computed once) -> groupBy doc. Docs shorter than k words never
+    explode at all — they come back via a constant union branch keyed
+    on word count, so no join-back is needed for them either.
     """
-    sh = (
-        df.select(F.col(id_col).alias("_id"), _norm_words(text_col).alias("_w"))
-        .select("_id", F.array_distinct(_shingle_hashes("_w", k)).alias("_sh"))
+    base = df.select(F.col(id_col).alias("_id"), _norm_words(text_col).alias("_w"))
+    short = base.where(F.size("_w") < k).select(
+        F.col("_id").alias(id_col),
+        F.lit(0).cast("long").alias("n_shingles"),
+        F.lit(0).cast("long").alias("n_boiler"),
+        F.lit(0.0).alias("boiler_ratio"),
     )
-    exploded = sh.select("_id", F.explode("_sh").alias("_h"))
-    freq = exploded.groupBy("_h").agg(F.count(F.lit(1)).alias("_n_docs"))
+    exploded = (
+        base.where(F.size("_w") >= k)
+        .select("_id", F.explode(F.array_distinct(_shingle_hashes("_w", k))).alias("_h"))
+    )
+    w_hash = Window.partitionBy("_h")
     per_doc = (
-        exploded.join(freq, "_h")
+        exploded.withColumn("_n_docs", F.count(F.lit(1)).over(w_hash))
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(F.when(F.col("_n_docs") >= min_docs, 1).otherwise(0)).alias("n_boiler"),
         )
-    )
-    # Left join back so shingle-less (short) docs keep a row.
-    return (
-        sh.select("_id")
-        .join(per_doc, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
-            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
-            F.round(
-                F.coalesce(F.col("n_boiler") / F.col("n_shingles"), F.lit(0.0)), 6
-            ).alias("boiler_ratio"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_boiler").cast("long").alias("n_boiler"),
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_ratio"),
         )
     )
+    return per_doc.unionByName(short)
 
 
 def decontaminate(
@@ -128,19 +131,26 @@ def decontaminate(
     The benchmark side is collapsed to its distinct n-gram hashes and
     broadcast — the canonical plan at scale, since eval suites are
     orders of magnitude smaller than the corpus. The corpus side
-    shuffles once, on the doc id, after a map-side partial aggregate.
-    """
+    shuffles exactly once, on the doc id, after a map-side partial
+    aggregate; docs shorter than n words never explode and return via a
+    constant union branch (no join-back)."""
     bench = (
         bench_df.select(_norm_words(text_col).alias("_w"))
         .select(F.explode(F.array_distinct(_shingle_hashes("_w", n))).alias("_h"))
         .distinct()
         .select("_h", F.lit(1).alias("_hit"))
     )
-    corpus = (
-        df.select(F.col(id_col).alias("_id"), _norm_words(text_col).alias("_w"))
-        .select("_id", F.array_distinct(_shingle_hashes("_w", n)).alias("_sh"))
+    base = df.select(F.col(id_col).alias("_id"), _norm_words(text_col).alias("_w"))
+    short = base.where(F.size("_w") < n).select(
+        F.col("_id").alias(id_col),
+        F.lit(0).cast("long").alias("n_ngrams"),
+        F.lit(0).cast("long").alias("n_overlap"),
+        F.lit(min_overlap <= 0).alias("contaminated"),
     )
-    exploded = corpus.select("_id", F.explode("_sh").alias("_h"))
+    exploded = (
+        base.where(F.size("_w") >= n)
+        .select("_id", F.explode(F.array_distinct(_shingle_hashes("_w", n))).alias("_h"))
+    )
     overlap = (
         exploded.join(F.broadcast(bench), "_h", "left")
         .groupBy("_id")
@@ -148,17 +158,14 @@ def decontaminate(
             F.count(F.lit(1)).alias("n_ngrams"),
             F.sum(F.coalesce("_hit", F.lit(0))).alias("n_overlap"),
         )
-    )
-    return (
-        corpus.select("_id")
-        .join(overlap, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            (F.col("n_overlap") >= min_overlap).alias("contaminated"),
         )
     )
+    return overlap.unionByName(short)
 
 
 def sample_bucket(id_col: str = "doc_id", denom: int = 10000):

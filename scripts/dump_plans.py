@@ -74,6 +74,19 @@ def main() -> None:
             "sums keep the aggregation exact and associative.",
             em.queries()["tpch_top_orders"](spark, sf),
         ),
+        (
+            "Boilerplate shingle dedup (curation)",
+            "Both exchanges carry (id, 60-bit hash) pairs only — never "
+            "text; partial aggregation collapses per-doc rows map-side "
+            "before each shuffle.",
+            em.queries()["boilerplate_shingles"](spark, sf),
+        ),
+        (
+            "Benchmark decontamination (curation)",
+            "The benchmark n-gram side is a BroadcastExchange; the corpus "
+            "side shuffles once on doc id after a map-side partial agg.",
+            em.queries()["decontaminate"](spark, sf),
+        ),
     ]
 
     out = ["# PLANS — physical plans of headline operators\n"]
