@@ -98,6 +98,12 @@ Reference baseline: ~0.2-0.5 docs/s per replica (2-5 s/image,
 /root/reference/README.md:217, CPU OCR inference). This engine:
 ~{per_core:.0f} docs/s/core on synthetic HTML (2-60 KB pages; no neural
 OCR — the comparable quantity is per-document pipeline overhead).
+
+The table above times the compute path (noop sink) to isolate scaling.
+The full job CLI — parquet writes, bucket passes, per-partition
+lineage, manifest commits — on the same {n_pages}-page input at
+local[32] is recorded in NOTES.md / the round bench artifacts
+(`python -m ocr_poc_spark --input ... --cpus 32`).
 """
         )
     print(f"wrote BENCH/{out_name}")
