@@ -303,7 +303,13 @@ def detect_anchors(data: list[Block]) -> dict[str, list[tuple[int, str, float]]]
     threshold wins (inner break)."""
     detected: dict[str, list[tuple[int, str, float]]] = {f: [] for f in ANCHORS}
     for pos, b in enumerate(data):
-        for fname, sim in _anchor_matches(b.text.upper()):
+        tu = b.text.upper()
+        # Same check as inside _anchor_matches, but BEFORE the cache
+        # call: paragraph-length texts would otherwise fill the memo
+        # with multi-KB keys all mapping to ().
+        if len(tu.strip()) > 3 * MAX_ANCHOR_LEN:
+            continue
+        for fname, sim in _anchor_matches(tu):
             detected[fname].append((pos, b.text, sim))
     return detected
 

@@ -44,24 +44,17 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..functions.texthash import norm_words as _raw_norm_words
+from ..functions.texthash import shingle_hashes as _shingle_hashes
+
 
 def _norm_words(text_col: str):
-    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-
-
-def _shingle_hashes(words_col: str, k: int):
-    """Array of 60-bit hashes of the k-word shingles of `words_col`.
-
-    md5-hex15 (not xxhash64) so the DuckDB oracle recomputes it
-    verbatim. The guard mirrors word_shingles: sequence(1, n) with
-    n <= 0 is a DESCENDING [1, 0] and slice(_, 0, k) throws.
-    """
-    return F.expr(
-        f"CASE WHEN size({words_col}) >= {k} THEN "
-        f"transform(sequence(1, size({words_col}) - {k - 1}), "
-        f"i -> cast(conv(substring(md5(concat_ws(' ', slice({words_col}, i, {k}))), 1, 15), 16, 10) as bigint)) "
-        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    )
+    """Shared word tokenisation with this module's NULL contract: a
+    NULL text tokenises like '' (one empty word), so every input doc
+    gets an output row — NULL would satisfy neither size branch and
+    silently drop the row."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return _raw_norm_words(c)
 
 
 def boilerplate_shingle_stats(
@@ -188,11 +181,12 @@ def stratified_sample(
     fraction of each stratum (language, source, quality bin). Map-only,
     zero shuffle, stable under re-runs and resume.
 
-    Rates are quantised to 1/denom steps (default 0.01%)."""
+    Rates are quantised to 1/denom steps (default 0.01%); round, not
+    truncate — int(0.29 * 10000) is 2899 in IEEE-754."""
     bucket = sample_bucket(id_col, denom)
-    thresh = F.lit(int(default_rate * denom))
+    thresh = F.lit(int(round(default_rate * denom)))
     for key, rate in sorted(quotas.items()):
-        thresh = F.when(F.col(strat_col) == key, F.lit(int(rate * denom))).otherwise(thresh)
+        thresh = F.when(F.col(strat_col) == key, F.lit(int(round(rate * denom)))).otherwise(thresh)
     return df.where(bucket < thresh)
 
 
@@ -224,14 +218,23 @@ def host_cap(
     return ranked
 
 
-# Tracking query parameters stripped by URL canonicalization (the usual
-# analytics/click-id set; compared on the part before '=').
-TRACKING_PARAMS = (
-    "utm_source", "utm_medium", "utm_campaign", "utm_term",
-    "utm_content", "fbclid", "gclid", "msclkid", "ref",
-)
+# Tracking query parameters stripped by URL canonicalization: any param
+# whose name starts with a TRACKING_PREFIXES entry, plus the exact names
+# in TRACKING_PARAMS (compared on the part before '='). The filter
+# expression below is DERIVED from these constants; the DuckDB oracle in
+# __spark_entry__ spells out the same derived regex.
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref")
+_TRACKING_RE = "^(" + "|".join(TRACKING_PARAMS) + ")(=|$)"
 
 _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def _is_tracking_param(prm):
+    cond = prm.rlike(_TRACKING_RE) | (prm == "")
+    for pfx in TRACKING_PREFIXES:
+        cond = cond | prm.startswith(pfx)
+    return cond
 
 
 def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -242,8 +245,9 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     - scheme and host lowercased; default ports (:80 http, :443 https)
       stripped; empty path -> '/'
     - fragment dropped
-    - tracking params (TRACKING_PARAMS) removed; surviving query params
-      sorted byte-lexicographically; '?' dropped when none remain
+    - tracking params (TRACKING_PREFIXES / TRACKING_PARAMS) removed;
+      surviving query params sorted byte-lexicographically; '?' dropped
+      when none remain
     - inputs not matching scheme://authority... pass through unchanged
 
     Pure native expressions (regexp_extract + array HOFs), map-only,
@@ -265,16 +269,7 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         .otherwise(host)
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    kept = F.array_sort(
-        F.filter(
-            F.split(qs, "&"),
-            lambda prm: ~(
-                prm.startswith("utm_")
-                | prm.rlike("^(fbclid|gclid|msclkid|ref)(=|$)")
-                | (prm == "")
-            ),
-        )
-    )
+    kept = F.array_sort(F.filter(F.split(qs, "&"), lambda prm: ~_is_tracking_param(prm)))
     qtail = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))

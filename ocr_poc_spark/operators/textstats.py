@@ -108,23 +108,20 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     style). The window hash is the first 15 hex chars of md5 parsed as
     an integer — chosen over xxhash64 so an independent engine (the
     DuckDB oracle) can recompute the winnowed fingerprint exactly."""
+    from ..functions.texthash import shingle_hashes
+
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     words = F.split(norm, " ")
-    # Short docs (<5 words) yield winnow_fp = NULL, matching the DuckDB
-    # oracle's list_min([]) — NOT sequence(1, greatest(n,0)), which for
-    # short docs is the descending [1,0] and crashes slice() at index 0.
-    window_expr = (
-        "CASE WHEN size(_w) >= 5 THEN "
-        "array_min(transform(sequence(1, size(_w) - 4), "
-        "i -> cast(conv(substring(md5(concat_ws(' ', slice(_w, i, 5))), 1, 15), 16, 10) as bigint))) "
-        "ELSE CAST(NULL AS BIGINT) END"
-    )
+    # Short docs (<5 words) yield winnow_fp = NULL: shingle_hashes gives
+    # them an EMPTY array (never the sequence(1, greatest(n,0)) trap,
+    # which is the descending [1,0] and crashes slice() at index 0) and
+    # array_min([]) is NULL — matching the DuckDB oracle's list_min([]).
     return (
         df.withColumn("_w", words)
         .select(
             id_col,
             F.md5(norm).alias("md5_fp"),
-            F.expr(window_expr).alias("winnow_fp"),
+            F.array_min(shingle_hashes("_w", 5)).alias("winnow_fp"),
         )
     )
 

@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.cascade import run_cascade
 from ..operators.lineage import partition_metrics
@@ -294,19 +294,30 @@ def run_curate(
         F.col("success") & F.col("body_text").isNotNull()
     ).select(
         F.col("url").alias("doc_id"),
-        F.parse_url("url", F.lit("HOST")).alias("host"),
+        # Unparseable URLs must not all compete for one NULL-host cap
+        # bucket: fall back to the full url (each gets its own "host").
+        F.coalesce(F.parse_url("url", F.lit("HOST")), F.col("url")).alias("host"),
         F.col("body_text").alias("text"),
+    )
+    # Re-crawled corpora carry the same url on several extracted rows;
+    # the keep-list is one decision per url, so collapse to ONE
+    # deterministic representative (lowest body hash) before any stats.
+    w_url = Window.partitionBy("doc_id").orderBy(F.md5("text"))
+    docs = (
+        docs.withColumn("_rn", F.row_number().over(w_url))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
     boiler = boilerplate_shingle_stats(docs)
     cur = docs.select("doc_id", "host").join(boiler, "doc_id")
     if max_per_host is not None:
         cur = host_cap(cur, max_per_host, host_col="host", filter=False)
+        cap_ok = F.col("host_rank") <= max_per_host
     else:
         cur = cur.withColumn("host_rank", F.lit(1))
+        cap_ok = F.lit(True)
     cur = cur.withColumn(
-        "kept",
-        (F.col("boiler_ratio") <= max_boiler_ratio)
-        & (F.col("host_rank") <= (max_per_host or 2**31 - 1)),
+        "kept", (F.col("boiler_ratio") <= max_boiler_ratio) & cap_ok
     )
     cur_dir = os.path.join(out_dir, "curation")
     cur.write.mode("overwrite").parquet(cur_dir)

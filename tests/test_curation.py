@@ -141,3 +141,51 @@ def test_normalize_urls_edges(spark):
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     out = {r["url"]: r["url_norm"] for r in normalize_urls(df).collect()}
     assert out == cases
+
+
+def test_null_text_docs_keep_rows(spark):
+    """NULL text must not vanish from curation outputs (ANSI size(NULL)
+    is NULL, which satisfies neither size branch without the coalesce)."""
+    docs = spark.createDataFrame(
+        [(1, None, "en", "s0"), (2, BOILER + " tail words here", "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    b = {r["doc_id"]: r for r in boilerplate_shingle_stats(docs, k=5).collect()}
+    assert b[1]["n_shingles"] == 0 and b[1]["boiler_ratio"] == 0.0
+    d = {r["doc_id"]: r for r in decontaminate(docs, docs.where("doc_id = 2"), n=8).collect()}
+    assert d[1]["n_ngrams"] == 0 and not d[1]["contaminated"]
+
+
+def test_run_curate_dup_urls_and_zero_cap(spark, tmp_path):
+    """Re-crawled duplicate urls collapse to ONE keep-list row; unparsed
+    urls do not share a NULL-host cap bucket; --host-cap 0 keeps nothing
+    (falsy-zero must not disable the cap)."""
+    from ocr_poc_spark.plans.job import run_curate
+
+    out = str(tmp_path / "dup")
+    rows = [
+        ("https://a.example/x", True, "alpha beta gamma delta epsilon zeta"),
+        ("https://a.example/x", True, "totally different recrawl body content here"),
+        ("https://b.example/y", True, "one two three four five six seven"),
+        ("not-a-parseable-url-1", True, "unique body one two three four"),
+        ("not-a-parseable-url-2", True, "another body five six seven eight"),
+    ]
+    spark.createDataFrame(rows, "url string, success boolean, body_text string").write.parquet(
+        out + "/extracted"
+    )
+    res = run_curate(spark, out, max_boiler_ratio=0.9, max_per_host=1)
+    rows_out = spark.read.parquet(res["curation_dir"]).collect()
+    ids = [r["doc_id"] for r in rows_out]
+    assert sorted(ids) == sorted(set(ids)) and len(ids) == 4  # dup url collapsed
+    # each unparseable url is its own host -> both kept under cap 1
+    unparsed = [r for r in rows_out if r["doc_id"].startswith("not-a-parseable")]
+    assert len(unparsed) == 2 and all(r["kept"] for r in unparsed)
+    # deterministic representative: re-running yields identical stats
+    res2 = run_curate(spark, out, max_boiler_ratio=0.9, max_per_host=1)
+    a = sorted(map(tuple, rows_out))
+    b = sorted(map(tuple, spark.read.parquet(res2["curation_dir"]).collect()))
+    assert a == b
+    # host-cap 0: every row present, none kept
+    res0 = run_curate(spark, out, max_boiler_ratio=0.9, max_per_host=0)
+    rows0 = spark.read.parquet(res0["curation_dir"]).collect()
+    assert len(rows0) == 4 and not any(r["kept"] for r in rows0)
