@@ -189,3 +189,38 @@ def test_run_curate_dup_urls_and_zero_cap(spark, tmp_path):
     res0 = run_curate(spark, out, max_boiler_ratio=0.9, max_per_host=0)
     rows0 = spark.read.parquet(res0["curation_dir"]).collect()
     assert len(rows0) == 4 and not any(r["kept"] for r in rows0)
+
+
+def test_normalize_urls_idempotent_combinatorial(spark):
+    """Canonicalization invariants over a combinatorial URL corpus:
+    normalize(normalize(u)) == normalize(u); no fragment or tracking
+    param survives; scheme/host come out lowercase."""
+    import itertools
+
+    from ocr_poc_spark.operators.curation import normalize_urls
+
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["Ex.COM", "ex.com:80", "EX.com:443", "ex.com:8080", ""]
+    paths = ["", "/", "/A/b%20c", "//double"]
+    queries = ["", "?", "?utm_source=x", "?b=2&a=1", "?ref", "?ref=&x=1&utm_a=2",
+               "?a=1&a=0", "?=bare&key="]
+    frags = ["", "#f", "#a?b=1"]
+    urls = [
+        f"{s}://{h}{p}{q}{fr}"
+        for s, h, p, q, fr in itertools.product(schemes, hosts, paths, queries, frags)
+    ] + ["", "no-scheme/path?utm_source=x", "http:/one-slash", "://nohost"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = normalize_urls(df).select(F.col("url_norm").alias("url"))
+    twice = normalize_urls(once)
+    rows = twice.collect()
+    assert all(r["url_norm"] == r["url"] for r in rows)  # idempotent
+    for r in rows:
+        u = r["url"]
+        if "://" not in u:
+            continue  # pass-through inputs
+        assert "#" not in u  # fragments never survive normalization
+        if "?" in u:
+            for prm in u.split("?", 1)[1].split("&"):
+                assert not prm.startswith("utm_") and prm.split("=")[0] not in (
+                    "fbclid", "gclid", "msclkid", "ref",
+                )
