@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
         help="curation: keep at most N docs per host (stable hash order)",
     )
     ap.add_argument(
+        "--decontaminate", metavar="BENCH_PARQUET", default=None,
+        help="after extraction, flag docs sharing 8-grams with the "
+             "benchmark corpus (parquet with a text column)",
+    )
+    ap.add_argument(
         "--dedup-method", choices=["minhash", "simhash"], default="minhash",
         help="near-dup detector: MinHash+LSH (exact-Jaccard verified) or "
              "SimHash banding (pigeonhole-exact recall)",
@@ -82,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.job import run_corpus_stats
 
         summary.update(run_corpus_stats(spark, args.out))
+    if args.decontaminate:
+        from .plans.job import run_decontaminate
+
+        summary.update(run_decontaminate(spark, args.out, args.decontaminate))
     if args.curate:
         from .plans.job import run_curate
 

@@ -325,3 +325,36 @@ def run_curate(
     n = persisted.count()
     n_kept = persisted.where("kept").count()
     return {"curation_rows": n, "curation_kept": n_kept, "curation_dir": cur_dir}
+
+
+def run_decontaminate(
+    spark: SparkSession,
+    out_dir: str,
+    bench_path: str,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> dict:
+    """Post-extraction eval-set decontamination: flag extracted docs
+    sharing >= min_overlap distinct n-grams with the benchmark corpus
+    (parquet with a `text` column) -> <out>/contamination parquet.
+
+    The benchmark n-gram set is broadcast; the corpus shuffles once on
+    doc id (see operators/curation.decontaminate)."""
+    from ..operators.curation import decontaminate
+
+    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    docs = ext.where(
+        F.col("success") & F.col("body_text").isNotNull()
+    ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+    bench = spark.read.parquet(bench_path).select("text")
+    res = decontaminate(docs, bench, n=n, min_overlap=min_overlap)
+    res_dir = os.path.join(out_dir, "contamination")
+    res.write.mode("overwrite").parquet(res_dir)
+    persisted = spark.read.parquet(res_dir)
+    n_rows = persisted.count()
+    n_bad = persisted.where("contaminated").count()
+    return {
+        "contamination_rows": n_rows,
+        "contaminated_docs": n_bad,
+        "contamination_dir": res_dir,
+    }

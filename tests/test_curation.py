@@ -224,3 +224,30 @@ def test_normalize_urls_idempotent_combinatorial(spark):
                 assert not prm.startswith("utm_") and prm.split("=")[0] not in (
                     "fbclid", "gclid", "msclkid", "ref",
                 )
+
+
+def test_run_decontaminate_stage(spark, pages_df, tmp_path):
+    """CLI decontamination stage: a benchmark built from a subset of the
+    extracted bodies flags exactly the docs whose bodies contain those
+    8-grams; clean docs pass."""
+    from ocr_poc_spark.plans.job import run_decontaminate, run_job
+
+    out = str(tmp_path / "dc")
+    run_job(spark, pages_df.limit(40), out, mode="fused", n_buckets=2)
+    ext = spark.read.parquet(out + "/extracted").where(
+        "success AND body_text IS NOT NULL"
+    )
+    bench_urls = {r["url"] for r in ext.limit(5).select("url").collect()}
+    bench_path = str(tmp_path / "bench.parquet")
+    ext.where(F.col("url").isin(list(bench_urls))).select(
+        F.col("body_text").alias("text")
+    ).write.parquet(bench_path)
+    res = run_decontaminate(spark, out, bench_path)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(res["contamination_dir"]).collect()}
+    assert res["contamination_rows"] == len(rows) == ext.count()
+    # every benchmark-source doc (with >= 8 words) must be flagged
+    flagged = {d for d, r in rows.items() if r["contaminated"]}
+    long_bench = {d for d in bench_urls if rows[d]["n_ngrams"] > 0}
+    assert long_bench and long_bench <= flagged
+    # and at least one non-benchmark doc stays clean
+    assert any(d not in flagged for d in rows if d not in bench_urls)
