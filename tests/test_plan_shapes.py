@@ -66,3 +66,46 @@ def test_minhash_band_shuffle_carries_ids_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line and "band" in line:
             assert "sh_a" not in line and "sh_b" not in line and "shingles" not in line, line
+
+
+def test_boilerplate_plan_two_exchanges_no_join(spark):
+    """boilerplate_shingle_stats must keep its no-join-back shape:
+    exactly two hash exchanges (shingle hash, doc id), no join operator,
+    and no text column riding an exchange."""
+    from ocr_poc_spark.operators.curation import boilerplate_shingle_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x")], "doc_id long, text string"
+    )
+    plan = _plan(boilerplate_shingle_stats(docs))
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_decontaminate_plan_broadcast_bench_one_shuffle(spark):
+    """decontaminate must broadcast the benchmark n-gram side and
+    shuffle the corpus exactly once (on doc id)."""
+    from ocr_poc_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d e f g h")], "doc_id long, text string")
+    plan = _plan(decontaminate(docs, bench))
+    assert "BroadcastExchange" in plan, plan
+    # corpus-side shuffles: one for the doc-id aggregate; the bench side
+    # needs one for its distinct (small side, pre-broadcast)
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 2, plan
+
+
+def test_normalize_and_sample_are_zero_shuffle(spark):
+    """normalize_urls and stratified_sample are map-only passes."""
+    from ocr_poc_spark.operators.curation import normalize_urls, stratified_sample
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.example/x", "en")], "doc_id long, url string, lang string"
+    )
+    assert "Exchange" not in _plan(normalize_urls(docs))
+    assert "Exchange" not in _plan(stratified_sample(docs, {"en": 0.5}))
