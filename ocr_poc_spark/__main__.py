@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
         help="curation: keep at most N docs per host (stable hash order)",
     )
     ap.add_argument(
+        "--sample", metavar="LANG=RATE[,..]", default=None,
+        help="after extraction, write a deterministic stratified sample "
+             "keep-list by verified language (e.g. en=0.5,fr=0.25)",
+    )
+    ap.add_argument(
         "--decontaminate", metavar="BENCH_PARQUET", default=None,
         help="after extraction, flag docs sharing 8-grams with the "
              "benchmark corpus (parquet with a text column)",
@@ -91,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.job import run_decontaminate
 
         summary.update(run_decontaminate(spark, args.out, args.decontaminate))
+    if args.sample:
+        from .plans.job import run_sample
+
+        quotas = {}
+        for part in args.sample.split(","):
+            key, _, rate = part.partition("=")
+            quotas[key.strip()] = float(rate)
+        summary.update(run_sample(spark, args.out, quotas))
     if args.curate:
         from .plans.job import run_curate
 

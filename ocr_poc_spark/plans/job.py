@@ -358,3 +358,19 @@ def run_decontaminate(
         "contaminated_docs": n_bad,
         "contamination_dir": res_dir,
     }
+
+
+def run_sample(spark: SparkSession, out_dir: str, quotas: dict[str, float]) -> dict:
+    """Post-extraction corpus-mixing pass: deterministically sample the
+    extracted docs per verified language (`lang_guess`, written by
+    run_job) at the given per-stratum rates -> <out>/sample parquet
+    (url + lang_guess keep-list). Map-only, reproducible under resume."""
+    from ..operators.curation import stratified_sample
+
+    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    docs = ext.where(F.col("success")).select("url", "lang_guess")
+    kept = stratified_sample(docs, quotas, strat_col="lang_guess", id_col="url")
+    smp_dir = os.path.join(out_dir, "sample")
+    kept.write.mode("overwrite").parquet(smp_dir)
+    n = spark.read.parquet(smp_dir).count()
+    return {"sample_rows": n, "sample_dir": smp_dir, "sample_quotas": quotas}

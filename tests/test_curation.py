@@ -251,3 +251,22 @@ def test_run_decontaminate_stage(spark, pages_df, tmp_path):
     assert long_bench and long_bench <= flagged
     # and at least one non-benchmark doc stays clean
     assert any(d not in flagged for d in rows if d not in bench_urls)
+
+
+def test_run_sample_stage(spark, pages_df, tmp_path):
+    """CLI sampling stage: deterministic per-language keep-list at the
+    requested rates; unlisted strata drop to zero; re-run identical."""
+    from ocr_poc_spark.plans.job import run_job, run_sample
+
+    out = str(tmp_path / "smp")
+    run_job(spark, pages_df.limit(60), out, mode="fused", n_buckets=2)
+    res = run_sample(spark, out, {"en": 1.0, "fr": 0.5})
+    kept = spark.read.parquet(res["sample_dir"]).collect()
+    ext = spark.read.parquet(out + "/extracted").where("success")
+    n_en = ext.where("lang_guess = 'en'").count()
+    langs = {r["lang_guess"] for r in kept}
+    assert "de" not in langs and "unknown" not in langs
+    assert sum(1 for r in kept if r["lang_guess"] == "en") == n_en  # rate 1.0 keeps all
+    a = sorted(r["url"] for r in kept)
+    b = sorted(r["url"] for r in spark.read.parquet(run_sample(spark, out, {"en": 1.0, "fr": 0.5})["sample_dir"]).collect())
+    assert a == b
