@@ -631,6 +631,20 @@ def q_normalize_urls(spark, sf_dir):  # URL canonicalization (first CC pass)
     )
 
 
+def q_chunk_documents(spark, sf_dir):  # training-sequence chunking
+    from ocr_poc_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents", spread=True), chunk_tokens=32, stride=16
+    )
+
+
+def q_vocab_topk(spark, sf_dir):  # corpus vocabulary stats
+    from ocr_poc_spark.operators.curation import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents", spread=True), top_k=50, min_count=2)
+
+
 def q_host_cap(spark, sf_dir):  # domain-balance cap, stable hash order
     from ocr_poc_spark.operators.curation import host_cap
 
@@ -677,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "host_cap": q_host_cap,
         "normalize_urls": q_normalize_urls,
+        "chunk_documents": q_chunk_documents,
+        "vocab_topk": q_vocab_topk,
         "extract_pipeline": q_extract_pipeline,
     }
 
@@ -1211,6 +1227,31 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500
                               WHEN 'de' THEN 1000 ELSE 0 END
         """,
+        "chunk_documents": """
+            WITH t AS (SELECT doc_id, {words} AS w FROM documents),
+            n AS (SELECT doc_id, w,
+                         1 + CAST(ceil(greatest(len(w) - 32, 0) / 16.0) AS INTEGER) AS nc
+                  FROM t)
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   array_to_string(w[i*16 + 1 : i*16 + 32], ' ') AS chunk_text,
+                   CAST(len(w[i*16 + 1 : i*16 + 32]) AS INTEGER) AS n_tokens
+            FROM n, unnest(range(0, nc)) AS u(i)
+        """.format(words=_WORDS_SQL),
+        "vocab_topk": """
+            WITH ws AS (SELECT {words} AS w FROM documents),
+            tf AS (SELECT term, COUNT(*) AS term_count
+                   FROM (SELECT unnest(w) AS term FROM ws)
+                   WHERE term <> '' GROUP BY term),
+            docf AS (SELECT term, COUNT(*) AS doc_count
+                     FROM (SELECT unnest(list_distinct(w)) AS term FROM ws)
+                     WHERE term <> '' GROUP BY term)
+            SELECT term, CAST(term_count AS BIGINT) AS term_count,
+                   CAST(doc_count AS BIGINT) AS doc_count
+            FROM tf JOIN docf USING (term)
+            WHERE term_count >= 2
+            ORDER BY term_count DESC, term ASC LIMIT 50
+        """.format(words=_WORDS_SQL),
         "normalize_urls": r"""
             WITH t AS (
               SELECT doc_id,

@@ -277,3 +277,77 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         scheme == "", u  # non-URL input: pass through unchanged
     ).otherwise(F.concat(scheme, F.lit("://"), host, path, qtail))
     return df.withColumn("url_norm", norm)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Training-sequence prep: split each document into fixed-size
+    word windows with overlap (stride < chunk_tokens) — the per-document
+    half of sequence packing. Returns (id, chunk_idx, chunk_text,
+    n_tokens); a doc shorter than one window yields its single short
+    chunk. Map-only + explode: zero shuffle, linear at any corpus size.
+
+    Window starts step by `stride`; the last window may be short but is
+    never empty; starts past the end emit nothing (a doc of w words has
+    ceil(max(w - chunk_tokens, 0) / stride) + 1 chunks).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    w = _norm_words(text_col)
+    n_chunks = F.expr(
+        f"1 + cast(ceil(greatest(size(_w) - {chunk_tokens}, 0) / {stride}) as int)"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, _nc - 1), "
+        f"i -> struct(i as chunk_idx, "
+        f"concat_ws(' ', slice(_w, i * {stride} + 1, {chunk_tokens})) as chunk_text, "
+        f"size(slice(_w, i * {stride} + 1, {chunk_tokens})) as n_tokens))"
+    )
+    return (
+        df.select(F.col(id_col).alias(id_col), w.alias("_w"))
+        .withColumn("_nc", n_chunks)
+        .select(id_col, F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary stats: global term frequencies + document
+    frequencies, top-k by count (count desc, term asc — deterministic).
+
+    Plan: explode words -> ONE groupBy on the term (map-side partial
+    aggregation collapses each split's repeats first; term keys are the
+    natural hash-partitioned shuffle) -> distributed top-k via
+    sort+limit (TakeOrderedAndProject, never a global window).
+    """
+    words = df.select(_norm_words(text_col).alias("_w"))
+    terms = words.select(F.explode("_w").alias("term")).where(F.col("term") != "")
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    docf = (
+        df.select(F.array_distinct(_norm_words(text_col)).alias("_w"))
+        .select(F.explode("_w").alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    return (
+        tf.join(docf, "term")
+        .where(F.col("term_count") >= min_count)
+        .orderBy(F.desc("term_count"), F.asc("term"))
+        .limit(top_k)
+    )

@@ -270,3 +270,43 @@ def test_run_sample_stage(spark, pages_df, tmp_path):
     a = sorted(r["url"] for r in kept)
     b = sorted(r["url"] for r in spark.read.parquet(run_sample(spark, out, {"en": 1.0, "fr": 0.5})["sample_dir"]).collect())
     assert a == b
+
+
+def test_chunk_documents_windows(spark):
+    from ocr_poc_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 words, windows start at 0,2,4,6 -> 1+ceil(6/2)=4 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4, 4]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w2 w3 w4 w5"
+    assert c1[-1]["chunk_text"] == "w6 w7 w8 w9"
+    # overlap coverage: every word appears in some chunk
+    covered = set(" ".join(r["chunk_text"] for r in c1).split())
+    assert covered == {f"w{i}" for i in range(10)}
+    # doc 2: shorter than one window -> single short chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 2
+    # doc 3 (NULL text): one chunk of the empty word
+    assert len(by_doc[3]) == 1
+
+
+def test_vocab_topk_counts_and_order(spark):
+    from ocr_poc_spark.operators.curation import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "banana")],
+        "doc_id long, text string",
+    )
+    out = vocab_topk(docs, top_k=2, min_count=1).collect()
+    assert [(r["term"], r["term_count"], r["doc_count"]) for r in out] == [
+        ("apple", 3, 2),
+        ("banana", 2, 2),
+    ]
