@@ -289,13 +289,22 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with PROVABLY exact recall: band on
     max_hamming+1 disjoint bit slices (see _band_slices), candidate ids
     only through the band self-join, verify bit_count(xor) <= max_hamming
     after pair-dedup. Output == exact all-pairs hamming filter, which is
-    what the DuckDB oracle checks."""
+    what the DuckDB oracle checks.
+
+    The fingerprint frame is referenced FOUR times in this DAG (both
+    band sides + two per-pair join-backs); without materialization the
+    60-bit-slice aggregation over every token would run 4x. The frame is
+    (id, long) — trivially small; at 10^12 docs write it as an
+    intermediate table instead (materialize=False + caller persists)."""
     s = simhash(df, id_col, text_col)
+    if materialize:
+        s = s.localCheckpoint(eager=True)
     bands = F.array(
         *[
             F.struct(
