@@ -1233,7 +1233,8 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'de' THEN 1000 ELSE 0 END
         """,
         "chunk_documents": """
-            WITH t AS (SELECT doc_id, {words} AS w FROM documents),
+            WITH t AS (SELECT doc_id, {words} AS w FROM documents
+                       WHERE length(trim(text)) > 0),
             n AS (SELECT doc_id, w,
                          1 + CAST(ceil(greatest(len(w) - 32, 0) / 16.0) AS INTEGER) AS nc
                   FROM t)

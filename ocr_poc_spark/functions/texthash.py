@@ -42,3 +42,11 @@ def shingle_hashes_expr(words_col: str, k: int) -> str:
 def shingle_hashes(words_col: str, k: int):
     """Column form of shingle_hashes_expr."""
     return F.expr(shingle_hashes_expr(words_col, k))
+
+
+def hash60(col):
+    """60-bit md5-hex15 hash of an arbitrary column (cast to string) —
+    the Column form of the construction above, for ids/terms rather
+    than shingles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")

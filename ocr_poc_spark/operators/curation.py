@@ -44,6 +44,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..functions.texthash import hash60
 from ..functions.texthash import norm_words as _raw_norm_words
 from ..functions.texthash import shingle_hashes as _shingle_hashes
 
@@ -165,8 +166,7 @@ def sample_bucket(id_col: str = "doc_id", denom: int = 10000):
     """Deterministic [0, denom) bucket from the md5 of the id — the
     reproducible substitute for rand() so resumed/re-run partitions
     sample identically (and the DuckDB oracle can recompute it)."""
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-    return F.pmod(h.cast("long"), F.lit(denom))
+    return F.pmod(hash60(id_col), F.lit(denom))
 
 
 def stratified_sample(
@@ -206,7 +206,7 @@ def host_cap(
     columns are joined back by id afterwards by the caller if needed —
     here the input frame is narrow so we rank in place.
     """
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    h = hash60(id_col)
     w = Window.partitionBy(host_col).orderBy(F.asc("_hord"), F.asc(id_col))
     ranked = (
         df.withColumn("_hord", h)
@@ -287,10 +287,13 @@ def chunk_documents(
     stride: int = 64,
 ) -> DataFrame:
     """Training-sequence prep: split each document into fixed-size
-    word windows with overlap (stride < chunk_tokens) — the per-document
-    half of sequence packing. Returns (id, chunk_idx, chunk_text,
-    n_tokens); a doc shorter than one window yields its single short
-    chunk. Map-only + explode: zero shuffle, linear at any corpus size.
+    word windows with overlap (stride <= chunk_tokens, enforced — a
+    larger stride would silently drop the words between windows) — the
+    per-document half of sequence packing. Returns (id, chunk_idx,
+    chunk_text, n_tokens); a doc shorter than one window yields its
+    single short chunk; an EMPTY (or NULL / whitespace-only) doc yields
+    no chunks at all. Map-only + explode: zero shuffle, linear at any
+    corpus size.
 
     Window starts step by `stride`; the last window may be short but is
     never empty; starts past the end emit nothing (a doc of w words has
@@ -298,6 +301,12 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would drop "
+            "the words between windows"
+        )
+    df = df.where(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
     w = _norm_words(text_col)
     n_chunks = F.expr(
         f"1 + cast(ceil(greatest(size(_w) - {chunk_tokens}, 0) / {stride}) as int)"
@@ -330,23 +339,25 @@ def vocab_topk(
     """Corpus vocabulary stats: global term frequencies + document
     frequencies, top-k by count (count desc, term asc — deterministic).
 
-    Plan: explode words -> ONE groupBy on the term (map-side partial
-    aggregation collapses each split's repeats first; term keys are the
-    natural hash-partitioned shuffle) -> distributed top-k via
-    sort+limit (TakeOrderedAndProject, never a global window).
+    Plan: ONE scan + tokenization -> explode (doc, term) occurrences ->
+    groupBy (term, doc) with map-side partial aggregation (collapses a
+    doc's repeats before the exchange) -> groupBy term over the tiny
+    per-(term, doc) rows (term_count = sum, doc_count = count) ->
+    distributed top-k via sort+limit (TakeOrderedAndProject, never a
+    global window). No self-join, no second pass over the corpus.
     """
-    words = df.select(_norm_words(text_col).alias("_w"))
-    terms = words.select(F.explode("_w").alias("term")).where(F.col("term") != "")
-    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
-    docf = (
-        df.select(F.array_distinct(_norm_words(text_col)).alias("_w"))
-        .select(F.explode("_w").alias("term"))
+    terms = (
+        df.select(F.monotonically_increasing_id().alias("_d"), _norm_words(text_col).alias("_w"))
+        .select("_d", F.explode("_w").alias("term"))
         .where(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("doc_count"))
     )
+    per_doc = terms.groupBy("term", "_d").agg(F.count(F.lit(1)).alias("_c"))
     return (
-        tf.join(docf, "term")
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("_c").alias("term_count"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
         .where(F.col("term_count") >= min_count)
         .orderBy(F.desc("term_count"), F.asc("term"))
         .limit(top_k)

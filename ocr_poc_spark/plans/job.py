@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.cascade import run_cascade
 from ..operators.lineage import partition_metrics
@@ -145,6 +145,29 @@ def run_job(
     ext_dir = os.path.join(out_dir, "extracted")
     lin_dir = os.path.join(out_dir, "lineage")
 
+    # Resume guard: bucket membership is pmod(hash, n_buckets), so
+    # resuming the same out_dir with a DIFFERENT n_buckets would
+    # re-extract documents into new bucket partitions while their old
+    # partitions still exist — silent duplication. Pin n_buckets in the
+    # manifest and refuse a mismatch.
+    meta_path = os.path.join(_manifest_dir(out_dir), "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"out_dir was written with n_buckets={meta.get('n_buckets')}; "
+                f"resuming with n_buckets={n_buckets} would duplicate "
+                "documents across bucket partitions. Use the original value "
+                "or a fresh out_dir."
+            )
+    else:
+        os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
+        os.replace(tmp, meta_path)
+
     pending = sorted(set(range(n_buckets)) - completed_buckets(out_dir))
     passes = [
         pending[i : i + buckets_per_pass]
@@ -221,6 +244,41 @@ def run_job(
     }
 
 
+def _curation_docs(
+    spark: SparkSession, out_dir: str, with_host: bool = False
+) -> DataFrame:
+    """The one post-extraction doc frame every curation stage consumes:
+    successful docs with a body, ONE row per url.
+
+    Re-crawled corpora legitimately carry the same url on several
+    extracted rows; per-doc operators (stats joins, short-doc union
+    branches, pair dedup) all assume distinct ids, so duplicates are
+    collapsed here to a deterministic representative (lowest body
+    hash) via min_by aggregation — map-side partial aggregation ships
+    at most one candidate body per (url, input split) through the one
+    exchange, unlike a window, which would shuffle every copy."""
+    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    docs = ext.where(
+        F.col("success") & F.col("body_text").isNotNull()
+    ).select(
+        F.col("url").alias("doc_id"),
+        F.col("body_text").alias("text"),
+        F.col("lang_guess"),
+    )
+    docs = docs.groupBy("doc_id").agg(
+        F.expr("min_by(text, md5(text))").alias("text"),
+        F.expr("min_by(lang_guess, md5(text))").alias("lang_guess"),
+    )
+    if with_host:
+        # Unparseable URLs must not all compete for one NULL-host cap
+        # bucket: fall back to the full url (each gets its own "host").
+        docs = docs.withColumn(
+            "host",
+            F.coalesce(F.parse_url("doc_id", F.lit("HOST")), F.col("doc_id")),
+        )
+    return docs
+
+
 def run_dedup(
     spark: SparkSession,
     out_dir: str,
@@ -236,10 +294,7 @@ def run_dedup(
     banding with pigeonhole-exact recall at hamming <= max_hamming."""
     from ..operators.dedup import minhash_lsh_pairs, simhash_near_pairs
 
-    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
-    docs = ext.where(
-        F.col("success") & F.col("body_text").isNotNull()
-    ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+    docs = _curation_docs(spark, out_dir)
     if method == "minhash":
         pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
     elif method == "simhash":
@@ -256,13 +311,10 @@ def run_corpus_stats(spark: SparkSession, out_dir: str) -> dict:
     """Post-extraction corpus-quality pass (training-data curation):
     per-document repetition/shape signals + PII counts over the
     extracted body_text -> <out>/corpus_stats parquet. Linear, no
-    shuffle beyond the scan."""
+    shuffle beyond the scan and the one-per-url collapse."""
     from ..operators.textstats import repetition_stats, scrub_pii
 
-    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
-    docs = ext.where(
-        F.col("success") & F.col("body_text").isNotNull()
-    ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+    docs = _curation_docs(spark, out_dir)
     stats = repetition_stats(docs).join(
         scrub_pii(docs).drop("scrubbed"), "doc_id"
     )
@@ -282,42 +334,32 @@ def run_curate(
     documents whose extracted body is mostly corpus-duplicated
     boilerplate, and optionally cap documents per host for domain
     balance -> <out>/curation parquet with one row per successful doc
-    (url, host, boiler stats, host_rank, kept).
+    (url, host, boiler stats, host_rank, kept). The host cap ranks
+    ONLY boiler-passing docs, so a host's quota is filled by its clean
+    documents — boilerplate-rejected rows stay in the list with a NULL
+    host_rank, never consuming cap slots.
 
-    Scale shape: boilerplate_shingle_stats shuffles ids + 60-bit hashes
-    only; the host cap ranks on (host, stable hash) — no document
-    bodies ride any exchange."""
+    Scale shape: the one-per-url collapse (_curation_docs) ships one
+    representative body per url through one map-side-combined exchange;
+    after that boilerplate_shingle_stats shuffles ids + 60-bit hashes
+    only and the host cap ranks on (host, stable hash)."""
     from ..operators.curation import boilerplate_shingle_stats, host_cap
 
-    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
-    docs = ext.where(
-        F.col("success") & F.col("body_text").isNotNull()
-    ).select(
-        F.col("url").alias("doc_id"),
-        # Unparseable URLs must not all compete for one NULL-host cap
-        # bucket: fall back to the full url (each gets its own "host").
-        F.coalesce(F.parse_url("url", F.lit("HOST")), F.col("url")).alias("host"),
-        F.col("body_text").alias("text"),
-    )
-    # Re-crawled corpora carry the same url on several extracted rows;
-    # the keep-list is one decision per url, so collapse to ONE
-    # deterministic representative (lowest body hash) before any stats.
-    w_url = Window.partitionBy("doc_id").orderBy(F.md5("text"))
-    docs = (
-        docs.withColumn("_rn", F.row_number().over(w_url))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    docs = _curation_docs(spark, out_dir, with_host=True)
     boiler = boilerplate_shingle_stats(docs)
     cur = docs.select("doc_id", "host").join(boiler, "doc_id")
+    passing = cur.where(F.col("boiler_ratio") <= max_boiler_ratio)
+    failing = cur.where(~(F.col("boiler_ratio") <= max_boiler_ratio)).withColumn(
+        "host_rank", F.lit(None).cast("int")
+    )
     if max_per_host is not None:
-        cur = host_cap(cur, max_per_host, host_col="host", filter=False)
+        passing = host_cap(passing, max_per_host, host_col="host", filter=False)
         cap_ok = F.col("host_rank") <= max_per_host
     else:
-        cur = cur.withColumn("host_rank", F.lit(1))
+        passing = passing.withColumn("host_rank", F.lit(1))
         cap_ok = F.lit(True)
-    cur = cur.withColumn(
-        "kept", (F.col("boiler_ratio") <= max_boiler_ratio) & cap_ok
+    cur = passing.withColumn("kept", cap_ok).unionByName(
+        failing.withColumn("kept", F.lit(False))
     )
     cur_dir = os.path.join(out_dir, "curation")
     cur.write.mode("overwrite").parquet(cur_dir)
@@ -342,10 +384,7 @@ def run_decontaminate(
     doc id (see operators/curation.decontaminate)."""
     from ..operators.curation import decontaminate
 
-    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
-    docs = ext.where(
-        F.col("success") & F.col("body_text").isNotNull()
-    ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+    docs = _curation_docs(spark, out_dir)
     bench = spark.read.parquet(bench_path).select("text")
     res = decontaminate(docs, bench, n=n, min_overlap=min_overlap)
     res_dir = os.path.join(out_dir, "contamination")
@@ -364,11 +403,14 @@ def run_sample(spark: SparkSession, out_dir: str, quotas: dict[str, float]) -> d
     """Post-extraction corpus-mixing pass: deterministically sample the
     extracted docs per verified language (`lang_guess`, written by
     run_job) at the given per-stratum rates -> <out>/sample parquet
-    (url + lang_guess keep-list). Map-only, reproducible under resume."""
+    (url + lang_guess keep-list). Body-less or duplicate-url docs are
+    excluded like every sibling stage (_curation_docs); reproducible
+    under resume."""
     from ..operators.curation import stratified_sample
 
-    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
-    docs = ext.where(F.col("success")).select("url", "lang_guess")
+    docs = _curation_docs(spark, out_dir).select(
+        F.col("doc_id").alias("url"), "lang_guess"
+    )
     kept = stratified_sample(docs, quotas, strat_col="lang_guess", id_col="url")
     smp_dir = os.path.join(out_dir, "sample")
     kept.write.mode("overwrite").parquet(smp_dir)

@@ -120,8 +120,13 @@ def test_run_curate_stage(spark, pages_df, tmp_path):
     kept_hosts = Counter(r["host"] for r in rows if r["kept"])
     assert kept_hosts and all(n <= 5 for n in kept_hosts.values())
     assert res["curation_kept"] == sum(kept_hosts.values())
+    # boiler-rejected rows carry NULL host_rank (they never consume cap
+    # slots); passing rows are kept iff within the cap
     assert all(
-        r["kept"] == (r["boiler_ratio"] <= 0.5 and r["host_rank"] <= 5) for r in rows
+        (r["host_rank"] is None and not r["kept"])
+        if r["boiler_ratio"] > 0.5
+        else r["kept"] == (r["host_rank"] <= 5)
+        for r in rows
     )
 
 
@@ -164,15 +169,15 @@ def test_run_curate_dup_urls_and_zero_cap(spark, tmp_path):
 
     out = str(tmp_path / "dup")
     rows = [
-        ("https://a.example/x", True, "alpha beta gamma delta epsilon zeta"),
-        ("https://a.example/x", True, "totally different recrawl body content here"),
-        ("https://b.example/y", True, "one two three four five six seven"),
-        ("not-a-parseable-url-1", True, "unique body one two three four"),
-        ("not-a-parseable-url-2", True, "another body five six seven eight"),
+        ("https://a.example/x", True, "alpha beta gamma delta epsilon zeta", "en"),
+        ("https://a.example/x", True, "totally different recrawl body content here", "en"),
+        ("https://b.example/y", True, "one two three four five six seven", "en"),
+        ("not-a-parseable-url-1", True, "unique body one two three four", "en"),
+        ("not-a-parseable-url-2", True, "another body five six seven eight", "en"),
     ]
-    spark.createDataFrame(rows, "url string, success boolean, body_text string").write.parquet(
-        out + "/extracted"
-    )
+    spark.createDataFrame(
+        rows, "url string, success boolean, body_text string, lang_guess string"
+    ).write.parquet(out + "/extracted")
     res = run_curate(spark, out, max_boiler_ratio=0.9, max_per_host=1)
     rows_out = spark.read.parquet(res["curation_dir"]).collect()
     ids = [r["doc_id"] for r in rows_out]
@@ -294,8 +299,13 @@ def test_chunk_documents_windows(spark):
     assert covered == {f"w{i}" for i in range(10)}
     # doc 2: shorter than one window -> single short chunk
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 2
-    # doc 3 (NULL text): one chunk of the empty word
-    assert len(by_doc[3]) == 1
+    # doc 3 (NULL text): no chunks at all (no phantom 1-token rows)
+    assert 3 not in by_doc
+    # stride > chunk_tokens would silently drop inter-window words
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, stride=5)
 
 
 def test_vocab_topk_counts_and_order(spark):

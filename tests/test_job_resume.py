@@ -134,3 +134,21 @@ def test_run_dedup_simhash_method(spark, tmp_path, pages_df):
         or r["id_b"].replace("https://mirror.example/", "") == r["id_a"]
     ]
     assert mirrors and all(r["hamming"] == 0 for r in mirrors)
+
+
+def test_resume_rejects_changed_n_buckets(spark, pages_df, tmp_path):
+    """Bucket membership is pmod(hash, n_buckets): resuming the same
+    out_dir with a different n_buckets would re-extract docs into new
+    bucket partitions while the old ones persist (silent duplication).
+    The manifest pins n_buckets and the mismatch must raise."""
+    import pytest
+
+    from ocr_poc_spark.plans.job import run_job
+
+    out = str(tmp_path / "nb")
+    run_job(spark, pages_df.limit(20), out, mode="fused", n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_job(spark, pages_df.limit(20), out, mode="fused", n_buckets=8)
+    # same n_buckets still resumes cleanly (no-op)
+    res = run_job(spark, pages_df.limit(20), out, mode="fused", n_buckets=4)
+    assert res["rows_this_run"] == 0
