@@ -1325,11 +1325,76 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cosine, 6) AS cosine
             FROM read_parquet('/root/repo/dist/golden/ann_lsh_sf001.parquet')
         """,
+        # extract_pipeline: INDEPENDENT derivation — DuckDB recomputes the
+        # expected extraction output straight from the documents table and
+        # the deterministic page synthesis (_pages_from_documents), never
+        # touching the kernel or the golden parquet. Derivation (traced
+        # from the extractor SPEC, ocr_poc_spark/extractor.py):
+        #
+        #   The synthesised page parses to exactly 13 blocks:
+        #     0 title "Doc N"            depth 3, ld=0
+        #     1 li "Home"   (nav boiler) ld=1 -> score 0.219  (<0.3 noise)
+        #     2 li "News"   (nav boiler) ld=1 -> score 0.219
+        #     3 li "About"  (nav boiler) ld=1 -> score 0.2213
+        #     4 p "We use cookies"       ld=0 -> score 0.805  (STOP_PHRASE)
+        #     5 h1 "Doc N"               ld=0
+        #     6 p "Author"               ld=0 -> score 0.745  (anchor)
+        #     7 p "Writer K"             ld=0  (K = doc_id%20)
+        #     8 p "D.M.YYYY"             ld=0  (fixed claim: pub_date)
+        #     9 p "R min read"           ld=0  (fixed claim: reading_time)
+        #    10 p <text>                 ld=0
+        #    11 p "All rights reserved"  (footer boiler) -> 0.8425
+        #    12 p "Terms of service"     (footer boiler, ld=1) -> 0.246
+        #   block_score = ROUND((1-0.7*ld)*(0.7+0.3*LEAST(1,n/40)), 4);
+        #   quality = mean of all 13 scores (all > 0), summed in block
+        #   order (float addition order matters for last-ulp exactness).
+        #   Cascade outcome: preprocess keeps blocks {0,5,6,7,8,9,10};
+        #   pub_date/reading_time claimed by the fixed battery; "Writer K"
+        #   is fuzzy-label-matched (WRITER~WRITTEN BY >= 0.75) so the
+        #   proximity binding from the "Author" anchor binds the ONLY
+        #   remaining candidate below it — the text paragraph; the two
+        #   "Doc N" blocks are consumed by the title/category positional
+        #   fallback; body ends empty (every survivor consumed) -> NULL.
+        #   confidence = 5 filled of 7 html/article fields.
+        #   The committed golden (dist/golden/extract_sf001.parquet,
+        #   produced by the sequential kernel) remains a second witness:
+        #   tests/test_goldens.py asserts golden == this derivation.
         "extract_pipeline": """
-            SELECT url, doc_kind, success,
-                   ROUND(quality_score, 6) AS quality_score,
-                   ROUND(confidence, 6) AS confidence,
-                   title, author, pub_date, reading_time, body_text, n_blocks
-            FROM read_parquet('/root/repo/dist/golden/extract_sf001.parquet')
+            WITH d AS (
+              SELECT doc_id, lang, text,
+                     doc_id % 28 + 1 AS day, doc_id % 12 + 1 AS month,
+                     doc_id % 15 + 2010 AS yr,
+                     doc_id % 20 AS writer, doc_id % 40 + 2 AS rt
+              FROM documents
+            ), s AS (
+              SELECT *,
+                ROUND(0.7::DOUBLE + 0.3::DOUBLE * LEAST(1.0::DOUBLE,
+                  (4 + LENGTH(CAST(doc_id AS VARCHAR)))::DOUBLE / 40.0::DOUBLE), 4) AS s_docn,
+                ROUND(0.7::DOUBLE + 0.3::DOUBLE * LEAST(1.0::DOUBLE,
+                  (7 + LENGTH(CAST(writer AS VARCHAR)))::DOUBLE / 40.0::DOUBLE), 4) AS s_writer,
+                ROUND(0.7::DOUBLE + 0.3::DOUBLE * LEAST(1.0::DOUBLE,
+                  (6 + LENGTH(CAST(day AS VARCHAR)) + LENGTH(CAST(month AS VARCHAR)))::DOUBLE / 40.0::DOUBLE), 4) AS s_date,
+                ROUND(0.7::DOUBLE + 0.3::DOUBLE * LEAST(1.0::DOUBLE,
+                  (9 + LENGTH(CAST(rt AS VARCHAR)))::DOUBLE / 40.0::DOUBLE), 4) AS s_rt,
+                ROUND(0.7::DOUBLE + 0.3::DOUBLE * LEAST(1.0::DOUBLE,
+                  LENGTH(text)::DOUBLE / 40.0::DOUBLE), 4) AS s_text
+              FROM d
+            )
+            SELECT
+              'https://docs.example/' || lang || '/' || doc_id AS url,
+              'html/article' AS doc_kind,
+              TRUE AS success,
+              ROUND((s_docn + 0.219::DOUBLE + 0.219::DOUBLE + 0.2213::DOUBLE
+                     + 0.805::DOUBLE + s_docn + 0.745::DOUBLE + s_writer
+                     + s_date + s_rt + s_text + 0.8425::DOUBLE
+                     + 0.246::DOUBLE) / 13.0::DOUBLE, 6) AS quality_score,
+              ROUND(5.0::DOUBLE / 7.0::DOUBLE, 6) AS confidence,
+              'Doc ' || doc_id AS title,
+              text AS author,
+              day || '.' || month || '.' || yr AS pub_date,
+              rt || ' min' AS reading_time,
+              CAST(NULL AS VARCHAR) AS body_text,
+              CAST(13 AS INTEGER) AS n_blocks
+            FROM s
         """,
     }
