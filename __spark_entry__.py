@@ -291,6 +291,33 @@ def q_embedding_near_dup(spark, sf_dir):  # embedding-cosine near-dup pairs
     )
 
 
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup SCALE path, exact-oracled via a
+    planted-duplicate corpus: the embeddings table is augmented with one
+    scaled copy (x2.0) of every vector under vec_id+100000. Scaling by a
+    power of two is EXACT in IEEE-754 and commutes with the sign of every
+    hyperplane dot product, so each planted pair collides in every LSH
+    table — recall on the planted pairs is provably 1.0, not tuned. With
+    threshold 0.95 and max organic cosine ~0.51 on this corpus, the exact
+    pair set is precisely the planted pairs, so the LSH path's output
+    (candidates -> exact re-rank filter) must EQUAL the all-pairs SQL
+    oracle: the equi-join bucketing, pair dedup, vector join-back and
+    precision filter are all on the hook. Recall in the approximate
+    (near-but-not-identical) regime is bounded separately by
+    tests/test_ops.py::test_embedding_near_dup_lsh_recall_bound."""
+    from ocr_poc_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    return embedding_near_dup_pairs(aug, cosine_threshold=0.95).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_lang_id(spark, sf_dir):  # stopword-argmax language ID
     from ocr_poc_spark.operators.textstats import lang_id
 
@@ -675,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -840,6 +868,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, c.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(c.v, c.v))) >= 0.45
+        """,
+        # embedding_near_dup_lsh: exact all-pairs recompute over the SAME
+        # planted-duplicate augmentation the Spark query builds (scaled
+        # copies under vec_id+100000). Because x2.0 scaling is IEEE-exact,
+        # the LSH path provably emits exactly this set (see the query
+        # docstring); any bucketing / dedup / join-back / threshold bug
+        # shows up as a hash mismatch here.
+        "embedding_near_dup_lsh": """
+            WITH aug AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * 2.0::DOUBLE)
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, c.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+            FROM aug a JOIN aug c ON a.vec_id < c.vec_id
+            WHERE list_dot_product(a.v, c.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(c.v, c.v))) >= 0.95
         """,
         "lang_id": f"""
             WITH scored AS (SELECT doc_id, lang AS lang_true, {lang_hits}

@@ -277,3 +277,47 @@ def test_lsh_bucket_dim_mismatch_raises(spark):
     )
     with pytest.raises(Exception, match="lsh_bucket: dim=64"):
         lsh_ann_topk(df, k=1, dim=64, n_planes=4).collect()
+
+
+def test_embedding_near_dup_lsh_recall_bound(spark):
+    """Property bounds for the LSH-bucketed embedding near-dup SCALE path
+    (similarity.embedding_near_dup_pairs) in the approximate regime the
+    driver query can't cover (its planted x2-copy pairs have provable
+    recall 1.0):
+
+    - precision is EXACT: every emitted pair must also satisfy the
+      cosine threshold under the exact all-pairs variant (the operator
+      re-scores candidates exactly, so this must be equality-of-subset);
+    - recall vs the exact variant >= 0.9 on a corpus of genuinely
+      near-but-not-identical pairs (cosine ~0.98, i.e. the regime
+      hyperplane LSH is built for; seeded, deterministic).
+    """
+    import numpy as np
+
+    from ocr_poc_spark.operators.similarity import (
+        cosine_near_dup_pairs_exact,
+        embedding_near_dup_pairs,
+    )
+
+    rs = np.random.RandomState(11)
+    base = rs.randn(120, 32)
+    noisy = base + 0.10 * rs.randn(120, 32)  # cosine vs base ~0.97-0.99
+    rows = [(i, base[i].astype(float).tolist()) for i in range(120)] + [
+        (1000 + i, noisy[i].astype(float).tolist()) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs_exact(df, cosine_threshold=0.95).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, cosine_threshold=0.95, dim=32, n_planes=8, n_tables=8
+        ).collect()
+    }
+    assert len(exact) >= 80  # the fixture really contains near-dup pairs
+    assert lsh <= exact  # precision 1.0: no emitted pair below threshold
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(lsh)}/{len(exact)})"
