@@ -671,6 +671,20 @@ def q_chunk_documents(spark, sf_dir):  # training-sequence chunking
     )
 
 
+def q_pack_sequences(spark, sf_dir):  # training-sequence packing
+    """GPT-style concat-and-slice packing of chunk_documents output into
+    fixed 100-token sequences with per-piece boundary attribution. The
+    packing rule is a pure function of global (doc_id, chunk_idx) order,
+    so DuckDB recomputes it exactly with a window cumsum; the Spark path
+    computes the same prefix sum two-phase (no global window)."""
+    from ocr_poc_spark.operators.curation import chunk_documents, pack_sequences
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents", spread=True), chunk_tokens=32, stride=32
+    )
+    return pack_sequences(chunks, seq_len=100)
+
+
 def q_vocab_topk(spark, sf_dir):  # corpus vocabulary stats
     from ocr_poc_spark.operators.curation import vocab_topk
 
@@ -725,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "normalize_urls": q_normalize_urls,
         "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
         "extract_pipeline": q_extract_pipeline,
     }
@@ -1296,6 +1311,32 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(w[i*16 + 1 : i*16 + 32], ' ') AS chunk_text,
                    CAST(len(w[i*16 + 1 : i*16 + 32]) AS INTEGER) AS n_tokens
             FROM n, unnest(range(0, nc)) AS u(i)
+        """.format(words=_WORDS_SQL),
+        # pack_sequences: full recompute — re-derive the 32/32 chunks,
+        # exclusive window cumsum over global (doc_id, chunk_idx) order,
+        # slice every 100 tokens (integer div), attribute pieces.
+        "pack_sequences": """
+            WITH t AS (SELECT doc_id, {words} AS w FROM documents
+                       WHERE length(trim(text)) > 0),
+            n AS (SELECT doc_id, w,
+                         1 + CAST(ceil(greatest(len(w) - 32, 0) / 32.0) AS INTEGER) AS nc
+                  FROM t),
+            ch AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                          len(w[i*32 + 1 : i*32 + 32]) AS n_tokens
+                   FROM n, unnest(range(0, nc)) AS u(i)),
+            p AS (SELECT doc_id, chunk_idx, n_tokens,
+                         CAST(COALESCE(SUM(n_tokens) OVER (
+                             ORDER BY doc_id, chunk_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT) AS st
+                  FROM ch WHERE n_tokens > 0)
+            SELECT CAST(s AS BIGINT) AS seq_id,
+                   CAST(GREATEST(st, s*100) - s*100 AS INTEGER) AS tok_start,
+                   CAST(LEAST(st + n_tokens, (s+1)*100) - s*100 AS INTEGER) AS tok_end,
+                   doc_id, chunk_idx,
+                   CAST(GREATEST(st, s*100) - st AS INTEGER) AS chunk_tok_start,
+                   CAST(LEAST(st + n_tokens, (s+1)*100) - st AS INTEGER) AS chunk_tok_end
+            FROM p, unnest(range(st // 100, (st + n_tokens - 1) // 100 + 1)) AS u(s)
         """.format(words=_WORDS_SQL),
         "vocab_topk": """
             WITH ws AS (SELECT {words} AS w FROM documents),

@@ -362,3 +362,92 @@ def vocab_topk(
         .orderBy(F.desc("term_count"), F.asc("term"))
         .limit(top_k)
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    chunk_idx_col: str = "chunk_idx",
+    n_tokens_col: str = "n_tokens",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Pack chunk_documents output into fixed-length training sequences
+    (the final stage of an LLM data pipeline): conceptually concatenate
+    all chunks in global (id, chunk_idx) order into one token stream and
+    cut it every ``seq_len`` tokens — the GPT-style concat-and-slice
+    packing. Documents/chunks MAY cross sequence boundaries; boundary
+    attribution is returned per piece, so every training sequence can be
+    reassembled and every token traced back to its source chunk.
+
+    Returns one row per (sequence, piece):
+        seq_id          long  sequence number (0-based)
+        tok_start/_end  int   half-open token span WITHIN the sequence
+        <id>, <chunk_idx>     the source chunk
+        chunk_tok_start/_end  half-open span WITHIN the source chunk
+    Every sequence except the last covers exactly [0, seq_len) with no
+    gaps or overlaps. Zero-token chunks carry no tokens and are skipped.
+
+    The packing rule is a pure function of the GLOBAL chunk order, never
+    of the physical partitioning, so output is identical at any
+    parallelism (tested) and recomputable in plain SQL as a window
+    cumsum. At scale the prefix sum is two-phase instead of one global
+    window: range-partition by the order key, per-PARTITION running sums
+    (bounded window partitions), then per-partition totals — at most one
+    tiny row per partition — are collected and broadcast back as
+    offsets. The collect is bounded by the partition count, exactly like
+    run_job's manifest collect, never by data size.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    spark = chunks.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    items = chunks.select(id_col, chunk_idx_col, n_tokens_col).where(
+        F.col(n_tokens_col) > 0
+    )
+    d = items.repartitionByRange(n_partitions, id_col, chunk_idx_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Cache the pid-stamped frame: the totals collect and the main pass
+    # must see the SAME row->partition assignment (range boundaries are
+    # deterministic for one lineage, but pinning it is free and local).
+    d = d.localCheckpoint(eager=False)
+    w = Window.partitionBy("_pid").orderBy(id_col, chunk_idx_col)
+    d = d.withColumn(
+        "_run", F.sum(n_tokens_col).over(w) - F.col(n_tokens_col)
+    )
+    totals = {
+        r["_pid"]: r["_tot"]
+        for r in d.groupBy("_pid").agg(F.sum(n_tokens_col).alias("_tot")).collect()
+    }
+    acc = 0
+    offs = []
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    d = d.join(F.broadcast(off_df), "_pid")
+
+    start = (F.col("_off") + F.col("_run")).cast("long")
+    end = start + F.col(n_tokens_col).cast("long")
+    L = F.lit(seq_len).cast("long")
+    d = d.withColumn("_start", start).withColumn("_end", end)
+    # Integer div, not floor(double division): token offsets at
+    # 10^12-doc scale exceed the 2^53 exact-integer range of doubles.
+    seqs = F.sequence(
+        F.expr(f"_start div {seq_len}"), F.expr(f"(_end - 1) div {seq_len}")
+    )
+    e = d.withColumn("seq_id", F.explode(seqs))
+    lo = F.greatest(F.col("_start"), F.col("seq_id") * L)
+    hi = F.least(F.col("_end"), (F.col("seq_id") + 1) * L)
+    return e.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (lo - F.col("seq_id") * L).cast("int").alias("tok_start"),
+        (hi - F.col("seq_id") * L).cast("int").alias("tok_end"),
+        F.col(id_col),
+        F.col(chunk_idx_col),
+        (lo - F.col("_start")).cast("int").alias("chunk_tok_start"),
+        (hi - F.col("_start")).cast("int").alias("chunk_tok_end"),
+    )

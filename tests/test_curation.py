@@ -320,3 +320,53 @@ def test_vocab_topk_counts_and_order(spark):
         ("apple", 3, 2),
         ("banana", 2, 2),
     ]
+
+
+def test_pack_sequences_budgets_and_attribution(spark):
+    """Exact token budgets + boundary attribution: every sequence except
+    the last tiles [0, seq_len) gap- and overlap-free; every chunk's
+    pieces reassemble exactly its tokens; chunk spans align with their
+    in-sequence spans; zero-token chunks are skipped."""
+    import collections
+
+    from ocr_poc_spark.operators.curation import pack_sequences
+
+    rows = [(d, c, (d * 7 + c * 3) % 40 + 1) for d in range(25) for c in range(d % 4 + 1)]
+    rows.append((99, 0, 0))  # zero-token chunk: must carry nothing
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_tokens int")
+    out = [tuple(r) for r in pack_sequences(df, seq_len=50).collect()]
+
+    per_seq = collections.defaultdict(list)
+    per_chunk = collections.defaultdict(int)
+    for seq, ts, te, d, c, cs, ce in out:
+        assert ce - cs == te - ts > 0
+        per_seq[seq].append((ts, te))
+        per_chunk[(d, c)] += ce - cs
+    last = max(per_seq)
+    for s, spans in per_seq.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert all(spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))
+        if s != last:
+            assert spans[-1][1] == 50
+    assert per_chunk == {(d, c): n for d, c, n in rows if n > 0}
+    total = sum(n for _, _, n in rows)
+    assert sorted(per_seq) == list(range(total // 50 + (1 if total % 50 else 0)))
+
+
+def test_pack_sequences_partition_independent(spark):
+    """The packing rule is a function of the global chunk order only:
+    output must be identical at any input partitioning / parallelism."""
+    from ocr_poc_spark.operators.curation import pack_sequences
+
+    rows = [(d, c, (d * 13 + c) % 30 + 1) for d in range(40) for c in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_tokens int")
+    ref = sorted(tuple(r) for r in pack_sequences(df.repartition(1), 64, n_partitions=1).collect())
+    for p in (3, 16):
+        got = sorted(tuple(r) for r in pack_sequences(df.repartition(p), 64, n_partitions=p).collect())
+        assert got == ref, f"packing differs at parallelism {p}"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
