@@ -32,11 +32,14 @@ Scale notes (100 TB):
   rows of a doc are co-partitioned with their input split).
 - stratified_sample: map-only, zero shuffle.
 - host_cap: window over host; the shuffle carries (host, id, hash)
-  only. A pathological host with 10^9 docs makes one heavy partition —
-  the mitigation at that scale is a pre-filter on a sampled per-host
-  hash threshold; the cap semantics (ANY stable k per host) make the
-  approximation safe. Documented, not implemented: at 10^12 docs per
-  host the cap itself is the wrong tool.
+  only. A pathological host with 10^9 docs would make one heavy window
+  partition, so the filtering path pre-filters EXACTLY (no sampling):
+  a local top-k per (host, input partition) — the per-key analogue of
+  TakeOrderedAndProject's partial top-k — bounds what any host ships
+  to the global rank at k rows per input partition. The global top-k
+  of a host is a subset of every partition's local top-k, so the kept
+  set is provably identical. At 10^12 docs per host the cap itself is
+  the wrong tool.
 """
 
 from __future__ import annotations
@@ -205,14 +208,32 @@ def host_cap(
     The rank shuffle carries (host, id, 60-bit hash) only; payload
     columns are joined back by id afterwards by the caller if needed —
     here the input frame is narrow so we rank in place.
+
+    Hot-host safety (filter=True path): before the per-host rank, each
+    INPUT partition keeps only its local k smallest (_hord, id) rows per
+    host — windowed over (host, spark_partition_id()), so a pathological
+    host is spread over every input partition instead of funneling into
+    one window partition. The global k smallest of a host are among
+    every partition's local k smallest, so the kept set and the surviving
+    ranks are IDENTICAL by construction (no sampling, no fallback); at
+    most k * n_input_partitions rows per host reach the global rank.
+    The filter=False keep-list mode must report the full rank of every
+    row (over-cap rows ship with kept=false), so it keeps the single
+    per-host window.
     """
     h = hash60(id_col)
+    stamped = df.withColumn("_hord", h)
+    if filter:
+        wl = Window.partitionBy(host_col, F.spark_partition_id()).orderBy(
+            F.asc("_hord"), F.asc(id_col)
+        )
+        stamped = (
+            stamped.withColumn("_lrank", F.row_number().over(wl))
+            .where(F.col("_lrank") <= max_per_host)
+            .drop("_lrank")
+        )
     w = Window.partitionBy(host_col).orderBy(F.asc("_hord"), F.asc(id_col))
-    ranked = (
-        df.withColumn("_hord", h)
-        .withColumn("host_rank", F.row_number().over(w))
-        .drop("_hord")
-    )
+    ranked = stamped.withColumn("host_rank", F.row_number().over(w)).drop("_hord")
     if filter:
         ranked = ranked.where(F.col("host_rank") <= max_per_host)
     return ranked

@@ -370,3 +370,30 @@ def test_pack_sequences_partition_independent(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(df, seq_len=0)
+
+
+def test_host_cap_prefilter_identical_on_hot_host(spark):
+    """The hot-host pre-filter must not change the kept set or the
+    surviving ranks: on a fixture where one host owns 10% of all rows,
+    filter=True output == the single-window keep-list filtered to the
+    cap, at several parallelism levels."""
+    from ocr_poc_spark.operators.curation import host_cap
+
+    rows = [(i, "hot.example" if i % 10 == 0 else f"h{i % 97}.example")
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    ref = sorted(
+        (r["doc_id"], r["source"], r["host_rank"])
+        for r in host_cap(df.repartition(1), 7, host_col="source", filter=False)
+        .where(F.col("host_rank") <= 7)
+        .collect()
+    )
+    for p in (4, 16):
+        got = sorted(
+            (r["doc_id"], r["source"], r["host_rank"])
+            for r in host_cap(df.repartition(p), 7, host_col="source").collect()
+        )
+        assert got == ref, f"kept set differs at parallelism {p}"
+    hot_kept = [r for r in ref if r[1] == "hot.example"]
+    assert len(hot_kept) == 7  # the hot host is really capped
