@@ -688,7 +688,10 @@ def q_pack_sequences(spark, sf_dir):  # training-sequence packing
 def q_vocab_topk(spark, sf_dir):  # corpus vocabulary stats
     from ocr_poc_spark.operators.curation import vocab_topk
 
-    return vocab_topk(_t(spark, sf_dir, "documents", spread=True), top_k=50, min_count=2)
+    return vocab_topk(
+        _t(spark, sf_dir, "documents", spread=True),
+        top_k=50, min_count=2, id_col="doc_id",
+    )
 
 
 def q_host_cap(spark, sf_dir):  # domain-balance cap, stable hash order

@@ -356,6 +356,7 @@ def vocab_topk(
     text_col: str = "text",
     top_k: int = 100,
     min_count: int = 1,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Corpus vocabulary stats: global term frequencies + document
     frequencies, top-k by count (count desc, term asc — deterministic).
@@ -366,9 +367,16 @@ def vocab_topk(
     per-(term, doc) rows (term_count = sum, doc_count = count) ->
     distributed top-k via sort+limit (TakeOrderedAndProject, never a
     global window). No self-join, no second pass over the corpus.
+
+    Pass ``id_col`` when the frame has a real document id: the
+    intermediate (term, doc) frame is then inspectable and provably
+    partition-independent. Without one, a synthetic per-row id stands in
+    (output counts are invariant to the ids — each input row is one
+    document either way).
     """
+    doc_key = F.col(id_col) if id_col else F.monotonically_increasing_id()
     terms = (
-        df.select(F.monotonically_increasing_id().alias("_d"), _norm_words(text_col).alias("_w"))
+        df.select(doc_key.alias("_d"), _norm_words(text_col).alias("_w"))
         .select("_d", F.explode("_w").alias("term"))
         .where(F.col("term") != "")
     )

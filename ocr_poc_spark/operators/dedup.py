@@ -297,6 +297,14 @@ def simhash_near_pairs(
     after pair-dedup. Output == exact all-pairs hamming filter, which is
     what the DuckDB oracle checks.
 
+    Choosing max_hamming: bands get NARROWER as it grows (60 bits split
+    max_hamming+1 ways), so candidate collisions grow ~2^-width per
+    band — at 100 TB keep it small. The default 3 (4x15-bit bands,
+    32k buckets/band) is the scale setting; the driver's dedup_simhash
+    query uses 4 (5x12-bit bands) because the synthetic oracle corpus
+    needs the looser radius to produce non-trivial pair counts, still
+    with 4096 buckets per band.
+
     The fingerprint frame is referenced FOUR times in this DAG (both
     band sides + two per-pair join-backs); without materialization the
     60-bit-slice aggregation over every token would run 4x. The frame is

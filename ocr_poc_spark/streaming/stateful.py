@@ -73,3 +73,61 @@ def running_ingest_totals(pages_stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming SimHash near-dup pairs: per-band-bucket state of every
+# (id, fingerprint) seen so far; each arriving document is verified
+# (exact hamming on the FULL 60-bit fingerprint) against its bucket's
+# history, so a near-duplicate of ANY earlier micro-batch is caught —
+# the cross-batch leg of operators/dedup.simhash_near_pairs, with the
+# same pigeonhole recall guarantee (a pair within the radius agrees on
+# >= 1 band, and that band's bucket holds both).
+# --------------------------------------------------------------------------
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.StringType()),
+        T.StructField("id_b", T.StringType()),
+    ]
+)
+BAND_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.StringType())),
+        T.StructField("fps", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_band_pairs_update(max_hamming: int):
+    """Factory (never capture a loop/param var in a shared lambda): the
+    per-bucket update comparing new rows against bucket history + earlier
+    rows of the same batch, in sorted-id order (deterministic)."""
+
+    def _update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            ids, fps = state.get
+            ids, fps = list(ids), list(fps)
+        else:
+            ids, fps = [], []
+        rows: list[tuple[str, int]] = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["id"], pdf["simhash"]))
+        rows.sort(key=lambda t: t[0])
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for rid, fp in rows:
+            fp = int(fp)
+            for oid, ofp in zip(ids, fps):
+                if oid != rid and bin(fp ^ ofp).count("1") <= max_hamming:
+                    a, b = (rid, oid) if rid < oid else (oid, rid)
+                    out_a.append(a)
+                    out_b.append(b)
+            ids.append(rid)
+            fps.append(fp)
+        state.update((ids, fps))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return _update

@@ -120,3 +120,65 @@ def start_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_simhash_pairs_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+) -> StreamingQuery:
+    """Streaming near-dup detection: emit (id_a, id_b) pairs of pages
+    within `max_hamming` SimHash bits of each OTHER page seen in any
+    micro-batch so far — the streaming leg of
+    operators/dedup.simhash_near_pairs, pair-for-pair equal to running
+    the batch operator over the union of all batches (tested).
+
+    Shape mirrors the batch plan: the zero-shuffle fingerprint map, then
+    banding on max_hamming+1 disjoint bit slices; state lives per
+    (band, band_value) bucket and holds (id, fingerprint) — 60-bit
+    longs + ids, never page bodies. Verification inside the bucket is
+    exact full-fingerprint hamming, so pigeonhole recall 1.0 carries
+    over. A pair agreeing on several bands is emitted once per such
+    band (Spark disallows chaining another stateful dedup after
+    applyInPandasWithState in append mode); the parquet sink is
+    append-only, so consumers take DISTINCT (id_a, id_b) — same as the
+    batch operator's pair-dedup before join-back."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import _band_slices, simhash
+    from .stateful import BAND_STATE_SCHEMA, PAIR_SCHEMA, make_band_pairs_update
+
+    pages = read_pages_stream(spark, in_path)
+    fp = simhash(pages, id_col="url", text_col="text")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("simhash", sh)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("band_val"),
+            )
+            for i, (sh, w) in enumerate(_band_slices(max_hamming))
+        ]
+    )
+    e = (
+        fp.withColumn("_b", F.explode(bands))
+        .select("id", "simhash", F.col("_b.band").alias("band"), F.col("_b.band_val").alias("band_val"))
+    )
+    pairs = e.groupBy("band", "band_val").applyInPandasWithState(
+        make_band_pairs_update(max_hamming),
+        PAIR_SCHEMA,
+        BAND_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        pairs.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

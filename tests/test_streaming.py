@@ -142,3 +142,51 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     assert texts.count("repeated text body") == 1          # one survivor
     n_unique_expected = len({r["text"] for r in rows})
     assert len(got) == n_unique_expected
+
+
+def test_stream_simhash_pairs_equal_batch(spark, tmp_path):
+    """Streaming curation parity for the simhash method: the pair set
+    emitted across two micro-batch files (near-dups WITHIN a batch and
+    ACROSS the batch boundary) equals batch simhash_near_pairs over the
+    union of both batches."""
+    from ocr_poc_spark.operators.dedup import simhash_near_pairs
+    from ocr_poc_spark.streaming.stream_job import start_simhash_pairs_stream
+
+    rows = gen_pages(40, seed=13)
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    for i, r in enumerate(rows):
+        if i in (0, 21):          # near-identical pair SPLIT across files
+            r["text"] = base + ("extra tail" if i == 21 else "")
+        elif i in (2, 4):         # near-identical pair within file 0
+            r["text"] = base.replace("fox", "cat") + ("x" if i == 4 else "")
+        else:
+            r["text"] = f"unique body {i} " + " ".join(
+                f"w{i}t{j}" for j in range(30)
+            )
+    in_dir = str(tmp_path / "in")
+    _write_pages_dir(rows, in_dir)  # file 0 = rows[:20], file 1 = rows[20:]
+
+    out = str(tmp_path / "out")
+    q = start_simhash_pairs_stream(
+        spark, in_dir, out, str(tmp_path / "ck"), max_hamming=4
+    )
+    q.awaitTermination()
+    stream_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    batch = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in rows], "url string, text string"
+    )
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            batch, id_col="url", text_col="text", max_hamming=4
+        ).collect()
+    }
+    assert stream_pairs == batch_pairs
+    # both planted pairs actually found (cross-batch and within-batch)
+    urls = [r["url"] for r in rows]
+    assert tuple(sorted((urls[0], urls[21]))) in stream_pairs
+    assert tuple(sorted((urls[2], urls[4]))) in stream_pairs
