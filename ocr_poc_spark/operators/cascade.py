@@ -28,6 +28,8 @@ repartition-by-url plus narrow stages.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
@@ -178,22 +180,92 @@ def _fixed_claims(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     w_url = Window.partitionBy("url")
     s = stream
-    claim_cols: list[str] = []
-    for fname, pat, _norm in FIXED_FIELDS:
-        kinds = [k for k, fl in KIND_FIXED_FIELDS.items() if fname in fl]
-        cond = F.col("text").rlike(pat.pattern) & F.col("doc_kind").isin(kinds)
-        for prev in claim_cols:
-            cond = cond & (F.col("idx") != F.coalesce(prev, F.lit(-1)))
-        col = f"claim_{fname}"
-        s = s.withColumn(col, F.min(F.when(cond, F.col("idx"))).over(w_url))
-        claim_cols.append(col)
+    nf = len(FIXED_FIELDS)
+    if os.environ.get("CASCADE_VARIANT") != "fused_claims":
+        # DEFAULT: one chained WindowExec PER FIELD (each field's min
+        # excludes the previous fields' window outputs, so Catalyst
+        # cannot collapse them). MEASURED FASTER than the fused
+        # single-window variant below — interleaved A/B at 30k pages,
+        # local[32]: this chain's annotated phase ~2.8s/pass vs ~6.6s
+        # fused. The six same-sort mins are whole-stage-codegen'd and
+        # share ONE partition sort; the fused variant's claims fold is a
+        # higher-order-function expression (CodegenFallback — runs
+        # INTERPRETED once per block row), which costs more than five
+        # extra codegen'd window scans save. Do not re-fuse without
+        # re-measuring interleaved.
+        claim_cols: list[str] = []
+        for fname, pat, _norm in FIXED_FIELDS:
+            kinds = [k for k, fl in KIND_FIXED_FIELDS.items() if fname in fl]
+            cond = F.col("text").rlike(pat.pattern) & F.col("doc_kind").isin(
+                kinds
+            )
+            for prev in claim_cols:
+                cond = cond & (F.col("idx") != F.coalesce(prev, F.lit(-1)))
+            col = f"claim_{fname}"
+            s = s.withColumn(col, F.min(F.when(cond, F.col("idx"))).over(w_url))
+            claim_cols.append(col)
+        claims = F.array(
+            *[F.coalesce(F.col(c), F.lit(-1)).cast("long") for c in claim_cols]
+        )
+        s = s.withColumn("_claims", claims).drop(*claim_cols)
+    else:
+        # FUSED VARIANT (kept for the measured negative result + A/B
+        # probing; see default branch): ONE WindowExec for all six
+        # claims. Each field can exclude at most nf-1 earlier idxs, so
+        # the first nf matching idxs per field determine every claim;
+        # six SAME-SPEC window collects fuse into one WindowExec pass
+        # and the claims resolve per row with a bounded fold over
+        # <= nf*nf longs. Fewer plan nodes, but the fold is
+        # CodegenFallback (interpreted per block row) — measured ~2x
+        # the annotated-phase wall of the chained default.
+        cand_cols = []
+        for fname, pat, _norm in FIXED_FIELDS:
+            kinds = [k for k, fl in KIND_FIXED_FIELDS.items() if fname in fl]
+            cond = F.col("text").rlike(pat.pattern) & F.col("doc_kind").isin(
+                kinds
+            )
+            cand_cols.append(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(cond, F.col("idx").cast("long"))
+                        ).over(w_url)
+                    ),
+                    1,
+                    nf,
+                )
+            )
+        s = s.withColumn("_cands", F.array(*cand_cols))
+        # Sequential claim resolution: fold over field order; each field
+        # takes its smallest candidate idx not already claimed (-1 = no
+        # claim, mirroring the legacy coalesce(prev, -1) sentinel — a
+        # real idx is never negative). aggregate/filter lambdas here use
+        # the (acc, x) / single-arg shapes only.
+        s = s.withColumn(
+            "_claims",
+            F.expr(
+                f"""
+                aggregate(
+                  sequence(0, {nf - 1}),
+                  cast(array() as array<bigint>),
+                  (acc, j) -> concat(acc, array(coalesce(
+                    try_element_at(
+                      filter(element_at(_cands, j + 1),
+                             x -> NOT array_contains(acc, x)),
+                      1),
+                    cast(-1 as bigint))))
+                )
+                """
+            ),
+        ).drop("_cands")
 
     claimed_field = F.lit(None).cast("string")
-    for fname, _pat, _norm in reversed(FIXED_FIELDS):
+    for j, (fname, _pat, _norm) in reversed(list(enumerate(FIXED_FIELDS))):
         claimed_field = F.when(
-            F.col("idx") == F.col(f"claim_{fname}"), F.lit(fname)
+            F.col("idx").cast("long") == F.get("_claims", F.lit(j)),
+            F.lit(fname),
         ).otherwise(claimed_field)
-    s = s.withColumn("claimed_field", claimed_field)
+    s = s.withColumn("claimed_field", claimed_field).drop("_claims")
 
     value = (
         F.when(F.col("claimed_field") == "pub_date", F.col("text"))
@@ -223,7 +295,7 @@ def _fixed_claims(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
     # claimer rows, null elsewhere) — the caller splits it into
     # remaining/fixed_rows AFTER a single checkpoint, instead of
     # materializing two separate frames.
-    return s.withColumn("claim_value", value).drop(*claim_cols)
+    return s.withColumn("claim_value", value)
 
 
 def run_cascade(
@@ -231,6 +303,7 @@ def run_cascade(
     spark: SparkSession,
     materialize: bool = True,
     debug_frames: dict | None = None,
+    timings: dict | None = None,
 ) -> DataFrame:
     """parsed(url, doc_kind, blocks) -> extracted (EXTRACTED_SCHEMA order).
 
@@ -257,6 +330,23 @@ def run_cascade(
     # tables deployment) MUST feed a STABLE source (a written table, not
     # a live round-robin repartition), or re-evaluation could assign
     # different ids per branch and mis-join documents.
+    import time as _time
+
+    _lazy = os.environ.get("CASCADE_VARIANT") == "lazy_ckpts"
+
+    def _ckpt(df: DataFrame, name: str) -> DataFrame:
+        # Eager checkpoint with optional wall attribution (probe support:
+        # each barrier is a serial driver-side wait, so per-name walls sum
+        # to ~the whole build phase). The lazy_ckpts A/B variant drops
+        # the barriers: each checkpoint then materializes inside its
+        # first consuming job (computed once, later consumers read the
+        # persisted blocks) — same work, fewer stop-the-world pauses.
+        t0 = _time.perf_counter()
+        out = df.localCheckpoint(eager=not _lazy)
+        if timings is not None:
+            timings[name] = timings.get(name, 0.0) + (_time.perf_counter() - t0)
+        return out
+
     parsed = parsed.withColumn(
         "url",
         F.concat_ws(
@@ -271,7 +361,7 @@ def run_cascade(
         # action. Fault recovery for the truncated stage is provided at
         # the job level by the bucket manifest (plans/job.py), not by
         # RDD lineage. It also freezes the monotonic row ids above.
-        parsed = parsed.localCheckpoint(eager=True)
+        parsed = _ckpt(parsed, "parsed")
     gate = _gate_exprs(parsed)
     passing = gate.where("can_proceed")
 
@@ -290,7 +380,7 @@ def run_cascade(
         # payloads; ONE checkpoint stops the claim windows + label UDF
         # re-running per branch AND keeps the url-hash partitioning as
         # the cached layout (remaining/fixed_rows are cheap filters of it).
-        annotated = annotated.localCheckpoint(eager=True)
+        annotated = _ckpt(annotated, "annotated")
     remaining = annotated.where(F.col("claimed_field").isNull()).drop(
         "claimed_field", "claim_value"
     )
@@ -337,7 +427,7 @@ def run_cascade(
         # Measured (30k pages, interleaved A/B at local[32]): dropping
         # this checkpoint costs ~4s/pass — the three consumers recompute
         # the broadcast sim-UDF join for more than the barrier saves.
-        hits = hits.localCheckpoint(eager=True)
+        hits = _ckpt(hits, "hits")
 
     # ---- W1: best anchor per (url, field): max sim, first position ----
     w_field = Window.partitionBy("url", "field").orderBy(
@@ -457,7 +547,7 @@ def run_cascade(
     if materialize:
         # <= 8 rows per document; body, spans, and the pivot each re-walk
         # the binding chain otherwise.
-        all_values = all_values.localCheckpoint(eager=True)
+        all_values = _ckpt(all_values, "all_values")
 
     # ---- body blocks: stream minus anchors/labels/used values ----------
     used_all = all_values.select("url", F.col("value").alias("text")).distinct()
