@@ -259,6 +259,20 @@ def q_dedup_simhash(spark, sf_dir):  # SimHash near-dups (oracle-exact)
     return simhash_near_pairs(d, max_hamming=4)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-CLUSTER resolution: connected components over the
+    MinHash near-dup pair list (doc_id -> min doc id of its component),
+    the stage a dedup pipeline runs after pair generation so transitive
+    near-dups ("A~B, B~C" without "A~C") collapse to one keeper.
+    Iterative large-star/small-star in Spark; the oracle recomputes the
+    exact-Jaccard edge set in SQL and closes it with a recursive CTE."""
+    from ocr_poc_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.5)
+    return connected_components(pairs).orderBy("doc_id")
+
+
 def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k
     # Reuses the operator directly (no inline re-implementation to
     # drift); ranking happens on the UNROUNDED cosine in both engines.
@@ -715,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
@@ -1229,6 +1244,32 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(a.sh || b.sh)) AS j
               FROM s a JOIN s b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE j >= 0.5
+        """,
+        # Components oracle: the exact-Jaccard edge set (same construction
+        # as the dedup_minhash oracle) closed transitively with a
+        # recursive CTE; component id = min reachable doc id. Fully
+        # independent of the Spark large-star/small-star iteration.
+        "dedup_components": f"""
+            WITH RECURSIVE s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len({_WORDS_SQL})-2, 0)+1),
+                         i -> array_to_string(({_WORDS_SQL})[i:i+2], ' '))) AS sh
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / len(list_distinct(a.sh || b.sh)) >= 0.5),
+            e AS (SELECT id_a AS u, id_b AS v FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+                WHERE e2.v != r.u)
+            SELECT u AS doc_id, least(u, min(v)) AS component_id
+            FROM reach GROUP BY u ORDER BY doc_id
         """,
         # SimHash oracle: the 60-bit fingerprint is recomputed from
         # scratch in SQL (md5-hex15 token hash -> per-bit +/-1 sums ->

@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
         help="near-dup detector: MinHash+LSH (exact-Jaccard verified) or "
              "SimHash banding (pigeonhole-exact recall)",
     )
+    ap.add_argument(
+        "--dedup-clusters", action="store_true",
+        help="with --dedup: also resolve pairs into duplicate components "
+             "(connected components; transitive closure) and write a "
+             "keeper flag per paired doc",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("ocr_poc_spark.job", cpus=args.cpus)
@@ -87,7 +93,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.dedup:
         from .plans.job import run_dedup
 
-        summary.update(run_dedup(spark, args.out, method=args.dedup_method))
+        summary.update(
+            run_dedup(
+                spark,
+                args.out,
+                method=args.dedup_method,
+                clusters=args.dedup_clusters,
+            )
+        )
     if args.corpus_stats:
         from .plans.job import run_corpus_stats
 

@@ -343,3 +343,99 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a
+    near-dup pair list -> (doc_id, component_id), component_id = min doc
+    id in the component. The stage a dedup pipeline runs AFTER
+    MinHash/SimHash pair generation, so "A~B, B~C" collapses to one
+    keeper even when A~C was never emitted.
+
+    Ids may be any orderable type (numeric doc ids or url strings —
+    the CLI curation frame keys on url); component_id is the minimum
+    under that type's ordering.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round is two
+    groupBy-explode passes over the edge list; chains contract in
+    O(log d) rounds (vs O(d) for naive label propagation), and every
+    shuffle carries bare (id, id) edges only. The edge frame is
+    localCheckpoint-ed per round — iterative plans otherwise grow the
+    lineage/codegen DAG linearly in rounds. Convergence = fixpoint of
+    the edge multiset (checked via count + order-insensitive hash sum,
+    one tiny aggregate job per round); raises if max_iter rounds do not
+    converge (12 rounds cover chains of ~2^12 docs).
+    """
+    e = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).where("u IS NOT NULL AND v IS NOT NULL AND u != v")
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    edges = e.distinct().localCheckpoint(eager=True)
+
+    def _sig(df: DataFrame):
+        # decimal(38,0) accumulator: a bigint sum of 64-bit hashes
+        # overflows (ANSI) after a handful of rows.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        # Large-star: every neighbor LARGER than u links to the minimum
+        # of u's closed neighborhood.
+        und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        grouped = und.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        m = F.least(F.col("u"), F.array_min("nbrs"))
+        large = (
+            grouped.select("u", m.alias("m"), "nbrs")
+            .select(
+                F.explode(F.filter("nbrs", lambda x: x > F.col("u"))).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .where("u != v")
+            .distinct()
+        )
+        # Small-star: direct edges large->small, then every smaller
+        # neighbor (and u itself) links to the neighborhood minimum.
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        grouped2 = directed.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        small = (
+            grouped2.select("u", F.array_min("nbrs").alias("m"), "nbrs")
+            .select(
+                F.explode(
+                    F.array_append(
+                        F.filter("nbrs", lambda x: x != F.col("m")), F.col("u")
+                    )
+                ).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .where("u != v")
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    # At the fixpoint every edge is (member, component-min); nodes that
+    # appear only as roots map to themselves.
+    membership = edges.groupBy("u").agg(F.min("v").alias("component_id"))
+    return nodes.join(membership, "u", "left").select(
+        F.col("u").alias("doc_id"),
+        F.coalesce("component_id", F.col("u")).alias("component_id"),
+    )

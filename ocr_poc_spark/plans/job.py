@@ -285,14 +285,25 @@ def run_dedup(
     jaccard_threshold: float = 0.8,
     method: str = "minhash",
     max_hamming: int = 3,
+    clusters: bool = False,
 ) -> dict:
     """Post-extraction near-duplicate pass over the extracted corpus
     (training-data curation stage) -> <out>/dup_pairs parquet.
 
     method='minhash': MinHash+LSH banding verified by exact shingle
     Jaccard >= jaccard_threshold. method='simhash': 60-bit fingerprint
-    banding with pigeonhole-exact recall at hamming <= max_hamming."""
-    from ..operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+    banding with pigeonhole-exact recall at hamming <= max_hamming.
+
+    clusters=True additionally resolves the pair list into duplicate
+    components (transitive closure: "A~B, B~C" collapses even when A~C
+    was never emitted) -> <out>/dup_components parquet with one row per
+    paired url (doc_id, component_id, keeper) where keeper marks the
+    component's minimum url — the row a training pipeline retains."""
+    from ..operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
 
     docs = _curation_docs(spark, out_dir)
     if method == "minhash":
@@ -304,7 +315,22 @@ def run_dedup(
     dup_dir = os.path.join(out_dir, "dup_pairs")
     pairs.write.mode("overwrite").parquet(dup_dir)
     n = spark.read.parquet(dup_dir).count()
-    return {"dup_pairs": n, "dup_dir": dup_dir, "dedup_method": method}
+    out = {"dup_pairs": n, "dup_dir": dup_dir, "dedup_method": method}
+    if clusters:
+        comp_dir = os.path.join(out_dir, "dup_components")
+        comp = connected_components(spark.read.parquet(dup_dir))
+        comp.withColumn(
+            "keeper", F.col("doc_id") == F.col("component_id")
+        ).write.mode("overwrite").parquet(comp_dir)
+        cdf = spark.read.parquet(comp_dir)
+        out.update(
+            {
+                "dup_component_docs": cdf.count(),
+                "dup_components": cdf.select("component_id").distinct().count(),
+                "dup_components_dir": comp_dir,
+            }
+        )
+    return out
 
 
 def run_corpus_stats(spark: SparkSession, out_dir: str) -> dict:

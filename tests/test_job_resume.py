@@ -91,6 +91,53 @@ def test_cli_dedup_stage(spark, pages_df, tmp_path):
     assert n_mirror == len(pairs)
 
 
+def test_cli_dedup_clusters_stage(spark, pages_df, tmp_path):
+    """clusters=True resolves the pair list transitively: an original
+    page with TWO mirrors (mirror~orig, mirror2~orig, mirror~mirror2
+    all near-dups) must land in ONE component whose keeper is the
+    lexicographic minimum url, and every component keeps exactly one
+    keeper row."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_dedup, run_job
+
+    base = pages_df.limit(15)
+    m1 = base.select(
+        F.concat(F.lit("https://m1.example/"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    m2 = base.select(
+        F.concat(F.lit("https://m2.example/"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    out = str(tmp_path / "ddc")
+    run_job(
+        spark, base.unionByName(m1).unionByName(m2), out,
+        mode="fused", n_buckets=2,
+    )
+    res = run_dedup(spark, out, jaccard_threshold=0.9, clusters=True)
+    assert res["dup_component_docs"] > 0
+    comp = spark.read.parquet(res["dup_components_dir"])
+    rows = comp.collect()
+    # component id is a member and the minimum of its component
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    assert len(by_comp) == res["dup_components"]
+    for cid, members in by_comp.items():
+        ids = {m.doc_id for m in members}
+        assert cid == min(ids)
+        keepers = [m for m in members if m.keeper]
+        assert len(keepers) == 1 and keepers[0].doc_id == cid
+    # each original + its two mirrors share one component (transitivity)
+    for r in rows:
+        stripped = (
+            r.doc_id.replace("https://m1.example/", "")
+            .replace("https://m2.example/", "")
+        )
+        assert r.component_id.endswith(stripped) or stripped in r.component_id
+
+
 def test_iceberg_gate_contract(spark, tmp_path, pages_df):
     """The Iceberg leg of S1/S4 cannot run here (no connector jar in the
     sandbox, no network to vendor one — exclusion documented in

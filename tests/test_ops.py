@@ -321,3 +321,72 @@ def test_embedding_near_dup_lsh_recall_bound(spark):
     assert lsh <= exact  # precision 1.0: no emitted pair below threshold
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(lsh)}/{len(exact)})"
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C without A~C must land in ONE component keyed by the min
+    id; disjoint pairs stay separate; isolated structure preserved."""
+    from ocr_poc_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+
+
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """A 64-node path graph (worst diameter per edge) must converge
+    within the default max_iter=12 (large-star/small-star halves chain
+    depth per round) and produce a single component."""
+    from ocr_poc_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 64
+    assert {r.component_id for r in rows} == {0}
+
+
+def test_connected_components_empty_and_self_pairs(spark):
+    """Empty input -> empty output; self-pairs are dropped, not looped."""
+    from ocr_poc_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    selfp = spark.createDataFrame([(5, 5), (5, 6)], "id_a long, id_b long")
+    got = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(selfp).collect()
+    }
+    assert got == {(5, 5), (6, 5)}
+
+
+def test_connected_components_string_ids(spark):
+    """The CLI curation frame keys documents on url STRINGS — the
+    operator must work on any orderable id type, component_id = the
+    lexicographic minimum."""
+    from ocr_poc_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b.com/1", "c.com/2"), ("c.com/2", "a.com/9")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        ("a.com/9", "a.com/9"),
+        ("b.com/1", "a.com/9"),
+        ("c.com/2", "a.com/9"),
+    }
