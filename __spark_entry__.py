@@ -405,6 +405,32 @@ def q_tpch_pricing(spark, sf_dir):  # TPC-H Q1-style agg (decimal-exact)
     )
 
 
+def q_tpch_part_profit(spark, sf_dir):
+    """Q9-flavored multi-way star join: revenue by supplier nation x
+    part brand. 100TB shape: lineitem is the only fact-scale input —
+    part/supplier/nation are dimension tables and broadcast explicitly,
+    so the plan has ZERO join exchanges; the single hash exchange is
+    the final (nation, brand) aggregate, with map-side partial
+    aggregation bounding it at n_nations x n_brands rows per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def q_tpch_top_orders(spark, sf_dir):  # Q3-style join + top-k
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -742,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "tpch_pricing": q_tpch_pricing,
+        "tpch_part_profit": q_tpch_part_profit,
         "tpch_top_orders": q_tpch_top_orders,
         "region_rollup": q_region_rollup,
         "salted_agg": q_salted_agg,
@@ -1046,6 +1073,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_part_profit": """
+            SELECT n_name AS nation, p_brand AS brand,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY n_name, p_brand
         """,
         "tpch_top_orders": """
             SELECT o_orderkey, CAST(revenue_dec AS DOUBLE) AS revenue,

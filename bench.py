@@ -63,6 +63,7 @@ def _pages_path(n_pages: int) -> str:
 BENCH_QUERIES = [
     "tpch_pricing", "tpch_top_orders", "region_rollup",
     "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    "dedup_components",
     "embedding_topk", "ann_lsh",
     "proximity_binding", "sessionization", "lang_id", "fingerprint",
     "zone_transform", "multimodal_decode",

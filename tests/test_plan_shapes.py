@@ -111,6 +111,18 @@ def test_normalize_and_sample_are_zero_shuffle(spark):
     assert "Exchange" not in _plan(stratified_sample(docs, {"en": 0.5}))
 
 
+def test_part_profit_broadcasts_all_dims_one_exchange(spark):
+    """The Q9-style star join must broadcast all three dimension tables
+    (part/supplier/nation) and shuffle exactly once — the final
+    (nation, brand) aggregate. A dim riding a hash exchange would mean
+    a fact-table shuffle per join at production scale."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.q_tpch_part_profit(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastExchange") == 3, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_fixed_claims_variants_plan_shapes(spark, monkeypatch):
     """Default claims path = six chained codegen'd min-windows sharing
     one sort (MEASURED faster than the fused single-window variant,
