@@ -294,6 +294,24 @@ def q_ann_lsh(spark, sf_dir):  # hyperplane-LSH ANN
     )
 
 
+def q_ann_ivf(spark, sf_dir):  # IVF (k-means inverted-file) ANN
+    """The coarse-quantizer alternative to q_ann_lsh: deterministic
+    seeded Lloyd's k-means (native aggregations, centroids as driver
+    literals), n_probe nearest-centroid search, exact cosine re-rank.
+    Oracle = committed golden from an arithmetic-exact pure-Python
+    mirror (scripts/make_goldens.py::golden_ann_ivf; left-fold float
+    ops match Spark's HOF folds bit-for-bit; the 4-decimal centroid
+    rounding both sides quantizes away sum-order noise)."""
+    from ocr_poc_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    return ivf_ann_topk(
+        emb, k=3, dim=64, n_centroids=16, n_probe=4, n_iter=5
+    ).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):  # embedding-cosine near-dup pairs
     """Exact all-pairs variant (oracle-checkable);
     similarity.embedding_near_dup_pairs is the LSH-bucketed scale path."""
@@ -759,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lang_id": q_lang_id,
@@ -1501,6 +1520,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                    ROUND(cosine, 6) AS cosine
             FROM read_parquet('/root/repo/dist/golden/ann_lsh_sf001.parquet')
+        """,
+        "ann_ivf": """
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   ROUND(cosine, 6) AS cosine
+            FROM read_parquet('/root/repo/dist/golden/ann_ivf_sf001.parquet')
         """,
         # extract_pipeline: INDEPENDENT derivation — DuckDB recomputes the
         # expected extraction output straight from the documents table and

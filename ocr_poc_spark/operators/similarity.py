@@ -245,3 +245,165 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + n_probe search.
+# ---------------------------------------------------------------------------
+def _seed_centroids(dim: int, n_centroids: int, seed: int) -> list[list[float]]:
+    rs = np.random.RandomState(seed + 31)
+    return rs.randn(n_centroids, dim).astype(float).tolist()
+
+
+def _sqdist(v, centroid_lit: "Column") -> "Column":
+    # Left-fold sum of squared differences — the SAME IEEE operation
+    # order as the pure-Python golden mirror (scripts/make_goldens.py),
+    # so distances are bit-exact across the two implementations.
+    return F.aggregate(
+        F.zip_with(v, centroid_lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _centroid_lits(centroids: list[list[float]]):
+    return [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+
+
+def _argmin_cluster(v, centroids: list[list[float]]) -> "Column":
+    # min over (distance, index) structs: lexicographic struct ordering
+    # gives the lowest-index tie-break deterministically.
+    entries = [
+        F.struct(_sqdist(v, lit).alias("d"), F.lit(i).alias("i"))
+        for i, lit in enumerate(_centroid_lits(centroids))
+    ]
+    return F.array_min(F.array(*entries))["i"]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means, Spark-native: seeded random init
+    (data-independent, so the pure-Python oracle mirror reproduces it
+    exactly), a FIXED number of iterations, centroids rounded to 4
+    decimals each update.
+
+    Scale shape (MLlib-style): centroids live on the driver (k x dim
+    doubles) and enter each assignment pass as literal arrays; the per-
+    iteration update is posexplode(vector) -> groupBy(cluster, pos) with
+    map-side partial aggregation, so the shuffle carries at most
+    k x dim rows per task and the driver collects k x dim totals — no
+    vector ever crosses the wire. The 4-decimal rounding quantizes away
+    double-summation order noise (Spark task order vs the oracle's file
+    order), keeping assignments byte-stable across partitionings.
+
+    The literal-array design point is k up to a few hundred; a
+    production IVF with k ~ sqrt(corpus) in the thousands would keep the
+    same algorithm but ship centroids as a broadcast table join."""
+    base = (
+        with_norm(df.select(vec_col), vec_col)
+        .select("_v")
+        .localCheckpoint(eager=True)
+    )
+    cents = _seed_centroids(dim, n_centroids, seed)
+    for _ in range(n_iter):
+        stats = (
+            base.select(_argmin_cluster(F.col("_v"), cents).alias("c"), "_v")
+            .select("c", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r["c"], [0.0] * dim)[r["pos"]] = r["s"]
+            counts[r["c"]] = r["n"]
+        cents = [
+            [round(sums[i][p] / counts[i], 4) for p in range(dim)]
+            if counts.get(i)
+            else cents[i]  # empty cluster keeps its previous centroid
+            for i in range(n_centroids)
+        ]
+    return cents
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k (the k-means alternative to lsh_ann_topk):
+    corpus vectors are assigned to their nearest centroid; each query
+    probes its n_probe nearest centroids and re-ranks candidates with
+    the exact cosine. Recall/cost dial is n_probe/n_centroids (probing
+    all centroids degenerates to exact brute force).
+
+    Same shuffle discipline as the LSH path: ids ONLY ride the
+    cluster equi-join (a (query, neighbor) pair can appear at most once
+    — a neighbor lives in exactly one cluster — so no pair dedup is
+    needed, unlike multi-table LSH); vectors join back once per side
+    for the scoring. Cluster key cardinality is n_centroids with
+    k-means-balanced sizes ~n/k; a pathological all-points-one-cluster
+    corpus degrades toward brute force but never duplicates pairs."""
+    from pyspark.sql import Window
+
+    cents = kmeans_centroids(df, vec_col, dim, n_centroids, n_iter, seed)
+    base = with_norm(df.select(id_col, vec_col), vec_col).localCheckpoint(
+        eager=True
+    )
+
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        _argmin_cluster(F.col("_v"), cents).alias("cluster"),
+    )
+    # n_probe nearest centroids per query: sort (distance, index)
+    # structs, slice, keep indexes.
+    probe_entries = F.array(
+        *[
+            F.struct(_sqdist(F.col("_v"), lit).alias("d"), F.lit(i).alias("i"))
+            for i, lit in enumerate(_centroid_lits(cents))
+        ]
+    )
+    probes = base.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_entries), 1, n_probe),
+                lambda s: s["i"],
+            )
+        ).alias("cluster"),
+    )
+    pairs = (
+        probes.join(corpus, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    pairs = pairs.join(
+        base.select(F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
+                    F.col("_norm").alias("q_norm")),
+        "query_id",
+    ).join(
+        base.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("c_v"),
+                    F.col("_norm").alias("c_norm")),
+        "neighbor_id",
+    )
+    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

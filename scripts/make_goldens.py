@@ -90,6 +90,91 @@ def golden_ann_lsh() -> pa.Table:
     )
 
 
+# Must match q_ann_ivf in __spark_entry__.py / similarity.ivf_ann_topk
+# defaults.
+IVF_K, IVF_DIM, IVF_CENTROIDS, IVF_PROBE, IVF_ITER, IVF_SEED = 3, 64, 16, 4, 5, 7
+
+
+def _sqdist(a: list[float], b: list[float]) -> float:
+    """Left-fold of (x-y)^2 — the exact op sequence of Spark's
+    F.aggregate(zip_with(a, b, (x,y)->(x-y)*(x-y)), 0.0, acc+d)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def golden_ann_ivf() -> pa.Table:
+    """Pure-Python mirror of operators/similarity.ivf_ann_topk: seeded
+    k-means init, IVF_ITER Lloyd iterations with centroids rounded to 4
+    decimals (quantizes away double-summation order noise between
+    Spark's task-order sums and this file-order sum), lowest-index
+    argmin tie-break, n_probe nearest centroids per query, exact cosine
+    re-rank with (-cosine, neighbor_id) ordering."""
+    import math
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t.column("vec_id").to_pylist()
+    vecs = [[float(x) for x in v] for v in t.column("embedding").to_pylist()]
+    norms = [math.sqrt(_dot(v, v)) for v in vecs]
+
+    rs = np.random.RandomState(IVF_SEED + 31)
+    cents = rs.randn(IVF_CENTROIDS, IVF_DIM).astype(float).tolist()
+
+    def assign(v: list[float]) -> int:
+        return min(
+            ((_sqdist(v, c), i) for i, c in enumerate(cents))
+        )[1]
+
+    for _ in range(IVF_ITER):
+        sums = [[0.0] * IVF_DIM for _ in range(IVF_CENTROIDS)]
+        counts = [0] * IVF_CENTROIDS
+        for v in vecs:
+            c = assign(v)
+            counts[c] += 1
+            for p, x in enumerate(v):
+                sums[c][p] += x
+        cents = [
+            [round(sums[i][p] / counts[i], 4) for p in range(IVF_DIM)]
+            if counts[i]
+            else cents[i]
+            for i in range(IVF_CENTROIDS)
+        ]
+
+    members: dict[int, list[int]] = {}
+    for i, v in enumerate(vecs):
+        members.setdefault(assign(v), []).append(i)
+
+    rows = []
+    for qi, v in enumerate(vecs):
+        probed = sorted(
+            ((_sqdist(v, c), i) for i, c in enumerate(cents))
+        )[:IVF_PROBE]
+        cand = [
+            ni
+            for _, ci in probed
+            for ni in members.get(ci, [])
+            if ni != qi
+        ]
+        scored = sorted(
+            (
+                (-(_dot(vecs[qi], vecs[ni]) / (norms[qi] * norms[ni])), ids[ni])
+                for ni in cand
+            )
+        )
+        for rank, (neg_cos, nid) in enumerate(scored[:IVF_K], start=1):
+            rows.append((ids[qi], nid, rank, -neg_cos))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int32()),
+            "cosine": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
 def synth_page(doc_id: int, text: str, lang: str) -> tuple[str, bytes]:
     """Exact mirror of __spark_entry__._pages_from_documents (the Spark
     concat casts bigint columns to decimal strings, as str() does)."""
@@ -159,6 +244,7 @@ def golden_extract() -> pa.Table:
 
 GOLDENS = {
     "ann_lsh_sf001.parquet": golden_ann_lsh,
+    "ann_ivf_sf001.parquet": golden_ann_ivf,
     "extract_sf001.parquet": golden_extract,
 }
 

@@ -23,6 +23,11 @@ def test_ann_lsh_golden_is_current():
     assert fresh.equals(_committed("ann_lsh_sf001.parquet"))
 
 
+def test_ann_ivf_golden_is_current():
+    fresh = make_goldens.golden_ann_ivf()
+    assert fresh.equals(_committed("ann_ivf_sf001.parquet"))
+
+
 def test_extract_golden_is_current():
     fresh = make_goldens.golden_extract()
     assert fresh.equals(_committed("extract_sf001.parquet"))

@@ -390,3 +390,51 @@ def test_connected_components_string_ids(spark):
         ("b.com/1", "a.com/9"),
         ("c.com/2", "a.com/9"),
     }
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF with n_probe=4 of 8 centroids must recover the exact top-1
+    neighbor for most queries (far above chance) and every returned
+    cosine must be exact (the re-rank is exact by construction: verify
+    against brute force where the pair overlaps)."""
+    import numpy as np
+
+    from ocr_poc_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    rs = np.random.RandomState(11)
+    rows = [(i, rs.randn(16).astype(float).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(df, query_ids=list(range(80)), k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_ann_topk(
+            df, k=1, dim=16, n_centroids=8, n_probe=4, n_iter=3
+        ).collect()
+    }
+    hits = sum(
+        1 for key, (nid, _) in approx.items() if exact.get(key, (None,))[0] == nid
+    )
+    assert hits >= 0.5 * len(exact)
+    for key, (nid, cos) in approx.items():
+        if exact.get(key, (None,))[0] == nid:
+            assert abs(exact[key][1] - cos) < 1e-12
+
+
+def test_ivf_kmeans_is_deterministic_across_partitionings(spark):
+    """Centroids (and therefore assignments/results) must be byte-stable
+    whether the input arrives in 1 or 7 partitions — the 4-decimal
+    rounding absorbs double-summation order differences."""
+    import numpy as np
+
+    from ocr_poc_spark.operators.similarity import kmeans_centroids
+
+    rs = np.random.RandomState(5)
+    rows = [(i, rs.randn(8).astype(float).tolist()) for i in range(60)]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(1)
+    df7 = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(7)
+    c1 = kmeans_centroids(df1, dim=8, n_centroids=4, n_iter=3, seed=2)
+    c7 = kmeans_centroids(df7, dim=8, n_centroids=4, n_iter=3, seed=2)
+    assert c1 == c7
