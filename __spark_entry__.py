@@ -259,6 +259,28 @@ def q_dedup_simhash(spark, sf_dir):  # SimHash near-dups (oracle-exact)
     return simhash_near_pairs(d, max_hamming=4)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Rolling-crawl dedup: every 4th doc plays the NEW crawl slice,
+    the rest the already-indexed corpus; pairs touching at least one
+    new doc must exactly equal the batch operator's output restricted
+    to those pairs (the oracle recomputes exact all-pairs Jaccard with
+    that predicate). The corpus side goes through the persisted-index
+    path (minhash_band_index), never re-shingled except for the
+    candidate-pruned verify."""
+    from ocr_poc_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    new = d.where(F.col("doc_id") % 4 == 0)
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    idx = minhash_band_index(corpus)
+    return minhash_lsh_pairs_incremental(
+        new, corpus, corpus_index=idx, jaccard_threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Duplicate-CLUSTER resolution: connected components over the
     MinHash near-dup pair list (doc_id -> min doc id of its component),
@@ -773,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
@@ -1302,6 +1325,23 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(a.sh || b.sh)) AS j
               FROM s a JOIN s b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE j >= 0.5
+        """,
+        # Incremental oracle: identical exact-Jaccard recompute, restricted
+        # to pairs touching the "new crawl" slice (doc_id % 4 == 0).
+        "dedup_incremental": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len({_WORDS_SQL})-2, 0)+1),
+                         i -> array_to_string(({_WORDS_SQL})[i:i+2], ' '))) AS sh
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh)) AS j
+              FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
+            WHERE j >= 0.5 AND (id_a % 4 = 0 OR id_b % 4 = 0)
         """,
         # Components oracle: the exact-Jaccard edge set (same construction
         # as the dedup_minhash oracle) closed transitively with a

@@ -63,8 +63,8 @@ def _pages_path(n_pages: int) -> str:
 BENCH_QUERIES = [
     "tpch_pricing", "tpch_top_orders", "region_rollup",
     "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
-    "dedup_components",
-    "embedding_topk", "ann_lsh",
+    "dedup_components", "dedup_incremental",
+    "embedding_topk", "ann_lsh", "ann_ivf", "tpch_part_profit",
     "proximity_binding", "sessionization", "lang_id", "fingerprint",
     "zone_transform", "multimodal_decode",
     "boilerplate_shingles", "decontaminate",

@@ -87,6 +87,46 @@ def minhash_signature(df: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFra
     return df
 
 
+def _shingle_and_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    num_bands: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingled(id, shingles), band_ids(id, band, sig)) — the shared
+    front half of the batch and incremental MinHash paths."""
+    rows_per_band = num_hashes // num_bands
+    shingled = word_shingles(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("id"), "shingles"
+    )
+    sig = minhash_signature(shingled, num_hashes)
+    bands = []
+    for b in range(num_bands):
+        cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig")))
+    band_ids = sig.select(
+        "id", F.explode(F.array(*bands)).alias("bs")
+    ).select("id", "bs.band", "bs.sig")
+    return shingled, band_ids
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_MINHASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """The persistable MinHash inverted file: (id, band, sig), one row
+    per document per band. Write this per corpus snapshot; the next
+    crawl's dedup pass (minhash_lsh_pairs_incremental) then reads it
+    instead of recomputing shingles + signatures for the whole corpus —
+    the index is ~num_bands small fixed-width rows per document, never
+    document text."""
+    return _shingle_and_bands(df, id_col, text_col, num_hashes, num_bands)[1]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -97,23 +137,14 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) via MinHash banding, verified
     with exact shingle-set Jaccard on the candidates only."""
-    rows_per_band = num_hashes // num_bands
-    shingled = word_shingles(df.select(id_col, text_col), text_col).select(
-        F.col(id_col).alias("id"), "shingles"
-    )
-    sig = minhash_signature(shingled, num_hashes)
-    bands = []
-    for b in range(num_bands):
-        cols = [F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig")))
     # Ids ONLY through the band shuffle: shipping the document-sized
     # shingle arrays on both sides of the self-join would multiply
     # shuffle volume by ~doc_size x num_bands at 100TB. Candidate id
     # pairs are deduped first; the shingle arrays are joined back ONCE
     # per side for the exact-Jaccard verify.
-    band_ids = sig.select(
-        "id", F.explode(F.array(*bands)).alias("bs")
-    ).select("id", "bs.band", "bs.sig")
+    shingled, band_ids = _shingle_and_bands(
+        df, id_col, text_col, num_hashes, num_bands
+    )
 
     left = band_ids.select(F.col("id").alias("id_a"), "band", "sig")
     right = band_ids.select(F.col("id").alias("id_b"), "band", "sig")
@@ -128,6 +159,83 @@ def minhash_lsh_pairs(
         "id_a",
     ).join(
         shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
+    )
+    sa = F.array_distinct("sh_a")
+    sb = F.array_distinct("sh_b")
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_MINHASHES,
+    num_bands: int = NUM_BANDS,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental near-dup pass: every pair involving at least one NEW
+    document — new-vs-corpus and new-vs-new — without re-banding the
+    corpus. EXACTLY equals minhash_lsh_pairs(new ∪ corpus) restricted
+    to pairs touching a new id (property-tested), with id_a < id_b.
+
+    The snapshot pattern a rolling crawl runs: persist
+    ``minhash_band_index(corpus)`` once per snapshot and pass it as
+    ``corpus_index`` (computed from corpus_docs when None); only the
+    new slice is shingled/hashed up front. Corpus text is touched
+    twice, both times candidate-bounded: the exact-Jaccard verify
+    needs shingles for candidate corpus docs only, so corpus_docs is
+    LEFT SEMI-pruned to candidate ids BEFORE shingling — at 100TB the
+    full corpus is never re-shingled, only the (tiny) candidate set.
+    Ids must be distinct across the two inputs (crawl ids are)."""
+    shingled_new, bands_new = _shingle_and_bands(
+        new_docs, id_col, text_col, num_hashes, num_bands
+    )
+    if corpus_index is None:
+        corpus_index = minhash_band_index(
+            corpus_docs, id_col, text_col, num_hashes, num_bands
+        )
+    all_bands = corpus_index.select("id", "band", "sig").unionByName(bands_new)
+
+    left = bands_new.select(F.col("id").alias("id_a"), "band", "sig")
+    right = all_bands.select(F.col("id").alias("id_b"), "band", "sig")
+    cand = (
+        left.join(right, ["band", "sig"])
+        .where(F.col("id_a") != F.col("id_b"))
+        # new-new candidates arrive in both orientations, new-corpus in
+        # one; normalize to id_a < id_b, then dedup across bands.
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    corpus_needed = corpus_docs.join(
+        cand_ids, corpus_docs[id_col] == cand_ids["id"], "left_semi"
+    )
+    shingled_needed = word_shingles(
+        corpus_needed.select(id_col, text_col), text_col
+    ).select(F.col(id_col).alias("id"), "shingles")
+    all_shingled = shingled_new.unionByName(shingled_needed)
+
+    cand = cand.join(
+        all_shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        all_shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
         "id_b",
     )
     sa = F.array_distinct("sh_a")

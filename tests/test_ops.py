@@ -438,3 +438,53 @@ def test_ivf_kmeans_is_deterministic_across_partitionings(spark):
     c1 = kmeans_centroids(df1, dim=8, n_centroids=4, n_iter=3, seed=2)
     c7 = kmeans_centroids(df7, dim=8, n_centroids=4, n_iter=3, seed=2)
     assert c1 == c7
+
+
+def test_minhash_incremental_equals_batch_restriction(spark):
+    """minhash_lsh_pairs_incremental(new, corpus) must EXACTLY equal
+    minhash_lsh_pairs(new UNION corpus) restricted to pairs touching a
+    new id — including new-vs-new pairs and identical jaccard values —
+    whether the index is passed in precomputed or derived internally."""
+    import numpy as np
+
+    from ocr_poc_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    rs = np.random.RandomState(9)
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        toks = [words[j] for j in rs.randint(0, 40, size=25)]
+        rows.append((i, " ".join(toks)))
+        if i % 5 == 4:  # plant a near-dup of the previous doc
+            mut = list(toks)
+            mut[3] = words[rs.randint(0, 40)]
+            rows.append((i + 1000, " ".join(mut)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.where("doc_id % 3 = 0")
+    corpus = df.where("doc_id % 3 != 0")
+
+    batch = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+        if r.id_a % 3 == 0 or r.id_b % 3 == 0
+    }
+    assert batch, "fixture produced no near-dup pairs touching new docs"
+    inc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs_incremental(
+            new, corpus, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert inc == batch
+    idx = minhash_band_index(corpus)
+    inc2 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs_incremental(
+            new, corpus, corpus_index=idx, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert inc2 == batch
