@@ -75,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
              "keeper flag per paired doc",
     )
     args = ap.parse_args(argv)
+    if args.dedup_clusters:
+        # clusters are resolved from the pair stage's output; asking for
+        # them implies running it (silently ignoring the flag would
+        # complete "successfully" with no dup_components written).
+        args.dedup = True
 
     spark = get_spark("ocr_poc_spark.job", cpus=args.cpus)
     done = completed_buckets(args.out)

@@ -338,11 +338,16 @@ def run_cascade(
         # Eager checkpoint with optional wall attribution (probe support:
         # each barrier is a serial driver-side wait, so per-name walls sum
         # to ~the whole build phase). The lazy_ckpts A/B variant drops
-        # the barriers: each checkpoint then materializes inside its
-        # first consuming job (computed once, later consumers read the
-        # persisted blocks) — same work, fewer stop-the-world pauses.
+        # the DOWNSTREAM barriers: each checkpoint then materializes
+        # inside its first consuming job (computed once, later consumers
+        # read the persisted blocks) — same work, fewer stop-the-world
+        # pauses. The 'parsed' checkpoint stays EAGER even in the lazy
+        # variant: it is what freezes the monotonic doc ids before the
+        # ~8-branch fan-out (see the CONTRACT comment above); a lazy
+        # parsed checkpoint over a live round-robin source could let
+        # branches observe different id assignments — mis-joined docs.
         t0 = _time.perf_counter()
-        out = df.localCheckpoint(eager=not _lazy)
+        out = df.localCheckpoint(eager=not _lazy or name == "parsed")
         if timings is not None:
             timings[name] = timings.get(name, 0.0) + (_time.perf_counter() - t0)
         return out

@@ -154,6 +154,17 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _exact_jaccard_verify(cand, shingled, jaccard_threshold)
+
+
+def _exact_jaccard_verify(
+    cand: DataFrame, shingled: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Shared verify tail of the batch and incremental MinHash paths:
+    join the shingle arrays back once per side of each candidate id
+    pair, compute exact shingle-set Jaccard, keep pairs >= threshold.
+    ONE definition — the incremental==batch-restriction parity property
+    depends on both paths verifying identically."""
     cand = cand.join(
         shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
         "id_a",
@@ -230,24 +241,7 @@ def minhash_lsh_pairs_incremental(
         corpus_needed.select(id_col, text_col), text_col
     ).select(F.col(id_col).alias("id"), "shingles")
     all_shingled = shingled_new.unionByName(shingled_needed)
-
-    cand = cand.join(
-        all_shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
-        "id_a",
-    ).join(
-        all_shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
-        "id_b",
-    )
-    sa = F.array_distinct("sh_a")
-    sb = F.array_distinct("sh_b")
-    inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(F.array_union(sa, sb))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        cand.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _exact_jaccard_verify(cand, all_shingled, jaccard_threshold)
 
 
 def ngram_jaccard_pairs(
@@ -483,8 +477,14 @@ def connected_components(
     e = pairs.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).where("u IS NOT NULL AND v IS NOT NULL AND u != v")
-    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     edges = e.distinct().localCheckpoint(eager=True)
+    # Node set derived from the CHECKPOINTED frame: deriving it from the
+    # pre-checkpoint lineage would re-run the entire upstream
+    # pair-generation DAG (LSH banding + verify) a second time when the
+    # result is evaluated.
+    nodes = edges.select("u").union(
+        edges.select(F.col("v").alias("u"))
+    ).distinct()
 
     def _sig(df: DataFrame):
         # decimal(38,0) accumulator: a bigint sum of 64-bit hashes

@@ -28,6 +28,38 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
 
 
+def _rerank_pairs(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared exact-rerank tail of every ANN/top-k path: given candidate
+    rows carrying (query_id, neighbor_id, q_v, q_norm, c_v, c_norm),
+    score the exact cosine and keep each query's top k. ONE definition
+    of the tie-break ordering (cosine desc, neighbor_id asc) — the
+    committed goldens pin it, so it must not fork per operator."""
+    from pyspark.sql import Window
+
+    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _join_back_vectors(pairs: DataFrame, vecs: DataFrame, id_col: str) -> DataFrame:
+    """Join normalized vectors back onto ids-only candidate pairs, once
+    per side (the candidate-generation shuffles stay ids-only)."""
+    return pairs.join(
+        vecs.select(F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
+                    F.col("_norm").alias("q_norm")),
+        "query_id",
+    ).join(
+        vecs.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("c_v"),
+                    F.col("_norm").alias("c_norm")),
+        "neighbor_id",
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -70,14 +102,7 @@ def cosine_topk(
         F.col("_norm").alias("c_norm"),
     )
     pairs = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rerank_pairs(pairs, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
@@ -162,23 +187,7 @@ def lsh_ann_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     vecs = with_norm(df.select(id_col, vec_col), vec_col)
-    pairs = pairs.join(
-        vecs.select(F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
-                    F.col("_norm").alias("q_norm")),
-        "query_id",
-    ).join(
-        vecs.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("c_v"),
-                    F.col("_norm").alias("c_norm")),
-        "neighbor_id",
-    )
-    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rerank_pairs(_join_back_vectors(pairs, vecs, id_col), k)
 
 
 def cosine_near_dup_pairs_exact(
@@ -287,6 +296,7 @@ def kmeans_centroids(
     n_centroids: int = 16,
     n_iter: int = 5,
     seed: int = 7,
+    prepared: DataFrame | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means, Spark-native: seeded random init
     (data-independent, so the pure-Python oracle mirror reproduces it
@@ -304,12 +314,19 @@ def kmeans_centroids(
 
     The literal-array design point is k up to a few hundred; a
     production IVF with k ~ sqrt(corpus) in the thousands would keep the
-    same algorithm but ship centroids as a broadcast table join."""
-    base = (
-        with_norm(df.select(vec_col), vec_col)
-        .select("_v")
-        .localCheckpoint(eager=True)
-    )
+    same algorithm but ship centroids as a broadcast table join.
+
+    ``prepared``: an already-materialized frame carrying the normalized
+    `_v` column (ivf_ann_topk passes its own checkpointed base so the
+    corpus is scanned/normalized/persisted ONCE, not once here and once
+    there)."""
+    base = prepared
+    if base is None:
+        base = (
+            with_norm(df.select(vec_col), vec_col)
+            .select("_v")
+            .localCheckpoint(eager=True)
+        )
     cents = _seed_centroids(dim, n_centroids, seed)
     for _ in range(n_iter):
         stats = (
@@ -357,11 +374,11 @@ def ivf_ann_topk(
     for the scoring. Cluster key cardinality is n_centroids with
     k-means-balanced sizes ~n/k; a pathological all-points-one-cluster
     corpus degrades toward brute force but never duplicates pairs."""
-    from pyspark.sql import Window
-
-    cents = kmeans_centroids(df, vec_col, dim, n_centroids, n_iter, seed)
     base = with_norm(df.select(id_col, vec_col), vec_col).localCheckpoint(
         eager=True
+    )
+    cents = kmeans_centroids(
+        df, vec_col, dim, n_centroids, n_iter, seed, prepared=base
     )
 
     corpus = base.select(
@@ -390,20 +407,4 @@ def ivf_ann_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    pairs = pairs.join(
-        base.select(F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
-                    F.col("_norm").alias("q_norm")),
-        "query_id",
-    ).join(
-        base.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("c_v"),
-                    F.col("_norm").alias("c_norm")),
-        "neighbor_id",
-    )
-    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rerank_pairs(_join_back_vectors(pairs, base, id_col), k)

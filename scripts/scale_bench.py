@@ -111,10 +111,14 @@ def write_corpus(base: str, n_docs: int, n_vecs: int, seed: int) -> str:
 
 
 def shuffle_write_bytes(spark) -> int:
+    # The AppStatusStore is fed by an async listener bus: give queued
+    # stage-completed events a moment to drain before snapshotting, or
+    # a heavy query's tail bytes land in the NEXT query's delta.
+    time.sleep(1.0)
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     url = f"{ui}/api/v1/applications/{app_id}/stages"
-    data = json.load(urllib.request.urlopen(url))
+    data = json.load(urllib.request.urlopen(url, timeout=30))
     return sum(s.get("shuffleWriteBytes", 0) for s in data)
 
 
@@ -123,6 +127,8 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
+    if args.passes < 1 or args.mult < 2:
+        ap.error("--passes must be >= 1 and --mult >= 2")
 
     from ocr_poc_spark.session import get_spark
     import __spark_entry__ as entry
@@ -237,26 +243,32 @@ def main() -> None:
         "fixed per-query costs amortize; super-linear growth would flag a "
         "quadratic candidate set or a skewed band join).",
         "",
-        "## Reading the shuffle ratios",
+        "## Reading the shuffle ratios (interpolated from THIS run)",
         "",
-        "- boilerplate_shingles / decontaminate: shuffle grows ~10x for "
-        "10x rows — these pipelines shuffle O(n) ids+hashes, the linear "
-        "ideal.",
-        "- ann_lsh (fixed 8 planes) vs ann_lsh_p12: with a FIXED plane "
+        f"- boilerplate_shingles / decontaminate: shuffle grows "
+        f"{summary['boilerplate_shingles']['shuffle_ratio']}x / "
+        f"{summary['decontaminate']['shuffle_ratio']}x for {m}x rows — "
+        "these pipelines shuffle O(n) ids+hashes, the linear ideal.",
+        f"- ann_lsh (fixed 8 planes) vs ann_lsh_p12: with a FIXED plane "
         "count, bucket density grows with n, so candidate pairs (and the "
-        "band-join shuffle) grow ~n^2/2^p — 53x here. Raising planes to "
-        "12 for the 10x corpus restores ~n-proportional shuffle (16.6x) "
-        "AND lowers wall. Production rule: p ≈ log2(n) + const, i.e. +4 "
-        "planes per 10x corpus growth.",
-        "- dedup_simhash (entry setting hamming<=4: 5 bands x 12 bits) vs "
-        "dedup_simhash_h3 (operator default hamming<=3: 4 bands x 15 "
+        f"band-join shuffle) grow ~n^2/2^p — "
+        f"{summary['ann_lsh']['shuffle_ratio']}x here. Raising planes to "
+        f"12 for the {m}x corpus restores ~n-proportional shuffle "
+        f"({summary['ann_lsh_p12']['shuffle_ratio']}x) AND lowers wall. "
+        "Production rule: p ≈ log2(n) + const, i.e. +4 planes per 10x "
+        "corpus growth.",
+        f"- dedup_simhash (entry setting hamming<=4: 5 bands x 12 bits) "
+        "vs dedup_simhash_h3 (operator default hamming<=3: 4 bands x 15 "
         "bits): identical story for the pigeonhole bands — 2^12 buckets "
-        "per band saturate at 10x (53x shuffle), 2^15 buckets keep the "
-        "candidate set near-linear (23x, still amortizing). Band width "
+        f"per band saturate at {m}x "
+        f"({summary['dedup_simhash']['shuffle_ratio']}x shuffle), 2^15 "
+        "buckets keep the candidate set near-linear "
+        f"({summary['dedup_simhash_h3']['shuffle_ratio']}x). Band width "
         "must track corpus size; recall stays provably 1.0 either way.",
-        "- dedup_minhash: 16x shuffle for 10x rows — band count is fixed "
-        "(8 bands of 4 hashes) so candidate growth is mildly superlinear; "
-        "the exact-Jaccard verify bounds emitted pairs to true pairs "
+        f"- dedup_minhash: {summary['dedup_minhash']['shuffle_ratio']}x "
+        f"shuffle for {m}x rows — band count is fixed (8 bands of 4 "
+        "hashes) so candidate growth is mildly superlinear; the "
+        "exact-Jaccard verify bounds emitted pairs to true pairs "
         "(linear by construction here).",
         "",
         "## Corpus-shape caveat (first-run finding)",
