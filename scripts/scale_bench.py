@@ -114,7 +114,7 @@ def shuffle_write_bytes(spark) -> int:
     # The AppStatusStore is fed by an async listener bus: give queued
     # stage-completed events a moment to drain before snapshotting, or
     # a heavy query's tail bytes land in the NEXT query's delta.
-    time.sleep(1.0)
+    time.sleep(0.4)
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     url = f"{ui}/api/v1/applications/{app_id}/stages"
@@ -164,6 +164,7 @@ def main() -> None:
     target = [
         "ann_lsh",
         "ann_lsh_p12",
+        "ann_ivf",
         "dedup_minhash",
         "dedup_simhash",
         "dedup_simhash_h3",

@@ -488,3 +488,65 @@ def test_minhash_incremental_equals_batch_restriction(spark):
         ).collect()
     }
     assert inc2 == batch
+
+
+def test_connected_components_star_graphs_both_orientations(spark):
+    """Degree skew: a 400-edge star must resolve in one component
+    whether the hub is the component MINIMUM (already canonical) or the
+    MAXIMUM (every spoke must re-point away from the hub)."""
+    from ocr_poc_spark.operators.dedup import connected_components
+
+    hub_min = spark.createDataFrame(
+        [(0, i) for i in range(1, 401)], "id_a long, id_b long"
+    )
+    got = connected_components(hub_min).collect()
+    assert len(got) == 401 and {r.component_id for r in got} == {0}
+
+    hub_max = spark.createDataFrame(
+        [(10_000, i) for i in range(1, 401)], "id_a long, id_b long"
+    )
+    got = connected_components(hub_max).collect()
+    assert len(got) == 401 and {r.component_id for r in got} == {1}
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Seeded random-graph sweep vs a pure-Python union-find reference:
+    the distributed large-star/small-star fixpoint must produce exactly
+    the min-id component labelling on arbitrary topologies (cycles,
+    multi-edges, self-loops, isolated chains)."""
+    import numpy as np
+
+    from ocr_poc_spark.operators.dedup import connected_components
+
+    for seed in (1, 2, 3, 4, 5):
+        rs = np.random.RandomState(seed)
+        n_edges = int(rs.randint(5, 60))
+        edges = [
+            (int(rs.randint(0, 40)), int(rs.randint(0, 40)))
+            for _ in range(n_edges)
+        ]
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for a, b in edges:
+            if a != b:
+                nodes.update((a, b))
+                parent[find(a)] = find(b)
+        comp_min: dict[int, int] = {}
+        for x in nodes:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        expected = {(x, comp_min[find(x)]) for x in nodes}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            (r.doc_id, r.component_id)
+            for r in connected_components(df).collect()
+        }
+        assert got == expected, f"seed={seed}"
