@@ -289,6 +289,40 @@ def _argmin_cluster(v, centroids: list[list[float]]) -> "Column":
     return F.array_min(F.array(*entries))["i"]
 
 
+# Above this size, centroids stop being expression literals (the plan
+# would carry k*dim literal nodes through analysis/codegen) and ship as
+# a broadcast table instead. Results are identical either way: the
+# per-(vector, centroid) distance fold and the (distance, index) struct
+# argmin are the same IEEE operations in both encodings.
+MAX_LITERAL_CENTROIDS = 64
+
+
+def _centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cidx int, cvec array<double>",
+    )
+
+
+def _centroid_dists_broadcast(
+    base: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """base(..., _v) x broadcast(centroids) -> one row per (input row,
+    centroid) carrying `_dc` = struct(distance, cidx). Map-side only:
+    the broadcast cross join never shuffles the corpus, and downstream
+    per-row aggregates (argmin, top-n_probe) combine map-side so the
+    one groupBy exchange ships a single row per input row."""
+    cdf = _centroids_df(base.sparkSession, centroids)
+    d = F.aggregate(
+        F.zip_with("_v", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return base.crossJoin(F.broadcast(cdf)).withColumn(
+        "_dc", F.struct(d.alias("d"), F.col("cidx").alias("i"))
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -329,9 +363,26 @@ def kmeans_centroids(
         )
     cents = _seed_centroids(dim, n_centroids, seed)
     for _ in range(n_iter):
+        if n_centroids > MAX_LITERAL_CENTROIDS:
+            # Broadcast-centroid assignment. The per-row key only needs
+            # to be consistent WITHIN this iteration's single
+            # aggregation (it groups the k distance rows of one input
+            # row), so a monotonic id over the checkpointed base is
+            # safe regardless of cross-job id stability.
+            rows = _centroid_dists_broadcast(
+                base.withColumn("_rid", F.monotonically_increasing_id()),
+                cents,
+            )
+            assigned = rows.groupBy("_rid").agg(
+                F.min("_dc").getField("i").alias("c"),
+                F.first("_v").alias("_v"),  # all k copies identical
+            )
+        else:
+            assigned = base.select(
+                _argmin_cluster(F.col("_v"), cents).alias("c"), "_v"
+            )
         stats = (
-            base.select(_argmin_cluster(F.col("_v"), cents).alias("c"), "_v")
-            .select("c", F.posexplode("_v").alias("pos", "val"))
+            assigned.select("c", F.posexplode("_v").alias("pos", "val"))
             .groupBy("c", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
@@ -373,7 +424,17 @@ def ivf_ann_topk(
     needed, unlike multi-table LSH); vectors join back once per side
     for the scoring. Cluster key cardinality is n_centroids with
     k-means-balanced sizes ~n/k; a pathological all-points-one-cluster
-    corpus degrades toward brute force but never duplicates pairs."""
+    corpus degrades toward brute force but never duplicates pairs.
+
+    SCALE RULE (measured, BENCH/SCALE10X.md): with n_centroids FIXED,
+    all-vs-all candidates grow ~n^2 * n_probe / n_centroids — the 10x
+    bench saw 33x wall / 720x shuffle at a frozen k=16. n_centroids
+    must track corpus size (k ~ sqrt(n) gives ~n^1.5 total candidate
+    work, the standard IVF trade). Above MAX_LITERAL_CENTROIDS the
+    implementation automatically switches from centroid literal arrays
+    to a broadcast centroid table (map-side cross join + per-row
+    argmin/top-n_probe aggregates) — identical results, plan size
+    independent of k."""
     base = with_norm(df.select(id_col, vec_col), vec_col).localCheckpoint(
         eager=True
     )
@@ -381,27 +442,43 @@ def ivf_ann_topk(
         df, vec_col, dim, n_centroids, n_iter, seed, prepared=base
     )
 
-    corpus = base.select(
-        F.col(id_col).alias("neighbor_id"),
-        _argmin_cluster(F.col("_v"), cents).alias("cluster"),
-    )
-    # n_probe nearest centroids per query: sort (distance, index)
-    # structs, slice, keep indexes.
-    probe_entries = F.array(
-        *[
-            F.struct(_sqdist(F.col("_v"), lit).alias("d"), F.lit(i).alias("i"))
-            for i, lit in enumerate(_centroid_lits(cents))
-        ]
-    )
-    probes = base.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(probe_entries), 1, n_probe),
-                lambda s: s["i"],
-            )
-        ).alias("cluster"),
-    )
+    if n_centroids > MAX_LITERAL_CENTROIDS:
+        rows = _centroid_dists_broadcast(base.select(id_col, "_v"), cents)
+        corpus = rows.groupBy(id_col).agg(
+            F.min("_dc").getField("i").alias("cluster")
+        ).select(F.col(id_col).alias("neighbor_id"), "cluster")
+        probes = rows.groupBy(id_col).agg(
+            F.slice(
+                F.array_sort(F.collect_list("_dc")), 1, n_probe
+            ).alias("ps")
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.transform("ps", lambda s: s["i"])).alias("cluster"),
+        )
+    else:
+        corpus = base.select(
+            F.col(id_col).alias("neighbor_id"),
+            _argmin_cluster(F.col("_v"), cents).alias("cluster"),
+        )
+        # n_probe nearest centroids per query: sort (distance, index)
+        # structs, slice, keep indexes.
+        probe_entries = F.array(
+            *[
+                F.struct(
+                    _sqdist(F.col("_v"), lit).alias("d"), F.lit(i).alias("i")
+                )
+                for i, lit in enumerate(_centroid_lits(cents))
+            ]
+        )
+        probes = base.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(probe_entries), 1, n_probe),
+                    lambda s: s["i"],
+                )
+            ).alias("cluster"),
+        )
     pairs = (
         probes.join(corpus, "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))

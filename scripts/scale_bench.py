@@ -159,12 +159,31 @@ def main() -> None:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(32)
         return simhash_near_pairs(d, max_hamming=3)
 
+    # IVF with the production rule applied: n_centroids ~ sqrt(n)
+    # (broadcast-centroid path above 64). The fixed-k=16 entry query
+    # shows the saturation; this shows the knob.
+    def q_ann_ivf_sqrtk(spark, sf_dir):
+        import pyspark.sql.functions as F
+        from ocr_poc_spark.operators.similarity import ivf_ann_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(32)
+        n = emb.count()
+        k_cent = max(16, int(n ** 0.5))
+        return ivf_ann_topk(
+            emb, k=3, dim=64, n_centroids=k_cent, n_probe=4, n_iter=3
+        ).select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+
     qs["ann_lsh_p12"] = q_ann_lsh_p12
     qs["dedup_simhash_h3"] = q_dedup_simhash_h3
+    qs["ann_ivf_sqrtk"] = q_ann_ivf_sqrtk
     target = [
         "ann_lsh",
         "ann_lsh_p12",
         "ann_ivf",
+        "ann_ivf_sqrtk",
         "dedup_minhash",
         "dedup_simhash",
         "dedup_simhash_h3",
@@ -271,6 +290,20 @@ def main() -> None:
         "hashes) so candidate growth is mildly superlinear; the "
         "exact-Jaccard verify bounds emitted pairs to true pairs "
         "(linear by construction here).",
+        ""
+        if "ann_ivf" not in summary
+        else f"- ann_ivf (FROZEN k=16 centroids) vs ann_ivf_sqrtk "
+        f"(k ~ sqrt(n), broadcast-centroid path): all-vs-all IVF "
+        f"candidates grow ~n^2*n_probe/k when k is frozen — "
+        f"{summary['ann_ivf']['wall_ratio']}x wall / "
+        f"{summary['ann_ivf']['shuffle_ratio']}x shuffle here. Scaling "
+        f"k with sqrt(n) bounds candidate work at ~n^1.5: "
+        f"{summary.get('ann_ivf_sqrtk', {}).get('wall_ratio', '?')}x "
+        f"wall / "
+        f"{summary.get('ann_ivf_sqrtk', {}).get('shuffle_ratio', '?')}x "
+        "shuffle. This is the IVF production rule, and why the operator "
+        "switches to a broadcast centroid table above "
+        "MAX_LITERAL_CENTROIDS.",
         "",
         "## Corpus-shape caveat (first-run finding)",
         "",

@@ -550,3 +550,30 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
             for r in connected_components(df).collect()
         }
         assert got == expected, f"seed={seed}"
+
+
+def test_ivf_broadcast_and_literal_paths_agree(spark, monkeypatch):
+    """The broadcast-centroid path (k > MAX_LITERAL_CENTROIDS) must
+    produce EXACTLY the literal path's output for the same k — same
+    distance folds, same (d, i) argmin tie-break, same probes."""
+    import numpy as np
+
+    import ocr_poc_spark.operators.similarity as sim
+
+    rs = np.random.RandomState(21)
+    rows = [(i, rs.randn(16).astype(float).tolist()) for i in range(70)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lit = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in sim.ivf_ann_topk(
+            df, k=2, dim=16, n_centroids=8, n_probe=3, n_iter=2
+        ).collect()
+    }
+    monkeypatch.setattr(sim, "MAX_LITERAL_CENTROIDS", 0)
+    bc = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in sim.ivf_ann_topk(
+            df, k=2, dim=16, n_centroids=8, n_probe=3, n_iter=2
+        ).collect()
+    }
+    assert bc == lit
