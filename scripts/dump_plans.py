@@ -87,6 +87,47 @@ def main() -> None:
             "side shuffles once on doc id after a map-side partial agg.",
             em.queries()["decontaminate"](spark, sf),
         ),
+        (
+            "TPC-H Q9-style star join (part/supplier/nation)",
+            "All three dimension tables are BroadcastExchange; exactly one "
+            "hash exchange (the final nation x brand aggregate), bounded "
+            "map-side by partial aggregation.",
+            em.queries()["tpch_part_profit"](spark, sf),
+        ),
+        (
+            "Duplicate-cluster resolution (connected components, final "
+            "round fixpoint)",
+            "The iterative large-star/small-star rounds run eagerly "
+            "(localCheckpoint per round); this is the RESULT plan — the "
+            "membership aggregate over the checkpointed (id, id) star "
+            "edges joined to the node set. Edge shuffles carry bare id "
+            "pairs.",
+            __import__(
+                "ocr_poc_spark.operators.dedup", fromlist=["x"]
+            ).connected_components(
+                em.queries()["dedup_minhash"](spark, sf).select(
+                    "id_a", "id_b"
+                )
+            ),
+        ),
+        (
+            "Incremental MinHash dedup (new crawl vs persisted index)",
+            "Only the new slice is shingled up front; the corpus arrives "
+            "as the (id, band, sig) index. The exact-Jaccard verify side "
+            "LEFT SEMI-prunes corpus docs to candidate ids BEFORE "
+            "shingling.",
+            em.queries()["dedup_incremental"](spark, sf),
+        ),
+        (
+            "IVF ANN (k-means quantizer + n_probe search)",
+            "Centroids are driver-side literals at this k (<= "
+            "MAX_LITERAL_CENTROIDS); the cluster equi-join ships ids "
+            "only, vectors join back once per side for the exact "
+            "re-rank. Above the threshold the assignment/probe stages "
+            "switch to a broadcast centroid table (map-side cross join, "
+            "one shuffled row per input row).",
+            em.queries()["ann_ivf"](spark, sf),
+        ),
     ]
 
     out = ["# PLANS — physical plans of headline operators\n"]
