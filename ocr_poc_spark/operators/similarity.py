@@ -297,30 +297,39 @@ def _argmin_cluster(v, centroids: list[list[float]]) -> "Column":
 MAX_LITERAL_CENTROIDS = 64
 
 
-def _centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
-    return spark.createDataFrame(
+def _with_centroids_col(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Attach the full centroid table to every row as ONE broadcast
+    array column `_cents` (sorted struct<i, cvec> — struct ordering
+    sorts on the leading cidx field, fixing collect_list's arbitrary
+    order). A broadcast cross join against a single-row frame is
+    map-side: no corpus row, and in particular no vector, ever crosses
+    an exchange — the invariant the literal-array path also holds —
+    while keeping the PLAN size independent of k (the centroids ride as
+    data, not as k*dim literal nodes)."""
+    cdf = base.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
-        "cidx int, cvec array<double>",
-    )
+        "i int, cvec array<double>",
+    ).agg(F.array_sort(F.collect_list(F.struct("i", "cvec"))).alias("_cents"))
+    return base.crossJoin(F.broadcast(cdf))
 
 
-def _centroid_dists_broadcast(
-    base: DataFrame, centroids: list[list[float]]
-) -> DataFrame:
-    """base(..., _v) x broadcast(centroids) -> one row per (input row,
-    centroid) carrying `_dc` = struct(distance, cidx). Map-side only:
-    the broadcast cross join never shuffles the corpus, and downstream
-    per-row aggregates (argmin, top-n_probe) combine map-side so the
-    one groupBy exchange ships a single row per input row."""
-    cdf = _centroids_df(base.sparkSession, centroids)
-    d = F.aggregate(
-        F.zip_with("_v", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, e: acc + e,
+def _sorted_centroid_dists(v) -> "Column":
+    """Per-row array of struct(d, i) over the `_cents` column, sorted
+    ascending — element 0 is the argmin assignment, the first n_probe
+    are the probe set. Same left-fold distance and (d, i) lexicographic
+    tie-break as the literal path, so results are bit-identical."""
+    dists = F.transform(
+        "_cents",
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("_v"), c["cvec"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ).alias("d"),
+            c["i"].alias("i"),
+        ),
     )
-    return base.crossJoin(F.broadcast(cdf)).withColumn(
-        "_dc", F.struct(d.alias("d"), F.col("cidx").alias("i"))
-    )
+    return F.array_sort(dists)
 
 
 def kmeans_centroids(
@@ -364,18 +373,12 @@ def kmeans_centroids(
     cents = _seed_centroids(dim, n_centroids, seed)
     for _ in range(n_iter):
         if n_centroids > MAX_LITERAL_CENTROIDS:
-            # Broadcast-centroid assignment. The per-row key only needs
-            # to be consistent WITHIN this iteration's single
-            # aggregation (it groups the k distance rows of one input
-            # row), so a monotonic id over the checkpointed base is
-            # safe regardless of cross-job id stability.
-            rows = _centroid_dists_broadcast(
-                base.withColumn("_rid", F.monotonically_increasing_id()),
-                cents,
-            )
-            assigned = rows.groupBy("_rid").agg(
-                F.min("_dc").getField("i").alias("c"),
-                F.first("_v").alias("_v"),  # all k copies identical
+            # Broadcast-centroid assignment: still a pure map — argmin
+            # over the per-row sorted distance array, zero exchanges
+            # before the (cluster, pos) update aggregate.
+            assigned = _with_centroids_col(base, cents).select(
+                _sorted_centroid_dists(F.col("_v"))[0]["i"].alias("c"),
+                "_v",
             )
         else:
             assigned = base.select(
@@ -428,13 +431,14 @@ def ivf_ann_topk(
 
     SCALE RULE (measured, BENCH/SCALE10X.md): with n_centroids FIXED,
     all-vs-all candidates grow ~n^2 * n_probe / n_centroids — the 10x
-    bench saw 33x wall / 720x shuffle at a frozen k=16. n_centroids
+    bench saw ~24x wall / ~720x shuffle at a frozen k=16. n_centroids
     must track corpus size (k ~ sqrt(n) gives ~n^1.5 total candidate
     work, the standard IVF trade). Above MAX_LITERAL_CENTROIDS the
     implementation automatically switches from centroid literal arrays
-    to a broadcast centroid table (map-side cross join + per-row
-    argmin/top-n_probe aggregates) — identical results, plan size
-    independent of k."""
+    to a single-row broadcast centroid array (map-side cross join +
+    per-row HOF argmin/top-n_probe — no corpus row or vector ever
+    crosses an exchange) — identical results, plan size independent
+    of k."""
     base = with_norm(df.select(id_col, vec_col), vec_col).localCheckpoint(
         eager=True
     )
@@ -443,15 +447,26 @@ def ivf_ann_topk(
     )
 
     if n_centroids > MAX_LITERAL_CENTROIDS:
-        rows = _centroid_dists_broadcast(base.select(id_col, "_v"), cents)
-        corpus = rows.groupBy(id_col).agg(
-            F.min("_dc").getField("i").alias("cluster")
-        ).select(F.col(id_col).alias("neighbor_id"), "cluster")
-        probes = rows.groupBy(id_col).agg(
-            F.slice(
-                F.array_sort(F.collect_list("_dc")), 1, n_probe
-            ).alias("ps")
-        ).select(
+        # One map-side pass computes the sorted distance prefix per row;
+        # assignment is its element 0 (the global argmin — the slice is
+        # taken AFTER the full sort), probes are its first n_probe. The
+        # tiny (id, prefix) frame is checkpointed so the corpus/probe
+        # branches don't re-run the distance folds.
+        rows = (
+            _with_centroids_col(base.select(id_col, "_v"), cents)
+            .select(
+                id_col,
+                F.slice(
+                    _sorted_centroid_dists(F.col("_v")), 1, n_probe
+                ).alias("ps"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        corpus = rows.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("ps")[0]["i"].alias("cluster"),
+        )
+        probes = rows.select(
             F.col(id_col).alias("query_id"),
             F.explode(F.transform("ps", lambda s: s["i"])).alias("cluster"),
         )

@@ -24,6 +24,7 @@ def fmt(df) -> str:
 def main() -> None:
     from ocr_poc_spark.fixtures import write_pages_parquet
     from ocr_poc_spark.operators.cascade import run_cascade
+    from ocr_poc_spark.operators.dedup import connected_components
     from ocr_poc_spark.operators.parse import parse_pages
     from ocr_poc_spark.plans.job import extract_fused
     from ocr_poc_spark.session import get_spark
@@ -102,9 +103,7 @@ def main() -> None:
             "membership aggregate over the checkpointed (id, id) star "
             "edges joined to the node set. Edge shuffles carry bare id "
             "pairs.",
-            __import__(
-                "ocr_poc_spark.operators.dedup", fromlist=["x"]
-            ).connected_components(
+            connected_components(
                 em.queries()["dedup_minhash"](spark, sf).select(
                     "id_a", "id_b"
                 )
@@ -124,8 +123,9 @@ def main() -> None:
             "MAX_LITERAL_CENTROIDS); the cluster equi-join ships ids "
             "only, vectors join back once per side for the exact "
             "re-rank. Above the threshold the assignment/probe stages "
-            "switch to a broadcast centroid table (map-side cross join, "
-            "one shuffled row per input row).",
+            "switch to a single-row broadcast centroid array (map-side "
+            "cross join + per-row HOF argmin/top-n_probe — zero "
+            "exchanges, plan size independent of k).",
             em.queries()["ann_ivf"](spark, sf),
         ),
     ]

@@ -114,7 +114,7 @@ def shuffle_write_bytes(spark) -> int:
     # The AppStatusStore is fed by an async listener bus: give queued
     # stage-completed events a moment to drain before snapshotting, or
     # a heavy query's tail bytes land in the NEXT query's delta.
-    time.sleep(0.4)
+    time.sleep(1.0)
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     url = f"{ui}/api/v1/applications/{app_id}/stages"
@@ -166,8 +166,10 @@ def main() -> None:
         import pyspark.sql.functions as F
         from ocr_poc_spark.operators.similarity import ivf_ann_topk
 
+        # n from the raw parquet (metadata count, no shuffle) so the
+        # repartition exchange isn't billed to the measured query.
+        n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(32)
-        n = emb.count()
         k_cent = max(16, int(n ** 0.5))
         return ivf_ann_topk(
             emb, k=3, dim=64, n_centroids=k_cent, n_probe=4, n_iter=3
@@ -290,19 +292,16 @@ def main() -> None:
         "hashes) so candidate growth is mildly superlinear; the "
         "exact-Jaccard verify bounds emitted pairs to true pairs "
         "(linear by construction here).",
-        ""
-        if "ann_ivf" not in summary
-        else f"- ann_ivf (FROZEN k=16 centroids) vs ann_ivf_sqrtk "
+        f"- ann_ivf (FROZEN k=16 centroids) vs ann_ivf_sqrtk "
         f"(k ~ sqrt(n), broadcast-centroid path): all-vs-all IVF "
         f"candidates grow ~n^2*n_probe/k when k is frozen — "
         f"{summary['ann_ivf']['wall_ratio']}x wall / "
         f"{summary['ann_ivf']['shuffle_ratio']}x shuffle here. Scaling "
         f"k with sqrt(n) bounds candidate work at ~n^1.5: "
-        f"{summary.get('ann_ivf_sqrtk', {}).get('wall_ratio', '?')}x "
-        f"wall / "
-        f"{summary.get('ann_ivf_sqrtk', {}).get('shuffle_ratio', '?')}x "
+        f"{summary['ann_ivf_sqrtk']['wall_ratio']}x wall / "
+        f"{summary['ann_ivf_sqrtk']['shuffle_ratio']}x "
         "shuffle. This is the IVF production rule, and why the operator "
-        "switches to a broadcast centroid table above "
+        "switches to a single-row broadcast centroid array above "
         "MAX_LITERAL_CENTROIDS.",
         "",
         "## Corpus-shape caveat (first-run finding)",
