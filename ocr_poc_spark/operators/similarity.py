@@ -431,7 +431,8 @@ def ivf_ann_topk(
 
     SCALE RULE (measured, BENCH/SCALE10X.md): with n_centroids FIXED,
     all-vs-all candidates grow ~n^2 * n_probe / n_centroids — the 10x
-    bench saw ~24x wall / ~720x shuffle at a frozen k=16. n_centroids
+    bench saw ~720x shuffle (25-35x wall across runs) at a frozen
+    k=16, vs ~1x wall with k ~ sqrt(n). n_centroids
     must track corpus size (k ~ sqrt(n) gives ~n^1.5 total candidate
     work, the standard IVF trade). Above MAX_LITERAL_CENTROIDS the
     implementation automatically switches from centroid literal arrays
