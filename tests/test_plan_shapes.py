@@ -166,3 +166,27 @@ def test_host_cap_filter_path_prefilters_before_host_window(spark):
 
     keep_list = _plan(host_cap(docs, max_per_host=5, host_col="source", filter=False))
     assert "SPARK_PARTITION_ID" not in keep_list, keep_list
+
+
+def test_ivf_broadcast_assignment_is_exchange_free(spark):
+    """The large-k IVF assignment/probe stage (single-row broadcast
+    centroid array + per-row HOF argmin) must contain NO hash exchange:
+    no corpus row or vector may cross a shuffle before the ids-only
+    candidate join."""
+    import pyspark.sql.functions as F
+
+    import ocr_poc_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    base = sim.with_norm(df, "embedding")
+    cents = sim._seed_centroids(dim=4, n_centroids=100, seed=7)
+    rows = sim._with_centroids_col(base.select("vec_id", "_v"), cents).select(
+        "vec_id",
+        F.slice(sim._sorted_centroid_dists(F.col("_v")), 1, 4).alias("ps"),
+    )
+    plan = _plan(rows)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
