@@ -427,6 +427,37 @@ def q_repetition_stats(spark, sf_dir):  # Gopher-style shape/repetition signals
     return repetition_stats(_t(spark, sf_dir, "documents", spread=True))
 
 
+def q_hash_embed(spark, sf_dir):
+    """Feature-hashing text embedding (hashing trick): fixed-dim
+    INTEGER count vectors per document — exploded to (doc_id, pos, val)
+    cells so the comparison stays scalar. Integer cells mean the DuckDB
+    oracle recomputes every value bit-exactly (md5-hex15 bucket/sign
+    bits, no float discipline needed)."""
+    from ocr_poc_spark.operators.textstats import hash_embedding
+
+    emb = hash_embedding(_t(spark, sf_dir, "documents"), dim=16)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "val")
+    )
+
+
+def q_text_embed_near_dup(spark, sf_dir):
+    """Composition: text -> hashing-trick embedding -> exact cosine
+    near-dup pairs, end-to-end oracle-exact. The integer vectors keep
+    every dot product / squared norm exactly representable in doubles,
+    and IEEE sqrt is correctly rounded — so even the cosine is
+    bit-identical across engines."""
+    from ocr_poc_spark.operators.similarity import cosine_near_dup_pairs_exact
+    from ocr_poc_spark.operators.textstats import hash_embedding
+
+    emb = hash_embedding(
+        _t(spark, sf_dir, "documents", spread=True), dim=16
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    return cosine_near_dup_pairs_exact(emb, cosine_threshold=0.99).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_tpch_pricing(spark, sf_dir):  # TPC-H Q1-style agg (decimal-exact)
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -807,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "hash_embed": q_hash_embed,
+        "text_embed_near_dup": q_text_embed_near_dup,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "tpch_pricing": q_tpch_pricing,
@@ -1325,6 +1358,55 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(a.sh || b.sh)) AS j
               FROM s a JOIN s b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p WHERE j >= 0.5
+        """,
+        # Hashing-trick embedding: bucket = low-4 hash bits, sign = bit 4
+        # of the same md5-hex15 hash; INTEGER sums, so every cell is
+        # exact in both engines.
+        "hash_embed": f"""
+            WITH tok AS (
+              SELECT doc_id, ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
+              FROM documents, unnest({_WORDS_SQL}) AS w(w)
+              WHERE len(w.w) > 0),
+            cell AS (
+              SELECT doc_id, h & 15 AS pos,
+                     SUM(CASE WHEN (h >> 4) & 1 = 1 THEN -1 ELSE 1 END) AS s
+              FROM tok GROUP BY doc_id, pos)
+            SELECT d.doc_id, CAST(p.pos AS INTEGER) AS pos,
+                   CAST(COALESCE(c.s, 0) AS BIGINT) AS val
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN (SELECT unnest(range(16)) AS pos) p
+            LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.pos = p.pos
+        """,
+        # Embedding composition: same cells -> per-doc double vectors ->
+        # all-pairs exact cosine. Integer dots/norms are exact in
+        # doubles and sqrt is correctly rounded, so the cosine is
+        # bit-identical to Spark's HOF fold.
+        "text_embed_near_dup": f"""
+            WITH tok AS (
+              SELECT doc_id, ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
+              FROM documents, unnest({_WORDS_SQL}) AS w(w)
+              WHERE len(w.w) > 0),
+            cell AS (
+              SELECT doc_id, h & 15 AS pos,
+                     SUM(CASE WHEN (h >> 4) & 1 = 1 THEN -1 ELSE 1 END) AS s
+              FROM tok GROUP BY doc_id, pos),
+            full_cells AS (
+              SELECT d.doc_id, p.pos, CAST(COALESCE(c.s, 0) AS DOUBLE) AS val
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              CROSS JOIN (SELECT unnest(range(16)) AS pos) p
+              LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.pos = p.pos),
+            vec AS (
+              SELECT doc_id, list(val ORDER BY pos) AS v
+              FROM full_cells GROUP BY doc_id),
+            scored AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 17), i -> a.v[i] * a.v[i])))
+                          * sqrt(list_sum(list_transform(range(1, 17), i -> b.v[i] * b.v[i]))))
+                       AS cos_raw
+              FROM vec a JOIN vec b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
+            FROM scored WHERE cos_raw >= 0.99
         """,
         # Incremental oracle: identical exact-Jaccard recompute, restricted
         # to pairs touching the "new crawl" slice (doc_id % 4 == 0).

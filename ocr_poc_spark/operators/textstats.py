@@ -192,3 +192,64 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         max_word_len.alias("max_word_len"),
         F.round(alpha_frac, 6).alias("alpha_word_ratio"),
     )
+
+
+def hash_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009) text
+    embedding: token t adds sign(t) to bucket(t), giving a fixed-dim
+    integer count vector per document — the cheap deterministic
+    embedding a curation pipeline uses for clustering / cosine near-dup
+    when no model embedding exists.
+
+    bucket(t) = hash60(t) & (dim-1); sign(t) = bit `log2(dim)` of the
+    same hash (disjoint bit ranges). The md5-hex15 hash (texthash.py)
+    and the INTEGER counts make every cell — and any downstream dot
+    product / norm, since integer sums and products stay exact in
+    doubles far below 2^53 — bit-exactly recomputable by the DuckDB
+    oracle; there is no float discipline to manage until a consumer
+    normalizes.
+
+    Zero-shuffle map: one fold over the token array per document
+    (O(n_tokens * dim) per doc — fine at dim<=64; a large-dim variant
+    would explode tokens and groupBy (id, bucket) instead). dim must be
+    a power of two (bucket/sign come from bit slicing, which both
+    engines evaluate exactly — integer division via doubles would lose
+    exactness above 2^53)."""
+    from ..functions.texthash import hash60, norm_words
+
+    if dim & (dim - 1) != 0 or dim < 2:
+        raise ValueError(f"dim must be a power of two >= 2, got {dim}")
+    shift = dim.bit_length() - 1
+
+    words = F.filter(
+        F.coalesce(norm_words(text_col), F.array()),
+        lambda t: F.length(t) > 0,
+    )
+
+    def _add_token(acc, t):
+        h = hash60(t)
+        b = h.bitwiseAND(F.lit(dim - 1))
+        s = (
+            F.when(
+                F.shiftright(h, shift).bitwiseAND(F.lit(1)) == 1, F.lit(-1)
+            )
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        # DELIBERATE two-arg transform lambda: the house rule (NOTES.md)
+        # bans ACCIDENTAL two-arg HOF lambdas (`lambda x, j=j:` silently
+        # rebinding a closure to the element index); here the element
+        # index IS the bucket axis being matched.
+        return F.transform(
+            acc, lambda x, i: x + F.when(i == b, s).otherwise(F.lit(0))
+        )
+
+    vec = F.aggregate(
+        words, F.array_repeat(F.lit(0).cast("long"), dim), _add_token
+    )
+    return df.select(id_col, vec.alias("embedding"))

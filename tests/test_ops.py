@@ -577,3 +577,32 @@ def test_ivf_broadcast_and_literal_paths_agree(spark, monkeypatch):
         ).collect()
     }
     assert bc == lit
+
+
+def test_hash_embedding_shape_and_contracts(spark):
+    """Fixed-dim integer vectors; each token moves exactly one cell by
+    +-1 (sum of |cells| <= n_tokens, equality when no sign collisions);
+    empty/null text yields the zero vector; non-power-of-two dim is
+    refused; output is partitioning-independent."""
+    import pytest
+
+    from ocr_poc_spark.operators.textstats import hash_embedding
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.embedding for r in hash_embedding(df, dim=8).collect()}
+    assert all(len(v) == 8 for v in rows.values())
+    assert sum(abs(x) for x in rows[1]) <= 4
+    assert sum(abs(x) for x in rows[1]) > 0
+    assert rows[2] == [0] * 8 and rows[3] == [0] * 8
+
+    with pytest.raises(ValueError, match="power of two"):
+        hash_embedding(df, dim=12)
+
+    r7 = {
+        r.doc_id: r.embedding
+        for r in hash_embedding(df.repartition(7), dim=8).collect()
+    }
+    assert r7 == rows
