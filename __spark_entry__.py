@@ -458,6 +458,23 @@ def q_text_embed_near_dup(spark, sf_dir):
     )
 
 
+def q_text_dedup_e2e(spark, sf_dir):
+    """The COMPLETE dedup pipeline in one query: raw text -> hashing-
+    trick embedding -> exact cosine near-dup pairs -> connected
+    components -> (doc_id, component_id). Every stage is exact, so the
+    DuckDB oracle recomputes the whole chain (cells -> vectors ->
+    bit-exact cosines -> recursive-CTE closure) independently."""
+    from ocr_poc_spark.operators.dedup import connected_components
+    from ocr_poc_spark.operators.similarity import cosine_near_dup_pairs_exact
+    from ocr_poc_spark.operators.textstats import hash_embedding
+
+    emb = hash_embedding(
+        _t(spark, sf_dir, "documents", spread=True), dim=16
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    pairs = cosine_near_dup_pairs_exact(emb, cosine_threshold=0.99)
+    return connected_components(pairs).orderBy("doc_id")
+
+
 def q_tpch_pricing(spark, sf_dir):  # TPC-H Q1-style agg (decimal-exact)
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -840,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "hash_embed": q_hash_embed,
         "text_embed_near_dup": q_text_embed_near_dup,
+        "text_dedup_e2e": q_text_dedup_e2e,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "tpch_pricing": q_tpch_pricing,
@@ -1407,6 +1425,42 @@ def oracle_sql() -> dict[str, str]:
               FROM vec a JOIN vec b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
             FROM scored WHERE cos_raw >= 0.99
+        """,
+        # Full-pipeline oracle: cells -> vectors -> bit-exact cosines ->
+        # transitive closure, all recomputed from scratch in SQL.
+        "text_dedup_e2e": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
+              FROM documents, unnest({_WORDS_SQL}) AS w(w)
+              WHERE len(w.w) > 0),
+            cell AS (
+              SELECT doc_id, h & 15 AS pos,
+                     SUM(CASE WHEN (h >> 4) & 1 = 1 THEN -1 ELSE 1 END) AS s
+              FROM tok GROUP BY doc_id, pos),
+            full_cells AS (
+              SELECT d.doc_id, p.pos, CAST(COALESCE(c.s, 0) AS DOUBLE) AS val
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              CROSS JOIN (SELECT unnest(range(16)) AS pos) p
+              LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.pos = p.pos),
+            vec AS (
+              SELECT doc_id, list(val ORDER BY pos) AS v
+              FROM full_cells GROUP BY doc_id),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM vec a JOIN vec b ON a.doc_id < b.doc_id
+              WHERE list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i]))
+                      / (sqrt(list_sum(list_transform(range(1, 17), i -> a.v[i] * a.v[i])))
+                         * sqrt(list_sum(list_transform(range(1, 17), i -> b.v[i] * b.v[i]))))
+                    >= 0.99),
+            e AS (SELECT id_a AS u, id_b AS v FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+                WHERE e2.v != r.u)
+            SELECT u AS doc_id, least(u, min(v)) AS component_id
+            FROM reach GROUP BY u ORDER BY doc_id
         """,
         # Incremental oracle: identical exact-Jaccard recompute, restricted
         # to pairs touching the "new crawl" slice (doc_id % 4 == 0).
