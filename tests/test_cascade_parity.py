@@ -176,3 +176,21 @@ def test_span_points_at_true_source_occurrence(spark):
         got = [(s["field"], s["start"], s["end"]) for s in row["spans"]
                if s["field"] == "category"]
         assert got == [("category", late, late + 4)], name
+
+
+def test_lazy_ckpts_variant_output_equals_default(spark, pages_df, monkeypatch):
+    """The lazy_ckpts probe variant must be semantically identical to
+    the default eager barriers — in particular the 'parsed' checkpoint
+    stays EAGER under the variant (it freezes the monotonic doc ids
+    before the branch fan-out; a fully-lazy parsed checkpoint over a
+    live repartition source could mis-join documents)."""
+    from ocr_poc_spark.plans.job import extract_relational
+
+    pages = pages_df.limit(60).repartition(5)
+    monkeypatch.delenv("CASCADE_VARIANT", raising=False)
+    base = {r["url"]: r for r in extract_relational(pages, spark).collect()}
+    monkeypatch.setenv("CASCADE_VARIANT", "lazy_ckpts")
+    lazy = {r["url"]: r for r in extract_relational(pages, spark).collect()}
+    assert set(base) == set(lazy)
+    for url, row in base.items():
+        assert row == lazy[url], url

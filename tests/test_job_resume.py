@@ -199,3 +199,29 @@ def test_resume_rejects_changed_n_buckets(spark, pages_df, tmp_path):
     # same n_buckets still resumes cleanly (no-op)
     res = run_job(spark, pages_df.limit(20), out, mode="fused", n_buckets=4)
     assert res["rows_this_run"] == 0
+
+
+def test_cli_dedup_clusters_with_simhash_method(spark, pages_df, tmp_path):
+    """Cluster resolution must compose with the SimHash pair method too
+    (pairs carry (id_a, id_b, hamming) — the extra column is ignored by
+    the components operator)."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_dedup, run_job
+
+    base = pages_df.limit(12)
+    m1 = base.select(
+        F.concat(F.lit("https://m1.example/"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    out = str(tmp_path / "ddsim")
+    run_job(spark, base.unionByName(m1), out, mode="fused", n_buckets=2)
+    res = run_dedup(spark, out, method="simhash", max_hamming=3, clusters=True)
+    assert res["dedup_method"] == "simhash"
+    assert res["dup_component_docs"] > 0
+    comp = {r.doc_id: r.component_id
+            for r in spark.read.parquet(res["dup_components_dir"]).collect()}
+    for doc, cid in comp.items():
+        assert cid == min(comp[d] for d in comp if comp[d] == cid)
+        stripped = doc.replace("https://m1.example/", "")
+        assert stripped in cid or cid.endswith(stripped)
