@@ -334,6 +334,40 @@ def q_ann_ivf(spark, sf_dir):  # IVF (k-means inverted-file) ANN
     )
 
 
+def _ivf_lookup_centroids() -> list[list[float]]:
+    """Small INTEGER centroids shared by q_ann_ivf_lookup and its SQL
+    oracle: with integer vectors AND integer centroids every distance,
+    dot product and squared norm is exactly representable in doubles,
+    so the whole serving-mode IVF (assignment, probes, cosine re-rank)
+    is bit-exactly recomputable in SQL — no golden needed."""
+    import numpy as np
+
+    rs = np.random.RandomState(13)
+    return rs.randint(-3, 4, size=(8, 16)).astype(float).tolist()
+
+
+def q_ann_ivf_lookup(spark, sf_dir):
+    """Serving-mode IVF: every 4th doc plays the incoming query batch,
+    the rest the indexed corpus; centroids are supplied (the persisted
+    quantizer), so no k-means runs. Vectors are hashing-trick INTEGER
+    embeddings — the one configuration where an approximate-ANN path
+    has an exact SQL oracle end-to-end."""
+    from ocr_poc_spark.operators.similarity import ivf_ann_topk
+    from ocr_poc_spark.operators.textstats import hash_embedding
+
+    emb = hash_embedding(
+        _t(spark, sf_dir, "documents", spread=True), dim=16
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    corpus = emb.where(F.col("vec_id") % 4 != 0)
+    queries = emb.where(F.col("vec_id") % 4 == 0)
+    return ivf_ann_topk(
+        corpus, k=2, dim=16, n_probe=3,
+        queries=queries, centroids=_ivf_lookup_centroids(),
+    ).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):  # embedding-cosine near-dup pairs
     """Exact all-pairs variant (oracle-checkable);
     similarity.embedding_near_dup_pairs is the LSH-bucketed scale path."""
@@ -849,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_lookup": q_ann_ivf_lookup,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lang_id": q_lang_id,
@@ -1426,6 +1461,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
             FROM scored WHERE cos_raw >= 0.99
         """,
+        # Serving-mode IVF oracle: integer vectors + integer centroid
+        # literals make assignment distances, probe ordering and the
+        # cosine re-rank all exact in SQL. Same (d, ci) / (cos desc,
+        # id asc) tie-breaks as the Spark windows.
+        "ann_ivf_lookup": f"""
+            WITH tok AS (
+              SELECT doc_id, ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
+              FROM documents, unnest({_WORDS_SQL}) AS w(w)
+              WHERE len(w.w) > 0),
+            cell AS (
+              SELECT doc_id, h & 15 AS pos,
+                     SUM(CASE WHEN (h >> 4) & 1 = 1 THEN -1 ELSE 1 END) AS s
+              FROM tok GROUP BY doc_id, pos),
+            full_cells AS (
+              SELECT d.doc_id, p.pos, CAST(COALESCE(c.s, 0) AS DOUBLE) AS val
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              CROSS JOIN (SELECT unnest(range(16)) AS pos) p
+              LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.pos = p.pos),
+            vec AS (
+              SELECT doc_id, list(val ORDER BY pos) AS v
+              FROM full_cells GROUP BY doc_id),
+            cent(ci, cv) AS (VALUES {{cent_rows}}),
+            corpus AS (SELECT doc_id, v FROM vec WHERE doc_id % 4 != 0),
+            qs AS (SELECT doc_id, v FROM vec WHERE doc_id % 4 = 0),
+            assign AS (
+              SELECT doc_id, ci FROM (
+                SELECT c.doc_id, t.ci,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY c.doc_id
+                         ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> (c.v[i] - t.cv[i]) * (c.v[i] - t.cv[i]))),
+                           t.ci) AS rn
+                FROM corpus c CROSS JOIN cent t)
+              WHERE rn = 1),
+            probes AS (
+              SELECT doc_id, ci FROM (
+                SELECT q.doc_id, t.ci,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.doc_id
+                         ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> (q.v[i] - t.cv[i]) * (q.v[i] - t.cv[i]))),
+                           t.ci) AS rn
+                FROM qs q CROSS JOIN cent t)
+              WHERE rn <= 3),
+            cand AS (
+              SELECT p.doc_id AS qid, a.doc_id AS nid
+              FROM probes p JOIN assign a ON p.ci = a.ci
+              WHERE p.doc_id != a.doc_id),
+            scored AS (
+              SELECT c.qid, c.nid,
+                     list_sum(list_transform(range(1, 17), i -> q.v[i] * n.v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i])))
+                          * sqrt(list_sum(list_transform(range(1, 17), i -> n.v[i] * n.v[i]))))
+                       AS cos_raw
+              FROM cand c JOIN qs q ON q.doc_id = c.qid
+                JOIN corpus n ON n.doc_id = c.nid),
+            ranked AS (
+              SELECT qid, nid, cos_raw,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cos_raw DESC, nid ASC) AS rnk
+              FROM scored)
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   CAST(rnk AS INTEGER) AS rank,
+                   ROUND(cos_raw, 6) AS cosine
+            FROM ranked WHERE rnk <= 2
+        """.format(
+            cent_rows=", ".join(
+                "({}, [{}])".format(
+                    i, ", ".join(f"{x:.1f}" for x in c)
+                )
+                for i, c in enumerate(_ivf_lookup_centroids())
+            )
+        ),
         # Full-pipeline oracle: cells -> vectors -> bit-exact cosines ->
         # transitive closure, all recomputed from scratch in SQL.
         "text_dedup_e2e": f"""

@@ -46,12 +46,19 @@ def _rerank_pairs(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _join_back_vectors(pairs: DataFrame, vecs: DataFrame, id_col: str) -> DataFrame:
+def _join_back_vectors(
+    pairs: DataFrame,
+    vecs: DataFrame,
+    id_col: str,
+    qvecs: DataFrame | None = None,
+) -> DataFrame:
     """Join normalized vectors back onto ids-only candidate pairs, once
-    per side (the candidate-generation shuffles stay ids-only)."""
+    per side (the candidate-generation shuffles stay ids-only). The
+    query side may come from a different frame (serving-mode lookup)."""
+    qv = vecs if qvecs is None else qvecs
     return pairs.join(
-        vecs.select(F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
-                    F.col("_norm").alias("q_norm")),
+        qv.select(F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
+                  F.col("_norm").alias("q_norm")),
         "query_id",
     ).join(
         vecs.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("c_v"),
@@ -414,6 +421,8 @@ def ivf_ann_topk(
     n_probe: int = 4,
     n_iter: int = 5,
     seed: int = 7,
+    queries: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k (the k-means alternative to lsh_ann_topk):
     corpus vectors are assigned to their nearest centroid; each query
@@ -439,35 +448,58 @@ def ivf_ann_topk(
     to a single-row broadcast centroid array (map-side cross join +
     per-row HOF argmin/top-n_probe — no corpus row or vector ever
     crosses an exchange) — identical results, plan size independent
-    of k."""
+    of k.
+
+    SERVING MODE: pass ``queries`` (a separate frame with the same
+    id/vec columns; ids distinct from the corpus) to answer only those
+    queries against the corpus — the index-once/query-many pattern —
+    and/or ``centroids`` (the persisted quantizer from a previous run)
+    to skip k-means entirely. Defaults reproduce all-vs-all self-search
+    with learned centroids."""
     base = with_norm(df.select(id_col, vec_col), vec_col).localCheckpoint(
         eager=True
     )
-    cents = kmeans_centroids(
-        df, vec_col, dim, n_centroids, n_iter, seed, prepared=base
+    qbase = (
+        base
+        if queries is None
+        else with_norm(
+            queries.select(id_col, vec_col), vec_col
+        ).localCheckpoint(eager=True)
     )
-
-    if n_centroids > MAX_LITERAL_CENTROIDS:
-        # One map-side pass computes the sorted distance prefix per row;
-        # assignment is its element 0 (the global argmin — the slice is
-        # taken AFTER the full sort), probes are its first n_probe. The
-        # tiny (id, prefix) frame is checkpointed so the corpus/probe
-        # branches don't re-run the distance folds.
-        rows = (
-            _with_centroids_col(base.select(id_col, "_v"), cents)
-            .select(
-                id_col,
-                F.slice(
-                    _sorted_centroid_dists(F.col("_v")), 1, n_probe
-                ).alias("ps"),
-            )
-            .localCheckpoint(eager=True)
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            df, vec_col, dim, n_centroids, n_iter, seed, prepared=base
         )
-        corpus = rows.select(
+    )
+    n_cent = len(cents)
+
+    if n_cent > MAX_LITERAL_CENTROIDS:
+        # One map-side pass per frame computes the sorted distance
+        # prefix; assignment is its element 0 (the global argmin — the
+        # slice is taken AFTER the full sort), probes are the first
+        # n_probe. The tiny (id, prefix) frames are checkpointed so the
+        # corpus/probe branches don't re-run the distance folds.
+        def _prefix(b: DataFrame) -> DataFrame:
+            return (
+                _with_centroids_col(b.select(id_col, "_v"), cents)
+                .select(
+                    id_col,
+                    F.slice(
+                        _sorted_centroid_dists(F.col("_v")), 1, n_probe
+                    ).alias("ps"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        crows = _prefix(base)
+        qrows = crows if queries is None else _prefix(qbase)
+        corpus = crows.select(
             F.col(id_col).alias("neighbor_id"),
             F.col("ps")[0]["i"].alias("cluster"),
         )
-        probes = rows.select(
+        probes = qrows.select(
             F.col(id_col).alias("query_id"),
             F.explode(F.transform("ps", lambda s: s["i"])).alias("cluster"),
         )
@@ -486,7 +518,7 @@ def ivf_ann_topk(
                 for i, lit in enumerate(_centroid_lits(cents))
             ]
         )
-        probes = base.select(
+        probes = qbase.select(
             F.col(id_col).alias("query_id"),
             F.explode(
                 F.transform(
@@ -500,4 +532,6 @@ def ivf_ann_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    return _rerank_pairs(_join_back_vectors(pairs, base, id_col), k)
+    return _rerank_pairs(
+        _join_back_vectors(pairs, base, id_col, qvecs=qbase), k
+    )

@@ -606,3 +606,33 @@ def test_hash_embedding_shape_and_contracts(spark):
         for r in hash_embedding(df.repartition(7), dim=8).collect()
     }
     assert r7 == rows
+
+
+def test_ivf_serving_mode_separate_queries_and_fixed_centroids(spark):
+    """Serving mode: only the supplied query frame is answered, every
+    neighbor comes from the corpus frame, and passing centroids skips
+    k-means (deterministic output for fixed centroids)."""
+    import numpy as np
+
+    from ocr_poc_spark.operators.similarity import ivf_ann_topk
+
+    rs = np.random.RandomState(31)
+    corpus = spark.createDataFrame(
+        [(i, rs.randn(8).astype(float).tolist()) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1000 + i, rs.randn(8).astype(float).tolist()) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = rs.randn(6, 8).astype(float).tolist()
+    out = ivf_ann_topk(
+        corpus, k=2, dim=8, n_probe=3, queries=queries, centroids=cents
+    ).collect()
+    assert out, "no results"
+    assert {r.query_id for r in out} <= {1000 + i for i in range(10)}
+    assert {r.neighbor_id for r in out} <= set(range(60))
+    out2 = ivf_ann_topk(
+        corpus, k=2, dim=8, n_probe=3, queries=queries, centroids=cents
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
