@@ -919,6 +919,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _WORDS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# Shared hashing-trick embedding fragments (must mirror
+# textstats.hash_embedding with dim=16): ONE definition interpolated
+# into every embedding oracle — a drifting copy would make one oracle
+# silently test a different embedding.
+_EMBED_CELLS_SQL = f"""tok AS (
+              SELECT doc_id, ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
+              FROM documents, unnest({_WORDS_SQL}) AS w(w)
+              WHERE len(w.w) > 0),
+            cell AS (
+              SELECT doc_id, h & 15 AS pos,
+                     SUM(CASE WHEN (h >> 4) & 1 = 1 THEN -1 ELSE 1 END) AS s
+              FROM tok GROUP BY doc_id, pos)"""
+_EMBED_VEC_SQL = f"""{_EMBED_CELLS_SQL},
+            full_cells AS (
+              SELECT d.doc_id, p.pos, CAST(COALESCE(c.s, 0) AS DOUBLE) AS val
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              CROSS JOIN (SELECT unnest(range(16)) AS pos) p
+              LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.pos = p.pos),
+            vec AS (
+              SELECT doc_id, list(val ORDER BY pos) AS v
+              FROM full_cells GROUP BY doc_id)"""
 _STOP = {
     "en": "['the','a','of','and','to','in','is','that','it','for']",
     "fr": "['le','la','les','de','des','et','un','une','que','pour']",
@@ -1416,14 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         # of the same md5-hex15 hash; INTEGER sums, so every cell is
         # exact in both engines.
         "hash_embed": f"""
-            WITH tok AS (
-              SELECT doc_id, ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
-              FROM documents, unnest({_WORDS_SQL}) AS w(w)
-              WHERE len(w.w) > 0),
-            cell AS (
-              SELECT doc_id, h & 15 AS pos,
-                     SUM(CASE WHEN (h >> 4) & 1 = 1 THEN -1 ELSE 1 END) AS s
-              FROM tok GROUP BY doc_id, pos)
+            WITH {_EMBED_CELLS_SQL}
             SELECT d.doc_id, CAST(p.pos AS INTEGER) AS pos,
                    CAST(COALESCE(c.s, 0) AS BIGINT) AS val
             FROM (SELECT DISTINCT doc_id FROM documents) d
@@ -1435,22 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         # doubles and sqrt is correctly rounded, so the cosine is
         # bit-identical to Spark's HOF fold.
         "text_embed_near_dup": f"""
-            WITH tok AS (
-              SELECT doc_id, ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
-              FROM documents, unnest({_WORDS_SQL}) AS w(w)
-              WHERE len(w.w) > 0),
-            cell AS (
-              SELECT doc_id, h & 15 AS pos,
-                     SUM(CASE WHEN (h >> 4) & 1 = 1 THEN -1 ELSE 1 END) AS s
-              FROM tok GROUP BY doc_id, pos),
-            full_cells AS (
-              SELECT d.doc_id, p.pos, CAST(COALESCE(c.s, 0) AS DOUBLE) AS val
-              FROM (SELECT DISTINCT doc_id FROM documents) d
-              CROSS JOIN (SELECT unnest(range(16)) AS pos) p
-              LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.pos = p.pos),
-            vec AS (
-              SELECT doc_id, list(val ORDER BY pos) AS v
-              FROM full_cells GROUP BY doc_id),
+            WITH {_EMBED_VEC_SQL},
             scored AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i]))
@@ -1466,22 +1466,7 @@ def oracle_sql() -> dict[str, str]:
         # cosine re-rank all exact in SQL. Same (d, ci) / (cos desc,
         # id asc) tie-breaks as the Spark windows.
         "ann_ivf_lookup": f"""
-            WITH tok AS (
-              SELECT doc_id, ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
-              FROM documents, unnest({_WORDS_SQL}) AS w(w)
-              WHERE len(w.w) > 0),
-            cell AS (
-              SELECT doc_id, h & 15 AS pos,
-                     SUM(CASE WHEN (h >> 4) & 1 = 1 THEN -1 ELSE 1 END) AS s
-              FROM tok GROUP BY doc_id, pos),
-            full_cells AS (
-              SELECT d.doc_id, p.pos, CAST(COALESCE(c.s, 0) AS DOUBLE) AS val
-              FROM (SELECT DISTINCT doc_id FROM documents) d
-              CROSS JOIN (SELECT unnest(range(16)) AS pos) p
-              LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.pos = p.pos),
-            vec AS (
-              SELECT doc_id, list(val ORDER BY pos) AS v
-              FROM full_cells GROUP BY doc_id),
+            WITH {_EMBED_VEC_SQL},
             cent(ci, cv) AS (VALUES {{cent_rows}}),
             corpus AS (SELECT doc_id, v FROM vec WHERE doc_id % 4 != 0),
             qs AS (SELECT doc_id, v FROM vec WHERE doc_id % 4 = 0),
@@ -1506,9 +1491,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM qs q CROSS JOIN cent t)
               WHERE rn <= 3),
             cand AS (
+              -- serving mode: no self-pair filter (frames are disjoint
+              -- here by the %4 split; a collision would be a re-queried
+              -- doc whose indexed copy is a legitimate neighbor)
               SELECT p.doc_id AS qid, a.doc_id AS nid
-              FROM probes p JOIN assign a ON p.ci = a.ci
-              WHERE p.doc_id != a.doc_id),
+              FROM probes p JOIN assign a ON p.ci = a.ci),
             scored AS (
               SELECT c.qid, c.nid,
                      list_sum(list_transform(range(1, 17), i -> q.v[i] * n.v[i]))
@@ -1537,22 +1524,7 @@ def oracle_sql() -> dict[str, str]:
         # Full-pipeline oracle: cells -> vectors -> bit-exact cosines ->
         # transitive closure, all recomputed from scratch in SQL.
         "text_dedup_e2e": f"""
-            WITH RECURSIVE tok AS (
-              SELECT doc_id, ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
-              FROM documents, unnest({_WORDS_SQL}) AS w(w)
-              WHERE len(w.w) > 0),
-            cell AS (
-              SELECT doc_id, h & 15 AS pos,
-                     SUM(CASE WHEN (h >> 4) & 1 = 1 THEN -1 ELSE 1 END) AS s
-              FROM tok GROUP BY doc_id, pos),
-            full_cells AS (
-              SELECT d.doc_id, p.pos, CAST(COALESCE(c.s, 0) AS DOUBLE) AS val
-              FROM (SELECT DISTINCT doc_id FROM documents) d
-              CROSS JOIN (SELECT unnest(range(16)) AS pos) p
-              LEFT JOIN cell c ON c.doc_id = d.doc_id AND c.pos = p.pos),
-            vec AS (
-              SELECT doc_id, list(val ORDER BY pos) AS v
-              FROM full_cells GROUP BY doc_id),
+            WITH RECURSIVE {_EMBED_VEC_SQL},
             p AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b
               FROM vec a JOIN vec b ON a.doc_id < b.doc_id

@@ -28,18 +28,34 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
 
 
+def _cosine_or_null(dot, norm_a, norm_b):
+    """Exact cosine, NULL when either norm is zero. Spark 4 runs ANSI
+    mode: a bare division DIVIDE_BY_ZEROs the whole job on the first
+    zero vector (e.g. a hashing-trick embedding of an empty document),
+    and NaN would SORT FIRST under desc (NaN is greatest) — NULL rows
+    instead drop out of thresholds and rank last, the contract every
+    consumer here wants: a zero vector has no defined direction, so it
+    is never anyone's near-dup or neighbor."""
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot / denom)
+
+
 def _rerank_pairs(pairs: DataFrame, k: int) -> DataFrame:
     """Shared exact-rerank tail of every ANN/top-k path: given candidate
     rows carrying (query_id, neighbor_id, q_v, q_norm, c_v, c_norm),
     score the exact cosine and keep each query's top k. ONE definition
     of the tie-break ordering (cosine desc, neighbor_id asc) — the
-    committed goldens pin it, so it must not fork per operator."""
+    committed goldens pin it, so it must not fork per operator.
+    Zero-norm sides are excluded (no defined cosine), not ranked."""
     from pyspark.sql import Window
 
-    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm"))
+    cos = _cosine_or_null(
+        _dot(F.col("q_v"), F.col("c_v")), F.col("q_norm"), F.col("c_norm")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("cosine", cos)
+        .where(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
@@ -212,7 +228,9 @@ def cosine_near_dup_pairs_exact(
                     F.col("_norm").alias("n_a"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"),
                     F.col("_norm").alias("n_b"))
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    cos = _cosine_or_null(
+        _dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
@@ -255,7 +273,9 @@ def embedding_near_dup_pairs(
                     F.col("_norm").alias("n_b")),
         "id_b",
     )
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    cos = _cosine_or_null(
+        _dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b")
+    )
     return (
         cand.withColumn("cosine", cos)
         .where(F.col("cosine") >= cosine_threshold)
@@ -451,19 +471,46 @@ def ivf_ann_topk(
     of k.
 
     SERVING MODE: pass ``queries`` (a separate frame with the same
-    id/vec columns; ids distinct from the corpus) to answer only those
-    queries against the corpus — the index-once/query-many pattern —
-    and/or ``centroids`` (the persisted quantizer from a previous run)
-    to skip k-means entirely. Defaults reproduce all-vs-all self-search
-    with learned centroids."""
-    base = with_norm(df.select(id_col, vec_col), vec_col).localCheckpoint(
-        eager=True
-    )
+    id/vec columns) to answer only those queries against the corpus —
+    the index-once/query-many pattern — and/or ``centroids`` (the
+    persisted quantizer from a previous run) to skip k-means entirely.
+    In serving mode every corpus doc is a legal neighbor, including one
+    sharing a query's id (id namespaces are the caller's); only
+    self-search excludes self-pairs. Defaults reproduce all-vs-all
+    self-search with learned centroids."""
+    if centroids is not None:
+        # A persisted quantizer is the likeliest place for dimension
+        # drift, and a mismatch is a SILENT total-recall loss (zip_with
+        # null-pads, every distance folds to NULL, assignment becomes an
+        # arbitrary constant) — same failure class lsh_bucket asserts.
+        for i, c in enumerate(centroids):
+            if len(c) != dim:
+                raise ValueError(
+                    f"centroids[{i}] has {len(c)} dims, expected dim={dim}"
+                )
+
+    def _assert_dim(b: DataFrame, what: str) -> DataFrame:
+        return b.where(
+            F.when(
+                F.size("_v") != F.lit(dim),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"ivf_ann_topk: dim={dim} but {what} vector has "),
+                        F.size("_v").cast("string"),
+                        F.lit(" elements"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+
+    base = _assert_dim(
+        with_norm(df.select(id_col, vec_col), vec_col), "corpus"
+    ).localCheckpoint(eager=True)
     qbase = (
         base
         if queries is None
-        else with_norm(
-            queries.select(id_col, vec_col), vec_col
+        else _assert_dim(
+            with_norm(queries.select(id_col, vec_col), vec_col), "query"
         ).localCheckpoint(eager=True)
     )
     cents = (
@@ -527,11 +574,14 @@ def ivf_ann_topk(
                 )
             ).alias("cluster"),
         )
-    pairs = (
-        probes.join(corpus, "cluster")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
+    pairs = probes.join(corpus, "cluster")
+    if queries is None:
+        # Self-search only: a row is never its own neighbor. In serving
+        # mode the frames are distinct and an id collision means a
+        # re-queried doc — its indexed copy IS a legitimate neighbor;
+        # filtering it here would silently drop the true best match.
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    pairs = pairs.select("query_id", "neighbor_id")
     return _rerank_pairs(
         _join_back_vectors(pairs, base, id_col, qvecs=qbase), k
     )

@@ -222,6 +222,7 @@ def test_cli_dedup_clusters_with_simhash_method(spark, pages_df, tmp_path):
     comp = {r.doc_id: r.component_id
             for r in spark.read.parquet(res["dup_components_dir"]).collect()}
     for doc, cid in comp.items():
-        assert cid == min(comp[d] for d in comp if comp[d] == cid)
+        # component id must be the MINIMUM member id of its component
+        assert cid == min(d for d in comp if comp[d] == cid)
         stripped = doc.replace("https://m1.example/", "")
         assert stripped in cid or cid.endswith(stripped)

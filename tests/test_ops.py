@@ -636,3 +636,88 @@ def test_ivf_serving_mode_separate_queries_and_fixed_centroids(spark):
         corpus, k=2, dim=8, n_probe=3, queries=queries, centroids=cents
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ivf_serving_broadcast_branch_agrees_with_literal(spark, monkeypatch):
+    """The serving-mode BROADCAST branch (the path production serving
+    would take with k ~ sqrt(n)) must equal the literal path for the
+    same centroids — in particular the probe prefix must come from the
+    QUERY frame, not the corpus frame."""
+    import numpy as np
+
+    import ocr_poc_spark.operators.similarity as sim
+
+    rs = np.random.RandomState(41)
+    corpus = spark.createDataFrame(
+        [(i, rs.randn(8).astype(float).tolist()) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(900 + i, rs.randn(8).astype(float).tolist()) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = rs.randn(6, 8).astype(float).tolist()
+    lit = sorted(
+        map(tuple, sim.ivf_ann_topk(
+            corpus, k=2, dim=8, n_probe=3, queries=queries, centroids=cents
+        ).collect())
+    )
+    monkeypatch.setattr(sim, "MAX_LITERAL_CENTROIDS", 0)
+    bc = sorted(
+        map(tuple, sim.ivf_ann_topk(
+            corpus, k=2, dim=8, n_probe=3, queries=queries, centroids=cents
+        ).collect())
+    )
+    assert bc == lit
+
+
+def test_ivf_rejects_mismatched_centroid_and_vector_dims(spark):
+    """Dim drift in a persisted quantizer or the input vectors must FAIL
+    LOUDLY, never silently collapse recall (zip_with null-pads on
+    mismatch, turning every distance into NULL)."""
+    import numpy as np
+    import pytest
+
+    from ocr_poc_spark.operators.similarity import ivf_ann_topk
+
+    rs = np.random.RandomState(43)
+    df = spark.createDataFrame(
+        [(i, rs.randn(8).astype(float).tolist()) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="dims, expected dim"):
+        ivf_ann_topk(df, dim=8, centroids=rs.randn(4, 4).tolist())
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        ivf_ann_topk(df, dim=16, n_centroids=4, n_iter=1).collect()
+
+
+def test_cosine_ops_survive_zero_vectors(spark):
+    """An all-zero vector (empty doc through hash_embedding) must never
+    crash a cosine consumer (ANSI DIVIDE_BY_ZERO) nor appear in any
+    pair/top-k output — it has no defined direction."""
+    from ocr_poc_spark.operators.similarity import (
+        cosine_near_dup_pairs_exact,
+        cosine_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 0.0, 1.0]),
+            (1, [1.0, 2.0, 0.1, 1.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = cosine_near_dup_pairs_exact(df, cosine_threshold=0.5).collect()
+    assert pairs and all(2 not in (r.id_a, r.id_b) for r in pairs)
+    topk = cosine_topk(df, query_ids=[0, 1, 2], k=2).collect()
+    assert topk and all(r.query_id != 2 and r.neighbor_id != 2 for r in topk)
+    ann = lsh_ann_topk(df, k=2, dim=4, n_planes=2, n_tables=2).collect()
+    assert all(r.query_id != 2 and r.neighbor_id != 2 for r in ann)
+    ivf = ivf_ann_topk(df, k=2, dim=4, n_centroids=2, n_probe=2, n_iter=1).collect()
+    assert all(r.query_id != 2 and r.neighbor_id != 2 for r in ivf)
