@@ -100,8 +100,6 @@ def cosine_topk(
     for all-vs-all). A bounded query list over ``max_broadcast_queries``
     is refused for the same reason.
     """
-    from pyspark.sql import Window
-
     if query_ids is None:
         raise ValueError(
             "cosine_topk requires explicit query_ids (the query side is "
@@ -197,8 +195,6 @@ def lsh_ann_topk(
     would multiply shuffle volume by dim x n_tables); candidate pairs
     are deduped across tables first, then the vectors are joined back
     once per side for the exact scoring."""
-    from pyspark.sql import Window
-
     b = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, dim, n_planes, seed, n_tables)
     band_ids = b.select(id_col, "tbl", "bucket")
     left = band_ids.select(F.col(id_col).alias("query_id"), "tbl", "bucket")
