@@ -721,3 +721,22 @@ def test_cosine_ops_survive_zero_vectors(spark):
     assert all(r.query_id != 2 and r.neighbor_id != 2 for r in ann)
     ivf = ivf_ann_topk(df, k=2, dim=4, n_centroids=2, n_probe=2, n_iter=1).collect()
     assert all(r.query_id != 2 and r.neighbor_id != 2 for r in ivf)
+
+
+def test_connected_components_partitioning_independent(spark):
+    """Same labelling whether edges arrive in 1 or 7 partitions (the
+    fixpoint is a pure function of the edge SET; localCheckpoints must
+    not leak partition-layout artifacts into results)."""
+    import numpy as np
+
+    from ocr_poc_spark.operators.dedup import connected_components
+
+    rs = np.random.RandomState(17)
+    edges = [
+        (int(rs.randint(0, 30)), int(rs.randint(0, 30))) for _ in range(40)
+    ]
+    df1 = spark.createDataFrame(edges, "id_a long, id_b long").coalesce(1)
+    df7 = spark.createDataFrame(edges, "id_a long, id_b long").repartition(7)
+    r1 = sorted(map(tuple, connected_components(df1).collect()))
+    r7 = sorted(map(tuple, connected_components(df7).collect()))
+    assert r1 == r7
