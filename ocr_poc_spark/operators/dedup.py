@@ -447,6 +447,41 @@ def simhash_near_pairs(
     )
 
 
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star contraction round over an (u, v)
+    edge frame (SoCC'14). Hub-degree-bounded: neighborhood minima come
+    from scalar `min` aggregates joined back onto the edges — a hub of
+    degree d contributes d three-scalar rows, never a d-element array,
+    and no array-typed column crosses any Exchange (plan-asserted in
+    tests/test_plan_shapes.py::test_star_round_is_hub_degree_bounded).
+    """
+    # Large-star: every neighbor LARGER than u links to the minimum of
+    # u's closed neighborhood.
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = und.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+    large = (
+        und.where("v > u")
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where("u != v")
+        .distinct()
+    )
+    # Small-star: direct edges large->small, then every smaller
+    # neighbor (and u itself) links to the neighborhood minimum.
+    directed = large.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        directed.join(mins2, "u")
+        .where("v != m")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins2.select("u", F.col("m").alias("v")))
+        .where("u != v")
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -464,10 +499,16 @@ def connected_components(
     under that type's ordering.
 
     Alternating large-star / small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14): each round is two
-    groupBy-explode passes over the edge list; chains contract in
+    Components in MapReduce and Beyond", SoCC'14): chains contract in
     O(log d) rounds (vs O(d) for naive label propagation), and every
-    shuffle carries bare (id, id) edges only. The edge frame is
+    shuffle carries bare (id, id) edges only. Each star pass is
+    **hub-degree-bounded**: the per-node neighborhood minimum comes
+    from a `min` aggregate (map-side partial combine keeps per-key
+    state to one scalar per partition) joined back onto the edge list
+    — no `collect_set` neighborhood arrays, so a 10M-copy boilerplate
+    cluster's hub node never materializes its neighborhood in a single
+    row, and no array-typed column ever crosses an Exchange
+    (plan-asserted in tests/test_plan_shapes.py). The edge frame is
     localCheckpoint-ed per round — iterative plans otherwise grow the
     lineage/codegen DAG linearly in rounds. Convergence = fixpoint of
     the edge multiset (checked via count + order-insensitive hash sum,
@@ -497,40 +538,7 @@ def connected_components(
 
     sig = _sig(edges)
     for _ in range(max_iter):
-        # Large-star: every neighbor LARGER than u links to the minimum
-        # of u's closed neighborhood.
-        und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        grouped = und.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-        m = F.least(F.col("u"), F.array_min("nbrs"))
-        large = (
-            grouped.select("u", m.alias("m"), "nbrs")
-            .select(
-                F.explode(F.filter("nbrs", lambda x: x > F.col("u"))).alias("u"),
-                F.col("m").alias("v"),
-            )
-            .where("u != v")
-            .distinct()
-        )
-        # Small-star: direct edges large->small, then every smaller
-        # neighbor (and u itself) links to the neighborhood minimum.
-        directed = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        grouped2 = directed.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-        small = (
-            grouped2.select("u", F.array_min("nbrs").alias("m"), "nbrs")
-            .select(
-                F.explode(
-                    F.array_append(
-                        F.filter("nbrs", lambda x: x != F.col("m")), F.col("u")
-                    )
-                ).alias("u"),
-                F.col("m").alias("v"),
-            )
-            .where("u != v")
-            .distinct()
-        )
-        edges = small.localCheckpoint(eager=True)
+        edges = _star_round(edges).localCheckpoint(eager=True)
         new_sig = _sig(edges)
         if new_sig == sig:
             break

@@ -740,3 +740,26 @@ def test_connected_components_partitioning_independent(spark):
     r1 = sorted(map(tuple, connected_components(df1).collect()))
     r7 = sorted(map(tuple, connected_components(df7).collect()))
     assert r1 == r7
+
+
+def test_connected_components_hub_star_1e5(spark):
+    """A single ~1e5-leaf star (the 10M-copy-boilerplate-cluster shape
+    at test scale): the hub-degree-bounded star rounds must label every
+    leaf with the hub min without materializing the hub's neighborhood
+    as an array anywhere (plan side pinned separately in
+    test_plan_shapes.py::test_star_round_is_hub_degree_bounded)."""
+    from ocr_poc_spark.operators.dedup import connected_components
+
+    n = 100_000
+    # hub id sits mid-range so the component min is a LEAF id (0), not
+    # the hub — exercises both star directions on the skewed node.
+    hub = n // 2
+    pairs = spark.range(n).selectExpr(
+        f"CASE WHEN id = {hub} THEN id + 1 ELSE id END AS id_a",
+        f"{hub}L AS id_b",
+    )
+    got = connected_components(pairs)
+    agg = got.groupBy("component_id").count().collect()
+    assert len(agg) == 1
+    assert agg[0]["component_id"] == 0
+    assert agg[0]["count"] == n

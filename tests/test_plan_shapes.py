@@ -190,3 +190,22 @@ def test_ivf_broadcast_assignment_is_exchange_free(spark):
     plan = _plan(rows)
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_star_round_is_hub_degree_bounded(spark):
+    """The connected-components star round must stay hub-degree-bounded:
+    neighborhood minima via scalar min aggregates (HashAggregate with
+    map-side partial combine), NOT collect_set neighborhood arrays
+    (ObjectHashAggregate materializing an unbounded array per hub row).
+    No array-typed column may cross any Exchange."""
+    from ocr_poc_spark.operators.dedup import _star_round
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "u long, v long"
+    )
+    plan = _plan(_star_round(edges))
+    assert "collect_set" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "explode" not in plan.lower(), plan
+    # scalar min aggregates carry partial combine: partial_min present
+    assert "partial_min" in plan or "partial_least" in plan, plan
