@@ -368,6 +368,48 @@ def q_ann_ivf_lookup(spark, sf_dir):
     )
 
 
+def _ivf_bcast_centroids() -> list[list[float]]:
+    """80 INTEGER centroids (> similarity.MAX_LITERAL_CENTROIDS = 64)
+    shared by q_ann_ivf_bcast and its SQL oracle — forces the
+    broadcast-centroid branch (_with_centroids_col +
+    _sorted_centroid_dists), the production branch at k ~ sqrt(n),
+    while keeping every distance/argmin/cosine exact in doubles."""
+    import numpy as np
+
+    rs = np.random.RandomState(29)
+    return rs.randint(-3, 4, size=(80, 16)).astype(float).tolist()
+
+
+def q_ann_ivf_bcast(spark, sf_dir):
+    """IVF ANN through the BROADCAST-CENTROID branch: 80 supplied
+    integer centroids exceed MAX_LITERAL_CENTROIDS, so assignment and
+    probe selection run as the single-row broadcast centroid array +
+    per-row HOF sorted-distance prefix (similarity._with_centroids_col
+    / _sorted_centroid_dists) — the branch SCALE10X names the
+    production path (k must track sqrt(corpus)). Self-search over
+    integer hashing-trick embeddings: the whole approximate path
+    (assignment argmin, probe ordering with (d, ci) tie-break,
+    self-pair filter, cosine re-rank) is exactly recomputable in SQL.
+    Plan shape pinned by
+    tests/test_plan_shapes.py::test_ivf_broadcast_assignment_is_exchange_free."""
+    from ocr_poc_spark.operators.similarity import (
+        MAX_LITERAL_CENTROIDS,
+        ivf_ann_topk,
+    )
+    from ocr_poc_spark.operators.textstats import hash_embedding
+
+    cents = _ivf_bcast_centroids()
+    assert len(cents) > MAX_LITERAL_CENTROIDS
+    emb = hash_embedding(
+        _t(spark, sf_dir, "documents", spread=True), dim=16
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    return ivf_ann_topk(
+        emb, k=2, dim=16, n_probe=3, centroids=cents
+    ).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):  # embedding-cosine near-dup pairs
     """Exact all-pairs variant (oracle-checkable);
     similarity.embedding_near_dup_pairs is the LSH-bucketed scale path."""
@@ -884,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_lookup": q_ann_ivf_lookup,
+        "ann_ivf_bcast": q_ann_ivf_bcast,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lang_id": q_lang_id,
@@ -1452,11 +1495,16 @@ def oracle_sql() -> dict[str, str]:
         "text_embed_near_dup": f"""
             WITH {_EMBED_VEC_SQL},
             scored AS (
+              -- NULLIF mirrors the engine's zero-norm-cosine-is-NULL
+              -- contract (_cosine_or_null): a zero vector yields NULL
+              -- (filtered by the threshold), never NaN (which DuckDB
+              -- sorts greatest and which passes >= thresholds).
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i]))
-                       / (sqrt(list_sum(list_transform(range(1, 17), i -> a.v[i] * a.v[i])))
-                          * sqrt(list_sum(list_transform(range(1, 17), i -> b.v[i] * b.v[i]))))
-                       AS cos_raw
+                       / NULLIF(
+                           sqrt(list_sum(list_transform(range(1, 17), i -> a.v[i] * a.v[i])))
+                           * sqrt(list_sum(list_transform(range(1, 17), i -> b.v[i] * b.v[i]))),
+                           0) AS cos_raw
               FROM vec a JOIN vec b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
             FROM scored WHERE cos_raw >= 0.99
@@ -1499,16 +1547,17 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
               SELECT c.qid, c.nid,
                      list_sum(list_transform(range(1, 17), i -> q.v[i] * n.v[i]))
-                       / (sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i])))
-                          * sqrt(list_sum(list_transform(range(1, 17), i -> n.v[i] * n.v[i]))))
-                       AS cos_raw
+                       / NULLIF(
+                           sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i])))
+                           * sqrt(list_sum(list_transform(range(1, 17), i -> n.v[i] * n.v[i]))),
+                           0) AS cos_raw
               FROM cand c JOIN qs q ON q.doc_id = c.qid
                 JOIN corpus n ON n.doc_id = c.nid),
             ranked AS (
               SELECT qid, nid, cos_raw,
                      ROW_NUMBER() OVER (
                        PARTITION BY qid ORDER BY cos_raw DESC, nid ASC) AS rnk
-              FROM scored)
+              FROM scored WHERE cos_raw IS NOT NULL)
             SELECT qid AS query_id, nid AS neighbor_id,
                    CAST(rnk AS INTEGER) AS rank,
                    ROUND(cos_raw, 6) AS cosine
@@ -1521,6 +1570,65 @@ def oracle_sql() -> dict[str, str]:
                 for i, c in enumerate(_ivf_lookup_centroids())
             )
         ),
+        # Broadcast-centroid IVF oracle (self-search): same exact
+        # integer arithmetic as ann_ivf_lookup, but over the FULL doc
+        # set with the self-pair filter, 80 centroids. The NULLIF guard
+        # mirrors the engine's zero-norm-cosine-is-NULL contract
+        # (_cosine_or_null): a zero vector must be dropped, not ranked
+        # first via NaN (DuckDB sorts NaN greatest).
+        "ann_ivf_bcast": f"""
+            WITH {_EMBED_VEC_SQL},
+            cent(ci, cv) AS (VALUES {{cent_rows}}),
+            assign AS (
+              SELECT doc_id, ci FROM (
+                SELECT v.doc_id, t.ci,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY v.doc_id
+                         ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> (v.v[i] - t.cv[i]) * (v.v[i] - t.cv[i]))),
+                           t.ci) AS rn
+                FROM vec v CROSS JOIN cent t)
+              WHERE rn = 1),
+            probes AS (
+              SELECT doc_id, ci FROM (
+                SELECT v.doc_id, t.ci,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY v.doc_id
+                         ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> (v.v[i] - t.cv[i]) * (v.v[i] - t.cv[i]))),
+                           t.ci) AS rn
+                FROM vec v CROSS JOIN cent t)
+              WHERE rn <= 3),
+            cand AS (
+              SELECT p.doc_id AS qid, a.doc_id AS nid
+              FROM probes p JOIN assign a ON p.ci = a.ci
+              WHERE p.doc_id != a.doc_id),
+            scored AS (
+              SELECT c.qid, c.nid,
+                     list_sum(list_transform(range(1, 17), i -> q.v[i] * n.v[i]))
+                       / NULLIF(
+                           sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i])))
+                           * sqrt(list_sum(list_transform(range(1, 17), i -> n.v[i] * n.v[i]))),
+                           0) AS cos_raw
+              FROM cand c JOIN vec q ON q.doc_id = c.qid
+                JOIN vec n ON n.doc_id = c.nid),
+            ranked AS (
+              SELECT qid, nid, cos_raw,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cos_raw DESC, nid ASC) AS rnk
+              FROM scored WHERE cos_raw IS NOT NULL)
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   CAST(rnk AS INTEGER) AS rank,
+                   ROUND(cos_raw, 6) AS cosine
+            FROM ranked WHERE rnk <= 2
+        """.format(
+            cent_rows=", ".join(
+                "({}, [{}])".format(
+                    i, ", ".join(f"{x:.1f}" for x in c)
+                )
+                for i, c in enumerate(_ivf_bcast_centroids())
+            )
+        ),
         # Full-pipeline oracle: cells -> vectors -> bit-exact cosines ->
         # transitive closure, all recomputed from scratch in SQL.
         "text_dedup_e2e": f"""
@@ -1529,8 +1637,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.doc_id AS id_a, b.doc_id AS id_b
               FROM vec a JOIN vec b ON a.doc_id < b.doc_id
               WHERE list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i]))
-                      / (sqrt(list_sum(list_transform(range(1, 17), i -> a.v[i] * a.v[i])))
-                         * sqrt(list_sum(list_transform(range(1, 17), i -> b.v[i] * b.v[i]))))
+                      / NULLIF(
+                          sqrt(list_sum(list_transform(range(1, 17), i -> a.v[i] * a.v[i])))
+                          * sqrt(list_sum(list_transform(range(1, 17), i -> b.v[i] * b.v[i]))),
+                          0)
                     >= 0.99),
             e AS (SELECT id_a AS u, id_b AS v FROM p
                   UNION SELECT id_b, id_a FROM p),

@@ -215,6 +215,35 @@ def minhash_lsh_pairs_incremental(
         corpus_index = minhash_band_index(
             corpus_docs, id_col, text_col, num_hashes, num_bands
         )
+    else:
+        # A persisted index built with a different banding config is a
+        # SILENT total-recall loss (band sigs never collide with the
+        # new slice's) — the same failure class ivf_ann_topk guards
+        # with its centroid-dim check. Band ids are checkable in-plan:
+        # an index with band >= num_bands was built with more bands
+        # (and one with fewer is unobservable from ids alone, so the
+        # hash-count mismatch is documented as caller contract).
+        missing = {"id", "band", "sig"} - set(corpus_index.columns)
+        if missing:
+            raise ValueError(
+                f"corpus_index missing columns {sorted(missing)}; expected "
+                "the (id, band, sig) frame written by minhash_band_index"
+            )
+        corpus_index = corpus_index.where(
+            F.when(
+                (F.col("band") < 0) | (F.col("band") >= num_bands),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "minhash_lsh_pairs_incremental: corpus_index "
+                            f"band out of range for num_bands={num_bands} "
+                            "(index built with a different banding config?): "
+                        ),
+                        F.col("band").cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
     all_bands = corpus_index.select("id", "band", "sig").unionByName(bands_new)
 
     left = bands_new.select(F.col("id").alias("id_a"), "band", "sig")

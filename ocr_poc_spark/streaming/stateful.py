@@ -98,10 +98,21 @@ BAND_STATE_SCHEMA = T.StructType(
 )
 
 
-def make_band_pairs_update(max_hamming: int):
+def make_band_pairs_update(max_hamming: int, max_state_per_bucket: int | None = None):
     """Factory (never capture a loop/param var in a shared lambda): the
     per-bucket update comparing new rows against bucket history + earlier
-    rows of the same batch, in sorted-id order (deterministic)."""
+    rows of the same batch, in sorted-id order (deterministic).
+
+    STATE CONTRACT: with ``max_state_per_bucket=None`` a bucket's
+    (id, fingerprint) history grows without bound and each arrival scans
+    it linearly — correct and intended for availableNow replays of a
+    bounded backlog, but a LONG-RUNNING stream on a skewed bucket
+    degrades linearly with no eviction. Passing a cap keeps only the
+    most recent N entries per bucket (arrival order): state and
+    per-arrival work become O(N), at the explicit cost of RECALL — a
+    pair whose two members are separated by more than N same-bucket
+    arrivals is never emitted. Batch parity (stream == batch union)
+    holds only uncapped."""
 
     def _update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -126,6 +137,9 @@ def make_band_pairs_update(max_hamming: int):
                     out_b.append(b)
             ids.append(rid)
             fps.append(fp)
+        if max_state_per_bucket is not None and len(ids) > max_state_per_bucket:
+            ids = ids[-max_state_per_bucket:]
+            fps = fps[-max_state_per_bucket:]
         state.update((ids, fps))
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b})

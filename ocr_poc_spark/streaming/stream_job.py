@@ -128,6 +128,7 @@ def start_simhash_pairs_stream(
     out_path: str,
     checkpoint: str,
     max_hamming: int = 3,
+    max_state_per_bucket: int | None = None,
 ) -> StreamingQuery:
     """Streaming near-dup detection: emit (id_a, id_b) pairs of pages
     within `max_hamming` SimHash bits of each OTHER page seen in any
@@ -144,7 +145,13 @@ def start_simhash_pairs_stream(
     band (Spark disallows chaining another stateful dedup after
     applyInPandasWithState in append mode); the parquet sink is
     append-only, so consumers take DISTINCT (id_a, id_b) — same as the
-    batch operator's pair-dedup before join-back."""
+    batch operator's pair-dedup before join-back.
+
+    ``max_state_per_bucket``: None (default) = unbounded per-bucket
+    history — exact batch parity, right for availableNow replays; a
+    long-running 24/7 stream should set a cap, trading recall for O(cap)
+    state and per-arrival work (see stateful.make_band_pairs_update for
+    the precise recall caveat)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..operators.dedup import _band_slices, simhash
@@ -168,7 +175,7 @@ def start_simhash_pairs_stream(
         .select("id", "simhash", F.col("_b.band").alias("band"), F.col("_b.band_val").alias("band_val"))
     )
     pairs = e.groupBy("band", "band_val").applyInPandasWithState(
-        make_band_pairs_update(max_hamming),
+        make_band_pairs_update(max_hamming, max_state_per_bucket),
         PAIR_SCHEMA,
         BAND_STATE_SCHEMA,
         "append",

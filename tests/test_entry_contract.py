@@ -60,3 +60,45 @@ def test_oracle_subset_matches(spark, duck, name):
     dc, dr = _norm([d[0] for d in res.description], res.fetchall())
     assert sc == dc
     assert sr == dr
+
+
+def test_zero_norm_vector_contract_engine_and_oracle(spark, tmp_path):
+    """An empty document hashes to an all-zero embedding vector; the
+    engine maps zero-norm cosines to NULL and drops them
+    (_cosine_or_null). The oracles must agree (NULLIF guard), not let
+    DuckDB's raw 0/0 NaN — which sorts GREATEST — pass thresholds or
+    rank first. Pins the contract on a corpus that actually contains a
+    zero vector (the shipped sf fixtures do not)."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma delta",
+                "alpha beta gamma delta",
+                "",  # -> all-zero hash embedding
+                "omega psi chi phi",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [22, 22, 0, 17],
+        }
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    docs.to_parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    for name in ["text_embed_near_dup", "ann_ivf_bcast"]:
+        df = entry_mod.queries()[name](spark, sf)
+        sc, sr = _norm(df.columns, [tuple(r) for r in df.collect()])
+        res = con.execute(entry_mod.oracle_sql()[name])
+        dc, dr = _norm([d[0] for d in res.description], res.fetchall())
+        assert sc == dc, name
+        assert sr == dr, name
+        assert all(3 not in r for r in sr), (name, sr)
+        assert len(sr) > 0, name

@@ -763,3 +763,39 @@ def test_connected_components_hub_star_1e5(spark):
     assert len(agg) == 1
     assert agg[0]["component_id"] == 0
     assert agg[0]["count"] == n
+
+
+def test_incremental_dedup_rejects_mismatched_index(spark):
+    """A persisted band index built with a different banding config must
+    fail LOUDLY, not silently lose recall (band sigs never colliding)."""
+    import pytest
+
+    from ocr_poc_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string",
+    )
+    # schema drift: missing band column
+    bad = minhash_band_index(corpus).select("id", "sig")
+    with pytest.raises(ValueError, match="missing columns"):
+        minhash_lsh_pairs_incremental(new, corpus, corpus_index=bad)
+    # config drift: index built with MORE bands than the query side
+    wide = minhash_band_index(corpus, num_hashes=32, num_bands=16)
+    with pytest.raises(Exception, match="band out of range"):
+        minhash_lsh_pairs_incremental(
+            new, corpus, corpus_index=wide, num_hashes=8, num_bands=4
+        ).collect()
+    # matching config still works end-to-end
+    ok = minhash_band_index(corpus)
+    pairs = minhash_lsh_pairs_incremental(
+        new, corpus, corpus_index=ok
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 100)]

@@ -190,3 +190,48 @@ def test_stream_simhash_pairs_equal_batch(spark, tmp_path):
     urls = [r["url"] for r in rows]
     assert tuple(sorted((urls[0], urls[21]))) in stream_pairs
     assert tuple(sorted((urls[2], urls[4]))) in stream_pairs
+
+
+def test_band_pairs_update_state_cap():
+    """Capped per-bucket state: only the most recent N (id, fp) entries
+    survive, so a pair separated by > N same-bucket arrivals is missed
+    (documented recall trade) while state stays O(N)."""
+    import pandas as pd
+
+    from ocr_poc_spark.streaming.stateful import make_band_pairs_update
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def run(update, batches, state):
+        out = []
+        for b in batches:
+            for pdf in update((0, 0), [pd.DataFrame(b)], state):
+                out.extend(zip(pdf["id_a"], pdf["id_b"]))
+        return out
+
+    batches = [
+        {"id": ["a"], "simhash": [0]},
+        {"id": ["x1"], "simhash": [(1 << 20) - 1]},         # 20 bits from a
+        {"id": ["x2"], "simhash": [((1 << 20) - 1) << 20]},  # 20+ bits from both
+        {"id": ["b"], "simhash": [0]},         # dup of a, 3 arrivals later
+    ]
+    uncapped_state = _FakeState()
+    assert run(make_band_pairs_update(3), batches, uncapped_state) == [("a", "b")]
+    assert len(uncapped_state.get[0]) == 4
+
+    capped_state = _FakeState()
+    assert run(make_band_pairs_update(3, max_state_per_bucket=2), batches, capped_state) == []
+    assert len(capped_state.get[0]) == 2  # only the 2 most recent retained
