@@ -665,6 +665,103 @@ def q_extract_pipeline(spark, sf_dir):  # flagship cascade (rows-only check)
 
 
 
+def _corpus_chain(spark, sf_dir) -> dict:
+    """The full-pipeline composition a 100 TB run actually executes
+    (reference lifecycle analogue: /root/reference/api_server.py:177-269
+    end-to-end path): pages -> fused extraction -> quality/lang gate ->
+    MinHash near-dup pairs -> connected components -> keeper filter ->
+    host cap -> chunking -> sequence packing. Returns every intermediate
+    frame so corpus_pipeline (packed sequences) and
+    corpus_pipeline_stats (per-stage survivor counts) share one
+    definition.
+
+    Extracted text = COALESCE(body_text, author): on the synthetic
+    driver corpus the page's single body paragraph is consumed by the
+    author proximity binding and body ends NULL (pinned in the
+    extract_pipeline oracle derivation above), so the article text
+    rides the author field; on real fixture pages body_text is the
+    non-null branch. The quality gate compares the ROUND-6 score — the
+    value extract_pipeline's oracle proves bit-equal across engines.
+
+    Stage frames are localCheckpoint-ed where consumed by more than one
+    downstream branch so the Arrow extraction UDF runs ONCE, not once
+    per branch."""
+    from ocr_poc_spark.operators.curation import chunk_documents, host_cap, pack_sequences
+    from ocr_poc_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    from ocr_poc_spark.plans.job import extract_fused
+
+    pages = _pages_from_documents(spark, sf_dir)
+    ext = extract_fused(pages).select(
+        "url",
+        "success",
+        F.round("quality_score", 6).alias("q6"),
+        F.regexp_extract("url", r"^https://docs\.example/([a-z]+)/", 1).alias(
+            "section"
+        ),
+        F.coalesce("body_text", "author", F.lit("")).alias("extracted_text"),
+    ).localCheckpoint(eager=False)
+    gated = ext.where(
+        F.col("success")
+        & (F.col("q6") >= 0.6235)
+        & F.col("section").isin("en", "fr", "de", "es")
+    ).localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs(
+        gated, id_col="url", text_col="extracted_text", jaccard_threshold=0.5
+    )
+    comp = connected_components(pairs)
+    kept = gated.join(
+        comp, gated["url"] == comp["doc_id"], "left"
+    ).where(
+        F.col("component_id").isNull() | (F.col("component_id") == F.col("url"))
+    ).select("url", "section", "extracted_text")
+    capped = host_cap(
+        kept, max_per_host=80, host_col="section", id_col="url"
+    ).localCheckpoint(eager=False)
+    chunks = chunk_documents(
+        capped, id_col="url", text_col="extracted_text",
+        chunk_tokens=32, stride=32,
+    )
+    packed = pack_sequences(chunks, seq_len=100, id_col="url")
+    return {
+        "ext": ext, "gated": gated, "pairs": pairs, "comp": comp,
+        "kept": kept, "capped": capped, "chunks": chunks, "packed": packed,
+    }
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """Packed training sequences out of the full extract->curate chain
+    (see _corpus_chain). Oracle recomputes the ENTIRE pipeline in SQL:
+    the extraction derivation, the round-6 quality gate, exact-Jaccard
+    pairs, recursive-CTE closure, keeper filter, md5-rank host cap,
+    chunking and window-cumsum packing."""
+    return _corpus_chain(spark, sf_dir)["packed"].select(
+        "seq_id", "tok_start", "tok_end", "url", "chunk_idx",
+        "chunk_tok_start", "chunk_tok_end",
+    )
+
+
+def q_corpus_pipeline_stats(spark, sf_dir):
+    """Per-stage survivor counts of the same chain — the lineage row a
+    production run logs per stage (extracted/gated/pairs/component
+    docs/kept/capped/chunks/packed pieces)."""
+    c = _corpus_chain(spark, sf_dir)
+
+    def _n(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n")
+        )
+
+    out = _n("1_extracted", c["ext"])
+    for name, key in [
+        ("2_gated", "gated"), ("3_dup_pairs", "pairs"),
+        ("4_component_docs", "comp"), ("5_kept", "kept"),
+        ("6_capped", "capped"), ("7_chunks", "chunks"),
+        ("8_packed_pieces", "packed"),
+    ]:
+        out = out.unionByName(_n(name, c[key]))
+    return out
+
+
 def q_salted_agg(spark, sf_dir):  # skew handling: two-phase salted agg
     from ocr_poc_spark.operators.hoststats import salted_agg
 
@@ -953,6 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "host_cap": q_host_cap,
+        "corpus_pipeline": q_corpus_pipeline,
+        "corpus_pipeline_stats": q_corpus_pipeline_stats,
         "normalize_urls": q_normalize_urls,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -984,6 +1083,98 @@ _EMBED_VEC_SQL = f"""{_EMBED_CELLS_SQL},
             vec AS (
               SELECT doc_id, list(val ORDER BY pos) AS v
               FROM full_cells GROUP BY doc_id)"""
+# Full-pipeline composition chain (corpus_pipeline[_stats]): the whole
+# extract -> gate -> dedup -> components -> keeper -> host-cap chain as
+# one reusable CTE prefix. Quality terms are copied VERBATIM (same
+# float addition order) from the extract_pipeline derivation above;
+# extracted text = the document text (= the author field on this
+# corpus, see _corpus_chain). Ends with: ext(url, lang, text, q6),
+# gated, p (dup pairs), comp, kept, capped.
+_CORPUS_CHAIN_SQL = f"""d0 AS (
+      SELECT 'https://docs.example/' || lang || '/' || doc_id AS url,
+             lang, text,
+             doc_id % 28 + 1 AS day, doc_id % 12 + 1 AS month,
+             doc_id % 20 AS writer, doc_id % 40 + 2 AS rt, doc_id
+      FROM documents),
+    sc AS (
+      SELECT *,
+        ROUND(0.7::DOUBLE + 0.3::DOUBLE * LEAST(1.0::DOUBLE,
+          (4 + LENGTH(CAST(doc_id AS VARCHAR)))::DOUBLE / 40.0::DOUBLE), 4) AS s_docn,
+        ROUND(0.7::DOUBLE + 0.3::DOUBLE * LEAST(1.0::DOUBLE,
+          (7 + LENGTH(CAST(writer AS VARCHAR)))::DOUBLE / 40.0::DOUBLE), 4) AS s_writer,
+        ROUND(0.7::DOUBLE + 0.3::DOUBLE * LEAST(1.0::DOUBLE,
+          (6 + LENGTH(CAST(day AS VARCHAR)) + LENGTH(CAST(month AS VARCHAR)))::DOUBLE / 40.0::DOUBLE), 4) AS s_date,
+        ROUND(0.7::DOUBLE + 0.3::DOUBLE * LEAST(1.0::DOUBLE,
+          (9 + LENGTH(CAST(rt AS VARCHAR)))::DOUBLE / 40.0::DOUBLE), 4) AS s_rt,
+        ROUND(0.7::DOUBLE + 0.3::DOUBLE * LEAST(1.0::DOUBLE,
+          LENGTH(text)::DOUBLE / 40.0::DOUBLE), 4) AS s_text
+      FROM d0),
+    ext AS (
+      SELECT url, lang, text,
+             ROUND((s_docn + 0.219::DOUBLE + 0.219::DOUBLE + 0.2213::DOUBLE
+                    + 0.805::DOUBLE + s_docn + 0.745::DOUBLE + s_writer
+                    + s_date + s_rt + s_text + 0.8425::DOUBLE
+                    + 0.246::DOUBLE) / 13.0::DOUBLE, 6) AS q6
+      FROM sc),
+    gated AS (
+      SELECT url, lang, text FROM ext
+      WHERE q6 >= 0.6235 AND lang IN ('en', 'fr', 'de', 'es')),
+    shing AS (
+      SELECT url, lang, text,
+             list_distinct(list_transform(
+                 range(1, greatest(len({_WORDS_SQL})-2, 0)+1),
+                 i -> array_to_string(({_WORDS_SQL})[i:i+2], ' '))) AS shg
+      FROM gated),
+    p AS (
+      SELECT a.url AS id_a, b.url AS id_b
+      FROM shing a JOIN shing b ON a.url < b.url
+      WHERE len(list_intersect(a.shg, b.shg))::DOUBLE
+              / len(list_distinct(a.shg || b.shg)) >= 0.5),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+        WHERE e2.v != r.u),
+    comp AS (SELECT u AS url, least(u, min(v)) AS cid FROM reach GROUP BY u),
+    kept AS (
+      SELECT g.url, g.lang, g.text FROM gated g
+      LEFT JOIN comp c ON g.url = c.url
+      WHERE c.cid IS NULL OR c.cid = g.url),
+    capped AS (
+      SELECT url, lang, text FROM (
+        SELECT url, lang, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY ('0x' || substr(md5(url), 1, 15))::BIGINT ASC,
+                          url ASC) AS hr
+        FROM kept)
+      WHERE hr <= 80),
+    ch AS (
+      SELECT url, CAST(i AS INTEGER) AS chunk_idx,
+             len(w[i*32 + 1 : i*32 + 32]) AS n_tokens
+      FROM (SELECT url, w,
+                   1 + CAST(ceil(greatest(len(w) - 32, 0) / 32.0) AS INTEGER) AS nc
+            FROM (SELECT url, {_WORDS_SQL} AS w FROM capped
+                  WHERE length(trim(text)) > 0)),
+           unnest(range(0, nc)) AS u(i)),
+    pk AS (
+      SELECT url, chunk_idx, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                 ORDER BY url, chunk_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS st
+      FROM ch WHERE n_tokens > 0),
+    packed AS (
+      SELECT CAST(s AS BIGINT) AS seq_id,
+             CAST(GREATEST(st, s*100) - s*100 AS INTEGER) AS tok_start,
+             CAST(LEAST(st + n_tokens, (s+1)*100) - s*100 AS INTEGER) AS tok_end,
+             url, chunk_idx,
+             CAST(GREATEST(st, s*100) - st AS INTEGER) AS chunk_tok_start,
+             CAST(LEAST(st + n_tokens, (s+1)*100) - st AS INTEGER) AS chunk_tok_end
+      FROM pk, unnest(range(st // 100, (st + n_tokens - 1) // 100 + 1)) AS u(s))"""
+
 _STOP = {
     "en": "['the','a','of','and','to','in','is','that','it','for']",
     "fr": "['le','la','les','de','des','et','un','une','que','pour']",
@@ -1629,6 +1820,25 @@ def oracle_sql() -> dict[str, str]:
                 for i, c in enumerate(_ivf_bcast_centroids())
             )
         ),
+        # Full extract->curate composition: the entire chain recomputed
+        # from the documents table (see _CORPUS_CHAIN_SQL).
+        "corpus_pipeline": f"""
+            WITH RECURSIVE {_CORPUS_CHAIN_SQL}
+            SELECT seq_id, tok_start, tok_end, url, chunk_idx,
+                   chunk_tok_start, chunk_tok_end
+            FROM packed
+        """,
+        "corpus_pipeline_stats": f"""
+            WITH RECURSIVE {_CORPUS_CHAIN_SQL}
+            SELECT '1_extracted' AS stage, COUNT(*)::BIGINT AS n FROM ext
+            UNION ALL SELECT '2_gated', COUNT(*) FROM gated
+            UNION ALL SELECT '3_dup_pairs', COUNT(*) FROM p
+            UNION ALL SELECT '4_component_docs', COUNT(*) FROM comp
+            UNION ALL SELECT '5_kept', COUNT(*) FROM kept
+            UNION ALL SELECT '6_capped', COUNT(*) FROM capped
+            UNION ALL SELECT '7_chunks', COUNT(*) FROM ch
+            UNION ALL SELECT '8_packed_pieces', COUNT(*) FROM packed
+        """,
         # Full-pipeline oracle: cells -> vectors -> bit-exact cosines ->
         # transitive closure, all recomputed from scratch in SQL.
         "text_dedup_e2e": f"""

@@ -128,6 +128,21 @@ def main() -> None:
             "exchanges, plan size independent of k).",
             em.queries()["ann_ivf"](spark, sf),
         ),
+        (
+            "Full corpus pipeline (extract -> gate -> dedup -> components "
+            "-> keeper -> host cap -> chunk -> pack)",
+            "The composition a 100 TB run executes, as ONE plan. The "
+            "fused extraction runs once behind a localCheckpoint (Scan "
+            "ExistingRDD here); near-dup pair generation and the "
+            "component fixpoint run eagerly upstream. This RESULT plan "
+            "is the keeper anti-filter join feeding the host-cap "
+            "windows, the map-only chunk explode, and the two-phase "
+            "packing prefix sum — no text column rides the dedup or "
+            "cap exchanges (ids + 60-bit hash ranks only), and the "
+            "only per-host window runs over the skew-bounded local "
+            "top-k survivors.",
+            em.queries()["corpus_pipeline"](spark, sf),
+        ),
     ]
 
     out = ["# PLANS — physical plans of headline operators\n"]
