@@ -189,3 +189,94 @@ def start_simhash_pairs_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_minhash_incremental_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    state_dir: str,
+    num_hashes: int | None = None,
+    num_bands: int | None = None,
+    jaccard_threshold: float = 0.7,
+    max_files: int = 1,
+) -> StreamingQuery:
+    """Rolling-crawl near-dup dedup as a stream: each micro-batch of
+    newly-landed pages is deduped against everything seen so far via
+    the PERSISTED MinHash band index (operators/dedup.minhash_band_index
+    — the index-once/query-many shape), then folded into it. The union
+    of emitted pairs over all batches equals batch
+    ``minhash_lsh_pairs`` over the union of all batches (tested): a
+    pair is emitted exactly once, in the batch its LATER member
+    arrives (so no cross-batch duplicate emission, unlike the
+    per-band simhash stream).
+
+    foreachBatch, not applyInPandasWithState: the exact-Jaccard verify
+    needs candidate documents' shingles, which per-bucket operator
+    state must not hold (document-sized state rows). Instead the
+    stream's state is two parquet stores under ``state_dir``:
+
+      index/batch=K/  (id, band, sig) — num_bands fixed-width rows per
+                      doc, never text; read whole each batch (ids-only
+                      band join, the scale path of the batch operator)
+      docs/batch=K/   (id, text)      — read CANDIDATE-PRUNED only
+                      (LEFT SEMI inside minhash_lsh_pairs_incremental);
+                      the full corpus text is never re-shingled
+
+    Batch K writes pairs to ``out_path/batch=K`` and its own rows to
+    both stores with mode=overwrite, so a replayed micro-batch (Spark
+    re-runs foreachBatch after a failure) rewrites the same paths —
+    idempotent, matching the batch job's bucket-manifest discipline.
+    State growth is the inverted file itself: O(num_bands) rows per
+    document ever seen, the minimum any exact-dedup-against-history
+    needs."""
+    from ..operators.dedup import (
+        NUM_BANDS,
+        NUM_MINHASHES,
+        minhash_band_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    nh = NUM_MINHASHES if num_hashes is None else num_hashes
+    nb = NUM_BANDS if num_bands is None else num_bands
+
+    def _one_batch(bdf: DataFrame, batch_id: int) -> None:
+        s = bdf.sparkSession
+        new_docs = bdf.select("url", F.coalesce("text", F.lit("")).alias("text"))
+        try:
+            corpus = s.read.parquet(f"{state_dir}/docs").where(
+                F.col("batch") < batch_id
+            ).select("url", "text")
+            index = s.read.parquet(f"{state_dir}/index").where(
+                F.col("batch") < batch_id
+            ).select("id", "band", "sig")
+        except Exception:  # first batch: no state yet
+            corpus = s.createDataFrame([], "url string, text string")
+            index = s.createDataFrame([], "id string, band int, sig long")
+        pairs = minhash_lsh_pairs_incremental(
+            new_docs,
+            corpus,
+            corpus_index=index,
+            id_col="url",
+            text_col="text",
+            num_hashes=nh,
+            num_bands=nb,
+            jaccard_threshold=jaccard_threshold,
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        new_docs.write.mode("overwrite").parquet(
+            f"{state_dir}/docs/batch={batch_id}"
+        )
+        minhash_band_index(
+            new_docs, id_col="url", text_col="text",
+            num_hashes=nh, num_bands=nb,
+        ).write.mode("overwrite").parquet(f"{state_dir}/index/batch={batch_id}")
+
+    pages = read_pages_stream(spark, in_path, max_files=max_files)
+    return (
+        pages.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

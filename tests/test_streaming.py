@@ -235,3 +235,84 @@ def test_band_pairs_update_state_cap():
     capped_state = _FakeState()
     assert run(make_band_pairs_update(3, max_state_per_bucket=2), batches, capped_state) == []
     assert len(capped_state.get[0]) == 2  # only the 2 most recent retained
+
+
+def test_stream_minhash_incremental_equals_batch(spark, tmp_path):
+    """Rolling-crawl dedup stream over THREE micro-batch files (forced
+    by maxFilesPerTrigger=1): the union of emitted pairs must equal
+    batch minhash_lsh_pairs over the union of all batches — near-dups
+    within one batch, across adjacent batches, and across batches 0->2
+    all found via the persisted band index, with no duplicate
+    emissions. Also pins the persisted-state layout (num_bands index
+    rows per doc, per-batch partitions)."""
+    import os
+
+    from ocr_poc_spark.operators.dedup import NUM_BANDS, minhash_lsh_pairs
+    from ocr_poc_spark.streaming.stream_job import (
+        start_minhash_incremental_stream,
+    )
+
+    rows = gen_pages(30, seed=7)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    for i, r in enumerate(rows):
+        if i in (1, 11):        # pair across batches 0 -> 1
+            r["text"] = base + ("tail one" if i == 11 else "")
+        elif i in (3, 24):      # pair across batches 0 -> 2
+            r["text"] = base.replace("alpha", "omega") + ("x" if i == 24 else "")
+        elif i in (21, 23):     # pair within batch 2
+            r["text"] = base.replace("beta", "mu") + ("y" if i == 23 else "")
+        else:
+            r["text"] = f"unique body {i} " + " ".join(
+                f"w{i}t{j}" for j in range(40)
+            )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for b in range(3):  # 3 files of 10 rows -> 3 micro-batches
+        chunk = rows[b * 10 : (b + 1) * 10]
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r["url"] for r in chunk], pa.string()),
+                    "warc_ts": pa.array(
+                        [r["warc_ts"] for r in chunk], pa.timestamp("us", tz="UTC")
+                    ),
+                    "html": pa.array([r["html"] for r in chunk], pa.binary()),
+                    "text": pa.array([r["text"] for r in chunk], pa.string()),
+                    "lang": pa.array([r["lang"] for r in chunk], pa.string()),
+                }
+            ),
+            f"{in_dir}/part-{b}.parquet",
+        )
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    q = start_minhash_incremental_stream(
+        spark, in_dir, out, str(tmp_path / "ck"), state,
+        jaccard_threshold=0.5, max_files=1,
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(out).select("id_a", "id_b").collect()
+    stream_pairs = [(r["id_a"], r["id_b"]) for r in emitted]
+    assert len(stream_pairs) == len(set(stream_pairs))  # no dup emissions
+
+    batch = spark.createDataFrame(
+        [(r["url"], r["text"]) for r in rows], "url string, text string"
+    )
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            batch, id_col="url", text_col="text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert set(stream_pairs) == batch_pairs
+    urls = [r["url"] for r in rows]
+    for a, b in [(1, 11), (3, 24), (21, 23)]:
+        assert tuple(sorted((urls[a], urls[b]))) in batch_pairs
+
+    # persisted state: 3 batch partitions each in docs/ and index/,
+    # index carries NUM_BANDS rows per doc and never text
+    idx = spark.read.parquet(f"{state}/index")
+    assert sorted(r["batch"] for r in idx.select("batch").distinct().collect()) == [0, 1, 2]
+    assert idx.count() == 30 * NUM_BANDS
+    assert set(idx.columns) == {"id", "band", "sig", "batch"}
