@@ -972,6 +972,36 @@ def q_chunk_documents(spark, sf_dir):  # training-sequence chunking
     )
 
 
+def q_chunk_subword(spark, sf_dir):
+    """Subword-budget chunking: word-aligned 32/32 windows whose
+    n_tokens is the GREEDY-SUBWORD token count (deterministic
+    longest-match over the committed functions/subword.py vocab, pure
+    HOF fold — no UDF, no tokenizer lib), the budget a real BPE-sized
+    packing run needs. Oracle replays the greedy rule per word with a
+    recursive CTE over the same committed vocab."""
+    from ocr_poc_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents", spread=True),
+        chunk_tokens=32, stride=32, tokenizer="subword",
+    )
+
+
+def q_pack_subword(spark, sf_dir):
+    """Packing under SUBWORD budgets: same concat-and-slice rule as
+    pack_sequences but the token stream is counted in greedy-subword
+    tokens (chunk_subword's n_tokens), sizing 100-token training
+    sequences in BPE-approximating units. Oracle = recursive-CTE
+    subword counts + the same window-cumsum recompute."""
+    from ocr_poc_spark.operators.curation import chunk_documents, pack_sequences
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents", spread=True),
+        chunk_tokens=32, stride=32, tokenizer="subword",
+    )
+    return pack_sequences(chunks, seq_len=100)
+
+
 def q_pack_sequences(spark, sf_dir):  # training-sequence packing
     """GPT-style concat-and-slice packing of chunk_documents output into
     fixed 100-token sequences with per-piece boundary attribution. The
@@ -1054,7 +1084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline_stats": q_corpus_pipeline_stats,
         "normalize_urls": q_normalize_urls,
         "chunk_documents": q_chunk_documents,
+        "chunk_subword": q_chunk_subword,
         "pack_sequences": q_pack_sequences,
+        "pack_subword": q_pack_subword,
         "vocab_topk": q_vocab_topk,
         "extract_pipeline": q_extract_pipeline,
     }
@@ -1083,6 +1115,45 @@ _EMBED_VEC_SQL = f"""{_EMBED_CELLS_SQL},
             vec AS (
               SELECT doc_id, list(val ORDER BY pos) AS v
               FROM full_cells GROUP BY doc_id)"""
+def _subword_chunks_sql() -> str:
+    """Recursive-CTE replay of the greedy subword tokenizer over 32/32
+    word windows: ends with swch(doc_id, chunk_idx, chunk_text,
+    n_tokens). Vocab interpolated from the SAME committed list the
+    Spark HOFs use (functions/subword.py) — one definition."""
+    from ocr_poc_spark.functions.subword import SUBWORD_VOCAB
+
+    vocab_rows = ", ".join(f"('{v}')" for v in SUBWORD_VOCAB)
+    return f"""voc(v) AS (VALUES {vocab_rows}),
+    swt AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+            WHERE length(trim(text)) > 0),
+    swn AS (SELECT doc_id, w,
+                   1 + CAST(ceil(greatest(len(w) - 32, 0) / 32.0) AS INTEGER) AS nc
+            FROM swt),
+    swcw AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             w[i*32 + 1 : i*32 + 32] AS cws,
+             array_to_string(w[i*32 + 1 : i*32 + 32], ' ') AS chunk_text
+      FROM swn, unnest(range(0, nc)) AS u(i)),
+    swwrd AS (
+      SELECT doc_id, chunk_idx, CAST(j AS INTEGER) AS widx, cws[j+1] AS word
+      FROM swcw, unnest(range(0, len(cws))) AS uu(j)),
+    swtk(doc_id, chunk_idx, widx, word, pos, n) AS (
+      SELECT doc_id, chunk_idx, widx, word, 0, 0 FROM swwrd
+      UNION ALL
+      SELECT doc_id, chunk_idx, widx, word,
+             pos + COALESCE((SELECT max(len(v)) FROM voc
+                             WHERE substr(word, pos + 1, len(v)) = v), 1),
+             n + 1
+      FROM swtk WHERE pos < len(word)),
+    swwc AS (SELECT doc_id, chunk_idx, widx, max(n) AS c
+             FROM swtk GROUP BY doc_id, chunk_idx, widx),
+    swsum AS (SELECT doc_id, chunk_idx, CAST(SUM(c) AS INTEGER) AS n_tokens
+              FROM swwc GROUP BY doc_id, chunk_idx),
+    swch AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text, s.n_tokens
+             FROM swcw c JOIN swsum s
+               ON c.doc_id = s.doc_id AND c.chunk_idx = s.chunk_idx)"""
+
+
 # Full-pipeline composition chain (corpus_pipeline[_stats]): the whole
 # extract -> gate -> dedup -> components -> keeper -> host-cap chain as
 # one reusable CTE prefix. Quality terms are copied VERBATIM (same
@@ -1990,6 +2061,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w[i*16 + 1 : i*16 + 32]) AS INTEGER) AS n_tokens
             FROM n, unnest(range(0, nc)) AS u(i)
         """.format(words=_WORDS_SQL),
+        "chunk_subword": f"""
+            WITH RECURSIVE {_subword_chunks_sql()}
+            SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM swch
+        """,
+        "pack_subword": f"""
+            WITH RECURSIVE {_subword_chunks_sql()},
+            swp AS (SELECT doc_id, chunk_idx, n_tokens,
+                           CAST(COALESCE(SUM(n_tokens) OVER (
+                               ORDER BY doc_id, chunk_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT) AS st
+                    FROM swch WHERE n_tokens > 0)
+            SELECT CAST(s AS BIGINT) AS seq_id,
+                   CAST(GREATEST(st, s*100) - s*100 AS INTEGER) AS tok_start,
+                   CAST(LEAST(st + n_tokens, (s+1)*100) - s*100 AS INTEGER) AS tok_end,
+                   doc_id, chunk_idx,
+                   CAST(GREATEST(st, s*100) - st AS INTEGER) AS chunk_tok_start,
+                   CAST(LEAST(st + n_tokens, (s+1)*100) - st AS INTEGER) AS chunk_tok_end
+            FROM swp, unnest(range(st // 100, (st + n_tokens - 1) // 100 + 1)) AS u(s)
+        """,
         # pack_sequences: full recompute — re-derive the 32/32 chunks,
         # exclusive window cumsum over global (doc_id, chunk_idx) order,
         # slice every 100 tokens (integer div), attribute pieces.

@@ -397,3 +397,91 @@ def test_host_cap_prefilter_identical_on_hot_host(spark):
         assert got == ref, f"kept set differs at parallelism {p}"
     hot_kept = [r for r in ref if r[1] == "hot.example"]
     assert len(hot_kept) == 7  # the hot host is really capped
+
+
+def _greedy_subword_count(word: str) -> int:
+    """Pure-Python mirror of the committed greedy tokenizer rule."""
+    from ocr_poc_spark.functions.subword import SUBWORD_VOCAB
+
+    p = n = 0
+    while p < len(word):
+        m = next((v for v in SUBWORD_VOCAB if word.startswith(v, p)), None)
+        p += len(m) if m else 1
+        n += 1
+    return n
+
+
+def test_subword_tokenizer_matches_python_mirror(spark):
+    """The HOF greedy-longest-match fold must agree with a pure-Python
+    mirror on adversarial words: vocab hits, unknown chars, unicode,
+    digits, punctuation-glued tokens."""
+    from ocr_poc_spark.operators.curation import chunk_documents
+
+    texts = [
+        "the theory of everything",
+        "internationalization",          # long multi-unit word
+        "xyzzy qqq",                     # unknown-heavy fallback path
+        "abc123def 456",                 # digit units
+        "naïve café—menu",              # non-ascii single-char fallback
+        "it, it. it!",                   # punctuation glued to vocab hits
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_tokens"]
+        for r in chunk_documents(
+            df, chunk_tokens=64, stride=64, tokenizer="subword"
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = sum(
+            _greedy_subword_count(w) for w in t.lower().strip().split()
+        )
+        assert out[i] == expected, (t, out[i], expected)
+
+
+def test_pack_with_subword_budgets(spark):
+    """Packing chunk_subword output budgets sequences in SUBWORD tokens:
+    every full sequence tiles exactly [0, 100) subword tokens, and the
+    per-chunk token totals equal the mirror's greedy counts (the
+    word-count budget would differ on every multi-subword word)."""
+    import collections
+
+    from ocr_poc_spark.operators.curation import chunk_documents, pack_sequences
+
+    rows = [
+        (d, "the testing nation prefers downloadable international things "
+            f"run {d} " * (d % 5 + 1))
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=16, stride=16, tokenizer="subword")
+    got_chunks = chunks.collect()
+    # subword budgets genuinely differ from word counts on this corpus
+    assert all(
+        r["n_tokens"] > len(r["chunk_text"].split()) for r in got_chunks
+    )
+    mirror = {
+        (r["doc_id"], r["chunk_idx"]): sum(
+            _greedy_subword_count(w) for w in r["chunk_text"].split()
+        )
+        for r in got_chunks
+    }
+    assert {(r["doc_id"], r["chunk_idx"]): r["n_tokens"] for r in got_chunks} == mirror
+
+    out = [tuple(r) for r in pack_sequences(chunks, seq_len=100).collect()]
+    per_seq = collections.defaultdict(list)
+    per_chunk = collections.defaultdict(int)
+    for seq, ts, te, d, c, cs, ce in out:
+        assert ce - cs == te - ts > 0
+        per_seq[seq].append((ts, te))
+        per_chunk[(d, c)] += ce - cs
+    last = max(per_seq)
+    for s, spans in per_seq.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert all(spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))
+        if s != last:
+            assert spans[-1][1] == 100
+    assert per_chunk == mirror  # every subword token attributed exactly once
