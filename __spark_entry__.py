@@ -799,8 +799,17 @@ def q_band_join(spark, sf_dir):  # J4: directional band binding w/ boost
         F.col("event_id").alias("view_id"), "user_id", us.alias("v_us"),
         F.col("value").alias("v_value"),
     )
-    in_band = F.abs(F.col("v_us") - F.col("e_us")) <= F.lit(300_000_000)
-    j = errs.join(views, "user_id").where(in_band)
+    # Skew-bounded two-sided band join: equi-key (user, 5-min bucket),
+    # identical output to the plain user_id join + abs filter; measured
+    # contrast in BENCH/SCALE10X.md "Skew stress" (the plain-key
+    # baseline concentrates a 10%-hot user's rows 4.6x median on one
+    # task; this path stays ~1x).
+    from ocr_poc_spark.operators.bandjoin import abs_banded_join
+
+    j = abs_banded_join(
+        errs, views, key="user_id", left_us="e_us", right_us="v_us",
+        band_us=300_000_000,
+    )
     boosted = F.round(
         F.when(F.col("v_us") > F.col("e_us"), F.col("v_value") * 1.5)
         .otherwise(F.col("v_value")), 6,

@@ -52,3 +52,38 @@ def time_banded_join(
         )
         .drop("_bkt")
     )
+
+
+def abs_banded_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_us: str,
+    right_us: str,
+    band_us: int,
+) -> DataFrame:
+    """Two-sided variant: pairs with |right_us - left_us| <= band_us,
+    joined on (key, coarse bucket) — identical rows to the key-only
+    join + abs-filter, with the same skew bound as time_banded_join.
+    The left side explodes into the three candidate buckets that can
+    contain a match (floor(ts/band) - 1 .. + 1); the right side keeps
+    its single bucket, so every true pair still matches in exactly one
+    bucket and no pair dedup is needed. Column sets of left/right must
+    be disjoint apart from `key`."""
+    lb = F.floor(F.col(left_us) / F.lit(band_us))
+    l_exploded = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.array(
+                (lb - 1).cast("long"), lb.cast("long"), (lb + 1).cast("long")
+            )
+        ),
+    )
+    r_bucketed = right.withColumn(
+        "_bkt", F.floor(F.col(right_us) / F.lit(band_us)).cast("long")
+    )
+    return (
+        l_exploded.join(r_bucketed, [key, "_bkt"])
+        .where(F.abs(F.col(right_us) - F.col(left_us)) <= F.lit(band_us))
+        .drop("_bkt")
+    )

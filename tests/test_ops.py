@@ -799,3 +799,34 @@ def test_incremental_dedup_rejects_mismatched_index(spark):
         new, corpus, corpus_index=ok
     ).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 100)]
+
+
+def test_abs_banded_join_equals_plain_join_on_hot_key(spark):
+    """Two-sided band join parity: exactly the rows of the plain key
+    join + |dt| <= band filter, on a 10%-hot-user fixture, including
+    pairs in the left-of, same, and right-of buckets."""
+    from ocr_poc_spark.operators.bandjoin import abs_banded_join
+
+    BAND = 300_000_000
+    rows_l, rows_r = [], []
+    for i in range(400):
+        user = 0 if i % 10 == 0 else i % 37
+        ts = (i * 977_000_003) % (50 * BAND)
+        rows_l.append((i, user, ts))
+        rows_r.append(
+            (10_000 + i, user, (ts + (i % 5 - 2) * BAND // 2) % (50 * BAND), float(i))
+        )
+    left = spark.createDataFrame(rows_l, "err_id long, user_id long, e_us long")
+    right = spark.createDataFrame(
+        rows_r, "view_id long, user_id long, v_us long, v_value double"
+    )
+    banded = abs_banded_join(left, right, "user_id", "e_us", "v_us", BAND)
+    plain = left.join(right, "user_id").where(
+        F.abs(F.col("v_us") - F.col("e_us")) <= BAND
+    )
+    cols = ["err_id", "view_id"]
+    b = sorted(tuple(r) for r in banded.select(cols).collect())
+    p = sorted(tuple(r) for r in plain.select(cols).collect())
+    assert b == p and len(b) > 0
+    # duplicates would double-count boosts downstream
+    assert len(b) == len(set(b))
