@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "proximity_binding", "sessionization", "lang_id", "fingerprint",
     "zone_transform", "multimodal_decode",
     "boilerplate_shingles", "decontaminate",
+    "band_join", "corpus_pipeline", "pack_subword",
 ]
 # embedding_near_dup is deliberately absent: it is the documented
 # all-pairs EXACT oracle variant (O(n^2)); the benchmarked scale path
