@@ -104,6 +104,23 @@ The full job CLI — parquet writes, bucket passes, per-partition
 lineage, manifest commits — on the same {n_pages}-page input at
 local[32] is recorded in NOTES.md / the round bench artifacts
 (`python -m ocr_poc_spark --input ... --cpus 32`).
+
+## Relational-path steady state (operator showcase, not the production path)
+
+The SAME extraction expressed as native Catalyst operators (windows,
+broadcast theta-joins, anti-joins, HOF aggregation — byte-identical
+output to the fused path) runs **13.7-15.6s per 30k pages fully warm,
+median ~14.5s** at local[32] (pass >= 4 in one JVM; earlier passes pay
+JIT/codegen warmth and are NOT the steady state a long-lived cluster
+session sees). Per-phase split and three measured-and-rejected
+optimization candidates (fused claim windows ~2x WORSE — HOF folds are
+CodegenFallback; hugeMethodLimit no-op; lazy checkpoints within noise)
+are in BENCH/RELATIONAL.md. Reproduce:
+
+    python scripts/relational_probe.py 30000 5   # 5 warm passes, one JVM
+
+The fused map-only path above remains the production number; the
+relational path exists for plan inspectability and operator coverage.
 """
         )
     print(f"wrote BENCH/{out_name}")
