@@ -503,6 +503,16 @@ def q_repetition_stats(spark, sf_dir):  # Gopher-style shape/repetition signals
     return repetition_stats(_t(spark, sf_dir, "documents", spread=True))
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity quality filter, self-trained on
+    the corpus (add-0.5 smoothing). Integer witness columns are exact;
+    the log2-based entropy/ppl ride a 4-decimal rounding margin over
+    libm ulp noise (documented on the operator)."""
+    from ocr_poc_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents", spread=True))
+
+
 def q_hash_embed(spark, sf_dir):
     """Feature-hashing text embedding (hashing trick): fixed-dim
     INTEGER count vectors per document — exploded to (doc_id, pos, val)
@@ -1074,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dedup_e2e": q_text_dedup_e2e,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
+        "lm_perplexity": q_lm_perplexity,
         "tpch_pricing": q_tpch_pricing,
         "tpch_part_profit": q_tpch_part_profit,
         "tpch_top_orders": q_tpch_top_orders,
@@ -2070,6 +2081,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w[i*16 + 1 : i*16 + 32]) AS INTEGER) AS n_tokens
             FROM n, unnest(range(0, nc)) AS u(i)
         """.format(words=_WORDS_SQL),
+        # Bigram-LM perplexity: counts are exact integers; the log2
+        # entropy rides the 4-decimal rounding margin (libm ulp noise
+        # ~1e-13 per ~100-term sum — same pattern as kmeans rounding).
+        "lm_perplexity": f"""
+            WITH ws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            bg AS (
+              SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+              FROM ws, unnest(range(1, len(w))) AS u(i)
+              WHERE len(w) >= 2),
+            bigc AS (SELECT w1, w2, COUNT(*) AS c_big FROM bg GROUP BY w1, w2),
+            prec AS (SELECT w1, COUNT(*) AS c_pre FROM bg GROUP BY w1),
+            voc AS (SELECT COUNT(DISTINCT t) AS v
+                    FROM (SELECT unnest(w) AS t FROM ws) WHERE t <> ''),
+            scored AS (
+              SELECT b.doc_id,
+                     c.c_big,
+                     -log2((COALESCE(c.c_big, 0) + 0.5)
+                           / (COALESCE(p.c_pre, 0) + 0.5 * (voc.v + 1))) AS nll
+              FROM bg b
+              LEFT JOIN bigc c ON b.w1 = c.w1 AND b.w2 = c.w2
+              LEFT JOIN prec p ON b.w1 = p.w1
+              CROSS JOIN voc)
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_bigrams,
+                   CAST(SUM(CASE WHEN c_big IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_seen,
+                   ROUND(SUM(nll) / COUNT(*), 4) AS cross_entropy,
+                   ROUND(pow(2.0, SUM(nll) / COUNT(*)), 4) AS ppl
+            FROM scored GROUP BY doc_id
+        """,
         "chunk_subword": f"""
             WITH RECURSIVE {_subword_chunks_sql()}
             SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM swch

@@ -253,3 +253,104 @@ def hash_embedding(
         words, F.array_repeat(F.lit(0).cast("long"), dim), _add_token
     )
     return df.select(id_col, vec.alias("embedding"))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_df: DataFrame | None = None,
+    alpha: float = 0.5,
+    min_count: int = 1,
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring: per-document
+    cross-entropy under an add-alpha-smoothed BIGRAM model counted over
+    ``train_df`` (default: the corpus itself) — the classic
+    perplexity-filter signal for web-corpus curation (low = fluent /
+    in-domain, high = gibberish, boilerplate soup, wrong language).
+
+        P(w2 | w1) = (c(w1 w2) + alpha) / (c_prefix(w1) + alpha * (V + 1))
+        cross_entropy(doc) = -mean over its bigrams of log2 P
+        ppl = 2^cross_entropy
+
+    where c_prefix counts w1 as a bigram PREFIX and V is the train
+    unigram vocabulary (unseen words fall through the same smoothing as
+    count 0 — no special UNK machinery to keep the model exactly
+    recomputable in SQL).
+
+    Plan (scales to 100 TB): train-side counts are two groupBys over
+    exploded bigrams/prefixes, pruned by ``min_count`` (the vocab-cap
+    knob — pruned bigrams score as unseen, a graceful quality
+    degradation, never a correctness change for surviving mass); the
+    scoring side explodes each doc's bigrams once and LEFT-joins the
+    two count tables on uniform token keys (AQE broadcasts them when
+    small), then one per-doc aggregate. No UDF, no driver-side model.
+
+    Float discipline: the count columns (n_bigrams, hits, oov) are
+    exact integers; cross_entropy/ppl are log2-based doubles rounded to
+    4 decimals — JVM and DuckDB libm log2 may differ in the last ulp,
+    so the rounding margin carries the cross-engine equality (same
+    pattern as the kmeans centroid rounding, margin ~1e-12 per term).
+    Docs with fewer than 2 tokens have no bigrams and yield no row
+    (callers LEFT-join scores back when they need one row per doc).
+    """
+    from ..functions.texthash import norm_words
+
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (zero breaks unseen bigrams)")
+    train = df if train_df is None else train_df
+
+    def _bigrams(frame: DataFrame, keep_id: bool):
+        w = F.coalesce(norm_words(text_col), F.array())
+        cols = [F.col(id_col)] if keep_id else []
+        e = frame.select(*cols, w.alias("_w")).where(F.size("_w") >= 2)
+        pair = F.expr(
+            "transform(sequence(1, size(_w) - 1), "
+            "i -> struct(_w[i - 1] as w1, _w[i] as w2))"
+        )
+        return e.select(*cols, F.explode(pair).alias("_b")).select(
+            *cols, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
+        )
+
+    tb = _bigrams(train, keep_id=False)
+    big_counts = (
+        tb.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+        .where(F.col("c_big") >= min_count)
+    )
+    pre_counts = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("c_pre"))
+    v = (
+        train.select(F.explode(F.coalesce(norm_words(text_col), F.array())).alias("t"))
+        .where(F.col("t") != "")
+        .agg(F.countDistinct("t").alias("v"))
+    )
+
+    scored = (
+        _bigrams(df, keep_id=True)
+        .join(big_counts, ["w1", "w2"], "left")
+        .join(pre_counts, "w1", "left")
+        .crossJoin(F.broadcast(v))
+    )
+    a = F.lit(float(alpha))
+    p = (F.coalesce("c_big", F.lit(0)) + a) / (
+        F.coalesce("c_pre", F.lit(0)) + a * (F.col("v") + 1)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c_big").isNotNull(), 1).otherwise(0)).alias(
+                "n_seen"
+            ),
+            F.sum(-F.log2(p)).alias("_h"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_seen",
+            F.round(F.col("_h") / F.col("n_bigrams"), 4).alias("cross_entropy"),
+            F.round(F.pow(F.lit(2.0), F.col("_h") / F.col("n_bigrams")), 4).alias(
+                "ppl"
+            ),
+        )
+    )

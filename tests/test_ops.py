@@ -830,3 +830,50 @@ def test_abs_banded_join_equals_plain_join_on_hot_key(spark):
     assert b == p and len(b) > 0
     # duplicates would double-count boosts downstream
     assert len(b) == len(set(b))
+
+
+def test_bigram_lm_scores_contract(spark):
+    """CCNet-style perplexity filter: a gibberish doc scores worse than
+    fluent text under a model trained on a SEPARATE fluent corpus;
+    short/empty docs yield no row; integer witness columns are exact."""
+    import math
+
+    import pytest as _pytest
+
+    from ocr_poc_spark.operators.textstats import bigram_lm_scores
+
+    train = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat and the dog sat on the rug")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "the cat sat on the sofa"),
+            (2, "zqx vbn qwe rty uio"),
+            (3, "a"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(score, train_df=train).collect()}
+    assert set(rows) == {1, 2}  # 3 and 4 have no bigrams
+    assert rows[1]["cross_entropy"] < rows[2]["cross_entropy"]
+    assert rows[1]["ppl"] < rows[2]["ppl"]
+    assert rows[1]["n_bigrams"] == 5 and rows[2]["n_bigrams"] == 4
+    assert rows[1]["n_seen"] == 4  # "the sofa" unseen as a bigram
+    assert rows[2]["n_seen"] == 0
+    # mirror doc 1 exactly: counts from the train corpus
+    big = {("the", "cat"): 5, ("cat", "sat"): 5, ("sat", "on"): 10,
+           ("on", "the"): 10, ("the", "sofa"): 0}
+    pre = {"the": 20, "cat": 5, "sat": 10, "on": 10, "sofa": 0}
+    V = 8  # the cat sat on mat and dog rug
+    bs = [("the", "cat"), ("cat", "sat"), ("sat", "on"), ("on", "the"),
+          ("the", "sofa")]
+    h = sum(
+        -math.log2((big[p] + 0.5) / (pre[p[0]] + 0.5 * (V + 1))) for p in bs
+    )
+    assert rows[1]["cross_entropy"] == round(h / 5, 4)
+
+    with _pytest.raises(ValueError, match="alpha"):
+        bigram_lm_scores(score, alpha=0.0)
