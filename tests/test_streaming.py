@@ -316,3 +316,82 @@ def test_stream_minhash_incremental_equals_batch(spark, tmp_path):
     assert sorted(r["batch"] for r in idx.select("batch").distinct().collect()) == [0, 1, 2]
     assert idx.count() == 30 * NUM_BANDS
     assert set(idx.columns) == {"id", "band", "sig", "batch"}
+
+
+def test_stream_minhash_incremental_restart_catches_up(spark, tmp_path):
+    """Rolling-crawl restart: after the stream drains batches 0-1 and
+    stops, a NEW crawl file lands and the stream restarts on the SAME
+    checkpoint — it must process only the new file (availableNow +
+    offset log), dedup it against the PERSISTED state of earlier
+    batches, and leave earlier outputs untouched."""
+    import os
+
+    from ocr_poc_spark.streaming.stream_job import (
+        start_minhash_incremental_stream,
+    )
+
+    base = "gamma delta epsilon zeta eta theta iota kappa lambda mu " * 6
+    rows = gen_pages(30, seed=19)
+    for i, r in enumerate(rows):
+        if i in (2, 25):       # pair: batch 0 vs the late-arriving file
+            r["text"] = base + ("later tail" if i == 25 else "")
+        else:
+            r["text"] = f"unique body {i} " + " ".join(
+                f"w{i}t{j}" for j in range(40)
+            )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def _write(chunk, name):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r["url"] for r in chunk], pa.string()),
+                    "warc_ts": pa.array(
+                        [r["warc_ts"] for r in chunk], pa.timestamp("us", tz="UTC")
+                    ),
+                    "html": pa.array([r["html"] for r in chunk], pa.binary()),
+                    "text": pa.array([r["text"] for r in chunk], pa.string()),
+                    "lang": pa.array([r["lang"] for r in chunk], pa.string()),
+                }
+            ),
+            f"{in_dir}/{name}",
+        )
+
+    _write(rows[:10], "part-0.parquet")
+    _write(rows[10:20], "part-1.parquet")
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    q = start_minhash_incremental_stream(
+        spark, in_dir, out, ck, state, jaccard_threshold=0.5, max_files=1
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 0  # no pairs yet
+    batches_before = {
+        r["batch"]
+        for r in spark.read.parquet(f"{state}/index").select("batch").distinct().collect()
+    }
+    assert batches_before == {0, 1}
+
+    # new crawl lands; restart on the same checkpoint
+    _write(rows[20:], "part-2.parquet")
+    q2 = start_minhash_incremental_stream(
+        spark, in_dir, out, ck, state, jaccard_threshold=0.5, max_files=1
+    )
+    q2.awaitTermination()
+
+    pairs = sorted(
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()
+    )
+    urls = [r["url"] for r in rows]
+    assert pairs == [tuple(sorted((urls[2], urls[25])))]
+    idx = spark.read.parquet(f"{state}/index")
+    assert sorted(
+        r["batch"] for r in idx.select("batch").distinct().collect()
+    ) == [0, 1, 2]
+    # earlier batches' index rows untouched by the catch-up run
+    from ocr_poc_spark.operators.dedup import NUM_BANDS
+
+    assert idx.where("batch < 2").count() == 20 * NUM_BANDS
