@@ -983,6 +983,41 @@ def q_normalize_urls(spark, sf_dir):  # URL canonicalization (first CC pass)
     )
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Exact line dedup that REWRITES text (the RefinedWeb curation
+    transform; boilerplate_shingles is the read-only signal). The
+    documents fixture is single-line, so multi-line pages are
+    synthesized deterministically — a global subscribe banner, a
+    per-source 'About'/'(c)' header/footer (each source has several
+    docs, so these are corpus-boilerplate), and the doc's own words in
+    10-word body lines. The oracle rebuilds the same pages and replays
+    the strip in SQL (same 60-bit line hashes, same >= 2-docs rule)."""
+    from ocr_poc_spark.operators.curation import strip_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    w = F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+    body = F.expr(
+        "array_join(transform("
+        "sequence(0, greatest(cast(ceil(size(_w) / 10.0) as int), 1) - 1), "
+        "i -> concat_ws(' ', slice(_w, i * 10 + 1, 10))), '\\n')"
+    )
+    pages = d.select(
+        "doc_id",
+        "source",
+        w.alias("_w"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Subscribe to our newsletter"),
+            F.concat(F.lit("About "), F.col("source")),
+            body,
+            F.concat(F.lit("(c) "), F.col("source")),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(pages)
+
+
 def q_chunk_documents(spark, sf_dir):  # training-sequence chunking
     from ocr_poc_spark.operators.curation import chunk_documents
 
@@ -1097,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "band_join": q_band_join,
         "boilerplate_shingles": q_boilerplate_shingles,
+        "strip_boilerplate": q_strip_boilerplate,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "host_cap": q_host_cap,
@@ -2081,6 +2117,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w[i*16 + 1 : i*16 + 32]) AS INTEGER) AS n_tokens
             FROM n, unnest(range(0, nc)) AS u(i)
         """.format(words=_WORDS_SQL),
+        # Line-dedup strip: same page synthesis, same 60-bit line
+        # hashes, same >= 2-distinct-docs rule, rebuilt with an
+        # index-ordered string_agg. Pure string ops — exact.
+        "strip_boilerplate": f"""
+            WITH pages AS (
+              SELECT doc_id,
+                     'Subscribe to our newsletter' || chr(10)
+                     || 'About ' || source || chr(10)
+                     || array_to_string(list_transform(
+                          range(0, greatest(CAST(ceil(len({_WORDS_SQL}) / 10.0) AS INTEGER), 1)),
+                          i -> array_to_string(({_WORDS_SQL})[i*10 + 1 : i*10 + 10], ' ')),
+                        chr(10))
+                     || chr(10) || '(c) ' || source AS page
+              FROM documents),
+            lines AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS idx, ls[i+1] AS line,
+                     lower(trim(ls[i+1])) AS nrm
+              FROM (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+                   unnest(range(0, len(ls))) AS u(i)),
+            freq AS (
+              SELECT ('0x' || substr(md5(nrm), 1, 15))::BIGINT AS h,
+                     COUNT(DISTINCT doc_id) AS nd
+              FROM lines WHERE length(nrm) > 0
+              GROUP BY 1),
+            boiler AS (SELECT h FROM freq WHERE nd >= 2),
+            kept AS (
+              SELECT l.* FROM lines l
+              LEFT JOIN boiler b
+                ON length(l.nrm) > 0
+               AND ('0x' || substr(md5(l.nrm), 1, 15))::BIGINT = b.h
+              WHERE b.h IS NULL),
+            rebuilt AS (
+              SELECT doc_id,
+                     COALESCE(string_agg(line, chr(10) ORDER BY idx), '') AS text_clean,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(r.text_clean, '') AS text_clean,
+                   CAST(t.n_lines AS BIGINT) AS n_lines,
+                   CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        """,
         # Bigram-LM perplexity: counts are exact integers; the log2
         # entropy rides the 4-decimal rounding margin (libm ulp noise
         # ~1e-13 per ~100-term sum — same pattern as kmeans rounding).

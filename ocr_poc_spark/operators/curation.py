@@ -497,3 +497,74 @@ def pack_sequences(
         (lo - F.col("_start")).cast("int").alias("chunk_tok_start"),
         (hi - F.col("_start")).cast("int").alias("chunk_tok_end"),
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """RefinedWeb-style exact line dedup that actually REWRITES the
+    text (boilerplate_shingle_stats is the read-only signal): a line
+    whose normalized form (trimmed, lowercased) appears in >= min_docs
+    DISTINCT documents is removed from every document; everything else
+    is preserved verbatim, in order. Blank/whitespace-only lines never
+    participate in counting and are always kept (they are structure,
+    not content). Returns (id, text_clean, n_lines, n_removed) — one
+    row per input document, including documents with no line breaks,
+    fully-stripped documents (text_clean = remaining lines, possibly
+    empty) and NULL-text documents ('' in, '' out).
+
+    Plan: split -> posexplode (id, idx, line) -> per-line 60-bit hash;
+    participating (id, hash) pairs are distinct-per-doc, so a window
+    count over the hash IS the distinct-doc frequency (no self-join);
+    lines join the flagged-hash set with a LEFT ANTI on the uniform
+    hash key; the rebuild is one groupBy(id) assembling sort_array of
+    (idx, line) — a document's own lines only, the same per-doc bound
+    every extractor stage already holds. Shuffles carry (id, idx,
+    line) once for the rebuild and bare (id, hash) for the counting.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("_ls"),
+    )
+    lines = base.select(
+        "_id",
+        F.posexplode("_ls").alias("_idx", "_line"),
+    ).withColumn("_norm", F.lower(F.trim("_line")))
+    participating = F.length("_norm") > 0
+    boiler = (
+        lines.where(participating)
+        .select("_id", hash60("_norm").alias("_h"))
+        .distinct()
+        .withColumn("_n_docs", F.count(F.lit(1)).over(Window.partitionBy("_h")))
+        .where(F.col("_n_docs") >= min_docs)
+        .select("_h")
+        .distinct()
+    )
+    flagged = lines.withColumn(
+        "_h", F.when(participating, hash60("_norm"))
+    ).join(boiler, "_h", "left_anti")
+    rebuilt = flagged.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -485,3 +485,43 @@ def test_pack_with_subword_budgets(spark):
         if s != last:
             assert spans[-1][1] == 100
     assert per_chunk == mirror  # every subword token attributed exactly once
+
+
+def test_strip_boilerplate_lines(spark):
+    """Line dedup must REMOVE corpus-repeated lines from every doc,
+    preserve unique lines (and blank lines) verbatim in order, and
+    return one row per input doc — including docs with no newlines,
+    fully-stripped docs and NULL text."""
+    from ocr_poc_spark.operators.curation import strip_boilerplate_lines
+
+    d = spark.createDataFrame(
+        [
+            (1, "Subscribe now\nreal content one\n\nCopyright 2024"),
+            (2, "subscribe now \nreal content two\nCopyright 2024"),
+            (3, "totally unique\nlines here"),
+            (4, ""),
+            (5, None),
+            (6, "Subscribe now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in strip_boilerplate_lines(d).collect()}
+    assert len(rows) == 6
+    # normalized matching ('subscribe now ' == 'Subscribe now'); blank
+    # line in doc 1 survives (structure, never counted)
+    assert rows[1]["text_clean"] == "real content one\n"
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_removed"] == 2
+    assert rows[2]["text_clean"] == "real content two"
+    assert rows[3]["text_clean"] == "totally unique\nlines here"
+    assert rows[3]["n_removed"] == 0
+    assert rows[4]["text_clean"] == "" and rows[4]["n_lines"] == 1
+    assert rows[5]["text_clean"] == ""
+    assert rows[6]["text_clean"] == "" and rows[6]["n_removed"] == 1
+    # idempotent: stripping the stripped corpus removes nothing new
+    again = strip_boilerplate_lines(
+        spark.createDataFrame(
+            [(k, v["text_clean"]) for k, v in rows.items()],
+            "doc_id long, text string",
+        )
+    ).collect()
+    assert all(r["n_removed"] == 0 for r in again)
