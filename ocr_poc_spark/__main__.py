@@ -64,6 +64,20 @@ def main(argv: list[str] | None = None) -> int:
              "benchmark corpus (parquet with a text column)",
     )
     ap.add_argument(
+        "--pack", action="store_true",
+        help="after extraction (and any curation/dedup stages), chunk "
+             "kept docs and pack fixed-length training sequences",
+    )
+    ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--chunk-tokens", type=int, default=512)
+    ap.add_argument("--chunk-stride", type=int, default=512)
+    ap.add_argument(
+        "--pack-tokenizer", choices=["whitespace", "subword"],
+        default="whitespace",
+        help="token unit for chunk/pack budgets (subword = greedy "
+             "longest-match over the committed vocab)",
+    )
+    ap.add_argument(
         "--dedup-method", choices=["minhash", "simhash"], default="minhash",
         help="near-dup detector: MinHash+LSH (exact-Jaccard verified) or "
              "SimHash banding (pigeonhole-exact recall)",
@@ -131,6 +145,20 @@ def main(argv: list[str] | None = None) -> int:
                 args.out,
                 max_boiler_ratio=args.max_boiler_ratio,
                 max_per_host=args.host_cap,
+            )
+        )
+    if args.pack:
+        from .plans.job import run_pack
+
+        summary.update(
+            run_pack(
+                spark,
+                args.out,
+                seq_len=args.seq_len,
+                chunk_tokens=args.chunk_tokens,
+                chunk_stride=args.chunk_stride,
+                tokenizer=None if args.pack_tokenizer == "whitespace"
+                else args.pack_tokenizer,
             )
         )
     print(json.dumps(summary))

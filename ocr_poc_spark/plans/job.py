@@ -442,3 +442,60 @@ def run_sample(spark: SparkSession, out_dir: str, quotas: dict[str, float]) -> d
     kept.write.mode("overwrite").parquet(smp_dir)
     n = spark.read.parquet(smp_dir).count()
     return {"sample_rows": n, "sample_dir": smp_dir, "sample_quotas": quotas}
+
+
+def run_pack(
+    spark: SparkSession,
+    out_dir: str,
+    seq_len: int = 2048,
+    chunk_tokens: int = 512,
+    chunk_stride: int = 512,
+    tokenizer: str | None = None,
+) -> dict:
+    """Post-extraction training-sequence pass (the last mile of the
+    training-data pipeline): chunk the curated docs and pack the chunks
+    into fixed-length sequences -> <out>/packed parquet (one row per
+    (sequence, piece) with boundary attribution; see
+    curation.pack_sequences).
+
+    Composes with the sibling stages: if a --curate keep-list exists
+    (<out>/curation) only kept docs are packed; if --dedup-clusters ran
+    (<out>/dup_components) non-keeper duplicates are dropped too. Both
+    filters are LEFT SEMI / LEFT ANTI on the url — ids only, never
+    bodies. ``tokenizer="subword"`` sizes budgets in greedy-subword
+    tokens (functions/subword.py) instead of whitespace words.
+    Overwrites its own output dir, so re-runs on a committed --out are
+    idempotent like every post-stage."""
+    from ..operators.curation import chunk_documents, pack_sequences
+
+    docs = _curation_docs(spark, out_dir)
+    cur_dir = os.path.join(out_dir, "curation")
+    filters = []
+    if os.path.isdir(cur_dir):
+        keep = spark.read.parquet(cur_dir).where("kept").select("doc_id")
+        docs = docs.join(keep, "doc_id", "left_semi")
+        filters.append("curation")
+    comp_dir = os.path.join(out_dir, "dup_components")
+    if os.path.isdir(comp_dir):
+        losers = spark.read.parquet(comp_dir).where("NOT keeper").select(
+            F.col("doc_id")
+        )
+        docs = docs.join(losers, "doc_id", "left_anti")
+        filters.append("dedup_keepers")
+    chunks = chunk_documents(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=chunk_tokens, stride=chunk_stride, tokenizer=tokenizer,
+    )
+    packed = pack_sequences(chunks, seq_len=seq_len, id_col="doc_id")
+    packed_dir = os.path.join(out_dir, "packed")
+    packed.write.mode("overwrite").parquet(packed_dir)
+    out = spark.read.parquet(packed_dir)
+    n_pieces = out.count()
+    n_seqs = out.select("seq_id").distinct().count()
+    return {
+        "packed_pieces": n_pieces,
+        "packed_sequences": n_seqs,
+        "packed_dir": packed_dir,
+        "packed_filters": filters,
+        "packed_tokenizer": tokenizer or "whitespace",
+    }

@@ -226,3 +226,47 @@ def test_cli_dedup_clusters_with_simhash_method(spark, pages_df, tmp_path):
         assert cid == min(d for d in comp if comp[d] == cid)
         stripped = doc.replace("https://m1.example/", "")
         assert stripped in cid or cid.endswith(stripped)
+
+
+def test_cli_pack_stage_composes_with_curation_and_dedup(spark, pages_df, tmp_path):
+    """--pack chains after curation + dedup-clusters: only kept,
+    keeper docs are chunked/packed; sequences tile [0, seq_len)
+    exactly; with a mirror-duplicated corpus the dedup filter provably
+    removes the losers from the packed set."""
+    import collections
+
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_curate, run_dedup, run_job, run_pack
+
+    base = pages_df.limit(30)
+    dups = base.select(
+        F.concat(F.lit("https://mirror.example/"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    out = str(tmp_path / "pk")
+    run_job(spark, base.unionByName(dups), out, mode="fused", n_buckets=2)
+    run_dedup(spark, out, jaccard_threshold=0.9, clusters=True)
+    run_curate(spark, out, max_boiler_ratio=1.1)  # keep-list without drops
+    res = run_pack(spark, out, seq_len=64, chunk_tokens=32, chunk_stride=32)
+    assert res["packed_filters"] == ["curation", "dedup_keepers"]
+    assert res["packed_pieces"] > 0
+
+    packed = spark.read.parquet(res["packed_dir"]).collect()
+    packed_docs = {r["doc_id"] for r in packed}
+    comp = {r["doc_id"]: r["keeper"]
+            for r in spark.read.parquet(f"{out}/dup_components").collect()}
+    losers = {d for d, k in comp.items() if not k}
+    assert losers and not (packed_docs & losers)
+    assert any(d in packed_docs for d in comp if comp[d])
+
+    per_seq = collections.defaultdict(list)
+    for r in packed:
+        per_seq[r["seq_id"]].append((r["tok_start"], r["tok_end"]))
+    last = max(per_seq)
+    for s, spans in per_seq.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert all(spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))
+        if s != last:
+            assert spans[-1][1] == 64
