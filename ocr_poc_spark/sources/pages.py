@@ -26,7 +26,17 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def read_pages(spark: SparkSession, path_or_table: str) -> DataFrame:
     """Read the pages table. 'iceberg:<table>' selects the Iceberg
-    connector; any other string is a parquet path."""
+    connector; 'warc:<path>' (or a .warc / .warc.gz path) reads raw
+    Common-Crawl-style WARC archives (sources/warc.py); any other
+    string is a parquet path."""
+    if path_or_table.startswith("warc:") or path_or_table.endswith(
+        (".warc", ".warc.gz")
+    ):
+        from .warc import read_warc_pages
+
+        return read_warc_pages(
+            spark, path_or_table.removeprefix("warc:")
+        )
     if path_or_table.startswith("iceberg:"):
         if not iceberg_available(spark):
             raise RuntimeError(
