@@ -119,13 +119,14 @@ def main() -> None:
         ),
         (
             "IVF ANN (k-means quantizer + n_probe search)",
-            "Centroids are driver-side literals at this k (<= "
-            "MAX_LITERAL_CENTROIDS); the cluster equi-join ships ids "
-            "only, vectors join back once per side for the exact "
-            "re-rank. Above the threshold the assignment/probe stages "
-            "switch to a single-row broadcast centroid array (map-side "
-            "cross join + per-row HOF argmin/top-n_probe — zero "
-            "exchanges, plan size independent of k).",
+            "Broadcast centroid encoding at EVERY k since round 4: the "
+            "centroids ride as a single-row broadcast array (map-side "
+            "cross join + per-row HOF sorted-distance prefix — zero "
+            "exchanges before the ids-only cluster join, plan size "
+            "independent of k, and the plan is IDENTICAL across calls "
+            "and Lloyd rounds so generated code is reused; per-call "
+            "literals cost ~1s of re-analysis/codegen each). Vectors "
+            "join back once per side for the exact re-rank.",
             em.queries()["ann_ivf"](spark, sf),
         ),
         (
