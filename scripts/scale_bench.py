@@ -191,6 +191,11 @@ def main() -> None:
         "dedup_simhash_h3",
         "boilerplate_shingles",
         "decontaminate",
+        # round 4: the full composition + new curation passes
+        "corpus_pipeline",
+        "lm_perplexity",
+        "strip_boilerplate",
+        "pack_subword",
     ]
 
     spark = get_spark(
@@ -303,6 +308,20 @@ def main() -> None:
         "shuffle. This is the IVF production rule, and why the operator "
         "switches to a single-row broadcast centroid array above "
         "MAX_LITERAL_CENTROIDS.",
+        f"- corpus_pipeline (extract -> gate -> dedup -> components -> "
+        f"keeper -> host cap -> chunk -> pack, ONE plan): "
+        f"{summary['corpus_pipeline']['wall_ratio']}x wall / "
+        f"{summary['corpus_pipeline']['shuffle_ratio']}x shuffle for {m}x "
+        "docs — the extraction/chunk/pack legs are map-only, the dedup "
+        "legs shuffle ids+hashes, so the whole composition tracks its "
+        "heaviest linear stage.",
+        f"- lm_perplexity / strip_boilerplate / pack_subword: "
+        f"{summary['lm_perplexity']['shuffle_ratio']}x / "
+        f"{summary['strip_boilerplate']['shuffle_ratio']}x / "
+        f"{summary['pack_subword']['shuffle_ratio']}x shuffle — bigram "
+        "count joins, line-hash anti-joins and the two-phase packing "
+        "prefix sum all key on uniform hashes or range-partitioned ids; "
+        "linear is the expected shape.",
         "",
         "## Corpus-shape caveat (first-run finding)",
         "",
@@ -316,8 +335,18 @@ def main() -> None:
         "planted predecessor-mutation near-dups.",
         "",
     ]
+    new_doc = "\n".join(lines)
+    # preserve the skew-stress section scripts/skew_bench.py maintains
+    try:
+        with open("BENCH/SCALE10X.md") as f:
+            old = f.read()
+        if "<!-- SKEW_BEGIN -->" in old:
+            skew = old.split("<!-- SKEW_BEGIN -->")[1].split("<!-- SKEW_END -->")[0]
+            new_doc += "\n<!-- SKEW_BEGIN -->" + skew + "<!-- SKEW_END -->\n"
+    except FileNotFoundError:
+        pass
     with open("BENCH/SCALE10X.md", "w") as f:
-        f.write("\n".join(lines))
+        f.write(new_doc)
     print(json.dumps({"mult": m, "results": results, "ratios": summary}))
 
 
