@@ -70,7 +70,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--seq-len", type=int, default=2048)
     ap.add_argument("--chunk-tokens", type=int, default=512)
-    ap.add_argument("--chunk-stride", type=int, default=512)
+    ap.add_argument(
+        "--chunk-stride", type=int, default=None,
+        help="defaults to --chunk-tokens (non-overlapping windows); "
+             "validated here so a bad combo fails before the job runs",
+    )
     ap.add_argument(
         "--pack-tokenizer", choices=["whitespace", "subword"],
         default="whitespace",
@@ -89,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
              "keeper flag per paired doc",
     )
     args = ap.parse_args(argv)
+    if args.chunk_stride is None:
+        args.chunk_stride = args.chunk_tokens
+    if args.pack and args.chunk_stride > args.chunk_tokens:
+        ap.error(
+            f"--chunk-stride ({args.chunk_stride}) > --chunk-tokens "
+            f"({args.chunk_tokens}) would drop words between windows"
+        )
     if args.dedup_clusters:
         # clusters are resolved from the pair stage's output; asking for
         # them implies running it (silently ignoring the flag would

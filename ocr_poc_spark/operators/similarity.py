@@ -489,12 +489,11 @@ def ivf_ann_topk(
     bench saw ~720x shuffle (25-35x wall across runs) at a frozen
     k=16, vs ~1x wall with k ~ sqrt(n). n_centroids
     must track corpus size (k ~ sqrt(n) gives ~n^1.5 total candidate
-    work, the standard IVF trade). Above MAX_LITERAL_CENTROIDS the
-    implementation automatically switches from centroid literal arrays
-    to a single-row broadcast centroid array (map-side cross join +
-    per-row HOF argmin/top-n_probe — no corpus row or vector ever
-    crosses an exchange) — identical results, plan size independent
-    of k.
+    work, the standard IVF trade). Centroids ship as a single-row
+    broadcast array at EVERY k (map-side cross join + per-row HOF
+    argmin/top-n_probe — no corpus row or vector ever crosses an
+    exchange, plan size independent of k); see ``centroid_encoding``
+    below for the literal second-witness encoding.
 
     ``centroid_encoding``: "broadcast" (default) ships centroids as a
     single-row broadcast array — one stable plan at any k, codegen

@@ -286,7 +286,7 @@ def bigram_lm_scores(
     two count tables on uniform token keys (AQE broadcasts them when
     small), then one per-doc aggregate. No UDF, no driver-side model.
 
-    Float discipline: the count columns (n_bigrams, hits, oov) are
+    Float discipline: the count columns (n_bigrams, n_seen) are
     exact integers; cross_entropy/ppl are log2-based doubles rounded to
     4 decimals — JVM and DuckDB libm log2 may differ in the last ulp,
     so the rounding margin carries the cross-engine equality (same

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,13 +45,17 @@ def parse_warc_bytes(raw: bytes) -> Iterator[tuple[str, str, bytes]]:
         # member per record).
         raw = gzip.decompress(raw)
     buf = io.BytesIO(raw)
+    head_re = re.compile(rb"^WARC/\d+(\.\d+)?$")
     while True:
-        # Seek the next record head ("WARC/1.x" line). Blank lines
-        # between records are permitted by the spec.
+        # Seek the next record head. Matching the EXACT version line
+        # ("WARC/1.0"), not a prefix: when a malformed record's body
+        # could not be skipped (no usable Content-Length), this scan
+        # walks body bytes — an archived page merely MENTIONING
+        # "WARC/..." mid-prose must not desynchronize the parse.
         line = buf.readline()
         if not line:
             return
-        if not line.startswith(b"WARC/"):
+        if not head_re.match(line.strip()):
             continue
         headers: dict[str, str] = {}
         while True:
@@ -65,6 +70,10 @@ def parse_warc_bytes(raw: bytes) -> Iterator[tuple[str, str, bytes]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             continue  # unparseable record: skip, do not kill the task
+        if length < 0:
+            # A negative length would make read() consume to EOF and
+            # silently drop every later record in the archive.
+            continue
         content = buf.read(length)
         if (
             headers.get("warc-type") == "response"
@@ -90,23 +99,28 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # One output frame PER FILE, not per Arrow batch: an Arrow batch
+        # may group many whole-file rows, and buffering every archive's
+        # decompressed payloads at once would hold (files-per-batch x
+        # ~GB) in one worker — per-file yields bound peak memory to a
+        # single archive.
         for pdf in batches:
-            urls: list[str] = []
-            ts: list = []
-            html: list[bytes] = []
             for raw in pdf["content"]:
+                urls: list[str] = []
+                ts: list = []
+                html: list[bytes] = []
                 for url, date, payload in parse_warc_bytes(bytes(raw)):
                     urls.append(url)
                     ts.append(pd.to_datetime(date, utc=True, errors="coerce"))
                     html.append(payload)
-            yield pd.DataFrame(
-                {
-                    "url": pd.Series(urls, dtype="object"),
-                    "warc_ts": pd.Series(ts, dtype="datetime64[ns, UTC]"),
-                    "html": pd.Series(html, dtype="object"),
-                    "text": pd.Series([""] * len(urls), dtype="object"),
-                    "lang": pd.Series([None] * len(urls), dtype="object"),
-                }
-            )
+                yield pd.DataFrame(
+                    {
+                        "url": pd.Series(urls, dtype="object"),
+                        "warc_ts": pd.Series(ts, dtype="datetime64[ns, UTC]"),
+                        "html": pd.Series(html, dtype="object"),
+                        "text": pd.Series([""] * len(urls), dtype="object"),
+                        "lang": pd.Series([None] * len(urls), dtype="object"),
+                    }
+                )
 
     return files.mapInPandas(_parse, PAGES_SCHEMA)

@@ -242,18 +242,48 @@ def start_minhash_incremental_stream(
     nb = NUM_BANDS if num_bands is None else num_bands
 
     def _one_batch(bdf: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         s = bdf.sparkSession
         new_docs = bdf.select("url", F.coalesce("text", F.lit("")).alias("text"))
         try:
-            corpus = s.read.parquet(f"{state_dir}/docs").where(
-                F.col("batch") < batch_id
-            ).select("url", "text")
-            index = s.read.parquet(f"{state_dir}/index").where(
-                F.col("batch") < batch_id
-            ).select("id", "band", "sig")
-        except Exception:  # first batch: no state yet
-            corpus = s.createDataFrame([], "url string, text string")
-            index = s.createDataFrame([], "id string, band int, sig long")
+            docs_all = s.read.parquet(f"{state_dir}/docs")
+            index_all = s.read.parquet(f"{state_dir}/index")
+        except AnalysisException as e:
+            # ONLY a missing path means "first batch". Any other read
+            # failure (permissions, corrupt footer, transient FS error)
+            # must FAIL the batch: swallowing it would silently dedup
+            # against an empty corpus and permanently miss every
+            # cross-batch pair of this batch once the checkpoint
+            # commits.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            docs_all = s.createDataFrame([], "url string, text string, batch int")
+            index_all = s.createDataFrame(
+                [], "id string, band int, sig long, batch int"
+            )
+        # The Spark checkpoint owns batch numbering; the state stores
+        # belong to that checkpoint. A FRESH checkpoint over an old
+        # state_dir would restart batch ids at 0, filter out the whole
+        # persisted history ("batch < 0") and overwrite batch=0 in
+        # place — a silently inconsistent index. Stale future batches
+        # are detectable, so refuse loudly. (Replaying the CURRENT
+        # batch after a crash is legal: its own partition overwrite is
+        # the idempotency mechanism.)
+        stale = (
+            index_all.select(F.max("batch").alias("m")).collect()[0]["m"]
+        )
+        if stale is not None and stale > batch_id:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds batches up to "
+                f"{stale} but this stream is at batch {batch_id}: the "
+                "checkpoint and state_dir belong together — resume with "
+                "the original checkpoint, or start with a fresh state_dir"
+            )
+        corpus = docs_all.where(F.col("batch") < batch_id).select("url", "text")
+        index = index_all.where(F.col("batch") < batch_id).select(
+            "id", "band", "sig"
+        )
         pairs = minhash_lsh_pairs_incremental(
             new_docs,
             corpus,

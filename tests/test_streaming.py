@@ -395,3 +395,37 @@ def test_stream_minhash_incremental_restart_catches_up(spark, tmp_path):
     from ocr_poc_spark.operators.dedup import NUM_BANDS
 
     assert idx.where("batch < 2").count() == 20 * NUM_BANDS
+
+
+def test_stream_minhash_incremental_refuses_stale_state(spark, tmp_path):
+    """A FRESH checkpoint over an old state_dir restarts batch ids at 0
+    and would silently overwrite/ignore persisted history — the stream
+    must refuse loudly instead."""
+    import os
+
+    import pytest
+
+    from ocr_poc_spark.streaming.stream_job import (
+        start_minhash_incremental_stream,
+    )
+
+    rows = gen_pages(20, seed=23)
+    for i, r in enumerate(rows):
+        r["text"] = f"body {i} " + " ".join(f"w{i}x{j}" for j in range(30))
+    in_dir = str(tmp_path / "in")
+    _write_pages_dir(rows, in_dir)  # two files -> two batches
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    q = start_minhash_incremental_stream(
+        spark, in_dir, out, str(tmp_path / "ck1"), state, max_files=1
+    )
+    q.awaitTermination()
+    assert os.path.isdir(f"{state}/index/batch=1")
+
+    q2 = start_minhash_incremental_stream(
+        spark, in_dir, out, str(tmp_path / "ck2"), state, max_files=1
+    )
+    with pytest.raises(Exception, match="belong together"):
+        q2.awaitTermination()
+        raise RuntimeError(q2.exception() or "stream succeeded unexpectedly")

@@ -106,3 +106,27 @@ def test_warc_feeds_extraction_end_to_end(spark, tmp_path):
     got = {r["url"]: (r["title"], r["body_text"], r["quality_score"])
            for r in out}
     assert got == exp
+
+
+def test_warc_parser_malformed_records_do_not_drop_followers():
+    """Negative Content-Length must not swallow the rest of the
+    archive; a record with unparseable length whose BODY mentions
+    'WARC/1.0' mid-prose must not desynchronize the head scan."""
+    from ocr_poc_spark.sources.warc import parse_warc_bytes
+
+    good1 = _record("response", "https://g1.example/", _http(b"<html>g1</html>"))
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example/\r\n"
+        b"Content-Length: -1\r\n\r\nxx\r\n\r\n"
+    )
+    # no Content-Length: body is walked by the head scan; the quoted
+    # "WARC/1.0 is a format" prose line must not parse as a record head
+    nolen_body = b"some text\r\nWARC/1.0 is a format\r\nmore\r\n"
+    nolen = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://nolen.example/\r\n\r\n" + nolen_body + b"\r\n\r\n"
+    )
+    good2 = _record("response", "https://g2.example/", _http(b"<html>g2</html>"))
+    out = list(parse_warc_bytes(good1 + neg + nolen + good2))
+    assert [u for u, _, _ in out] == ["https://g1.example/", "https://g2.example/"]
