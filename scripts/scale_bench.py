@@ -270,6 +270,13 @@ def main() -> None:
         "fixed per-query costs amortize; super-linear growth would flag a "
         "quadratic candidate set or a skewed band join).",
         "",
+        "WALL ratios on this box carry 2-3x run-to-run noise (documented "
+        "external load spikes; identical-plan reruns of the sqrt-k IVF "
+        "row measured 17s/35s/102s on one day). SHUFFLE bytes are the "
+        "load-independent signal: identical plans reproduce them to the "
+        "hundredth of a MB across rounds, so growth conclusions below "
+        "key on shuffle first and treat wall as corroboration.",
+        "",
         "## Reading the shuffle ratios (interpolated from THIS run)",
         "",
         f"- boilerplate_shingles / decontaminate: shuffle grows "
