@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "zone_transform", "multimodal_decode",
     "boilerplate_shingles", "decontaminate",
     "band_join", "corpus_pipeline", "pack_subword",
+    "lm_perplexity", "strip_boilerplate",
 ]
 # embedding_near_dup is deliberately absent: it is the documented
 # all-pairs EXACT oracle variant (O(n^2)); the benchmarked scale path
