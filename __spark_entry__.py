@@ -1070,6 +1070,19 @@ def q_pack_sequences(spark, sf_dir):  # training-sequence packing
     return pack_sequences(chunks, seq_len=100)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer vocabulary induction: learn 30 BPE merges from the
+    corpus word frequencies (curation.bpe_learn — counts are exact
+    integers; deterministic (count desc, pair asc) tie-break). Oracle =
+    committed golden from the pure-Python mirror
+    (scripts/make_goldens.py::golden_bpe; freshness-guarded)."""
+    from ocr_poc_spark.operators.curation import bpe_learn
+
+    return bpe_learn(
+        _t(spark, sf_dir, "documents", spread=True), n_merges=30
+    )
+
+
 def q_vocab_topk(spark, sf_dir):  # corpus vocabulary stats
     from ocr_poc_spark.operators.curation import vocab_topk
 
@@ -1144,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pack_subword": q_pack_subword,
         "vocab_topk": q_vocab_topk,
+        "bpe_merges": q_bpe_merges,
         "extract_pipeline": q_extract_pipeline,
     }
 
@@ -2321,6 +2335,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                    ROUND(cosine, 6) AS cosine
             FROM read_parquet('/root/repo/dist/golden/ann_ivf_sf001.parquet')
+        """,
+        # BPE merge learning: iterative argmax loop — not single-SQL
+        # expressible; golden from the integer-exact pure-Python mirror
+        # (freshness-guarded by tests/test_goldens.py).
+        "bpe_merges": """
+            SELECT CAST(rank AS INTEGER) AS rank, "left", "right", merged,
+                   CAST(pair_count AS BIGINT) AS pair_count
+            FROM read_parquet('/root/repo/dist/golden/bpe_sf001.parquet')
         """,
         # extract_pipeline: INDEPENDENT derivation — DuckDB recomputes the
         # expected extraction output straight from the documents table and

@@ -568,3 +568,93 @@ def strip_boilerplate_lines(
             .alias("n_removed"),
         )
     )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 30,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn byte-pair-encoding merges from the corpus — tokenizer
+    vocabulary induction (Sennrich et al.), the training half of the
+    subword story (functions/subword.py is a committed INFERENCE vocab;
+    this derives one FROM data). Classic word-frequency BPE: collapse
+    the corpus to (word, freq) once, represent each word as a symbol
+    sequence (characters to start), then repeat: count adjacent symbol
+    pairs weighted by word frequency, merge the most frequent pair
+    everywhere (left-to-right, non-overlapping), stop after
+    ``n_merges`` or when the best pair drops under ``min_pair_count``.
+
+    Returns one row per learned merge:
+        rank int, left string, right string, merged string,
+        pair_count long (the weighted count that won the round).
+
+    Deterministic: ties break on (count desc, left asc, right asc), and
+    every count is an exact integer — the committed golden
+    (dist/golden/bpe_sf001.parquet) comes from a pure-Python mirror of
+    this loop (scripts/make_goldens.py::golden_bpe) and must match
+    row-for-row.
+
+    Scale shape: after the first groupBy the working set is the DISTINCT
+    WORD table (millions of rows at 100 TB, not trillions) — each round
+    is one explode + groupBy over it plus a top-1 collect (one row),
+    and the symbol rewrite is a map-only HOF fold; the table is
+    localCheckpoint-ed per round so lineage stays flat. n_merges is the
+    driver-side loop bound, exactly like Lloyd iterations in
+    kmeans_centroids."""
+    words = (
+        df.select(F.explode(_norm_words(text_col)).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.expr("split(w, '')").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = words.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN transform("
+                    "sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] as l, syms[i] as r)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+            "freq",
+        ).groupBy("p.l", "p.r").agg(F.sum("freq").alias("c"))
+        top = pairs.orderBy(
+            F.desc("c"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not top or top[0]["c"] < min_pair_count:
+            break
+        left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rank, left, right, left + right, c))
+        # Apply the merge left-to-right, non-overlapping: fold with a
+        # one-symbol carry; a completed merge clears the carry so the
+        # merged token never immediately re-merges (standard BPE).
+        lq = left.replace("\\", "\\\\").replace("'", "\\'")
+        rq = right.replace("\\", "\\\\").replace("'", "\\'")
+        merge_expr = F.expr(
+            "CASE WHEN size(syms) = 0 THEN syms ELSE "
+            "aggregate(slice(syms, 2, size(syms) - 1), "
+            "named_struct('out', CAST(array() AS array<string>), "
+            "'carry', syms[0]), "
+            "(acc, s) -> CASE "
+            f"WHEN acc.carry = '{lq}' AND s = '{rq}' "
+            f"THEN named_struct('out', array_append(acc.out, '{lq}{rq}'), "
+            "'carry', CAST(NULL AS string)) "
+            "WHEN acc.carry IS NULL THEN named_struct('out', acc.out, 'carry', s) "
+            "ELSE named_struct('out', array_append(acc.out, acc.carry), 'carry', s) END, "
+            "acc -> CASE WHEN acc.carry IS NULL THEN acc.out "
+            "ELSE array_append(acc.out, acc.carry) END) END"
+        )
+        words = words.select(merge_expr.alias("syms"), "freq").localCheckpoint(
+            eager=True
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count long",
+    )

@@ -242,10 +242,71 @@ def golden_extract() -> pa.Table:
     )
 
 
+BPE_MERGES, BPE_MIN_PAIR = 30, 2
+
+
+def golden_bpe() -> pa.Table:
+    """Pure-Python mirror of operators/curation.bpe_learn over the
+    sf0.01 documents: word-frequency BPE with (count desc, left asc,
+    right asc) tie-break and left-to-right non-overlapping merge
+    application. Every count is an exact integer, so this golden is
+    bit-for-bit the operator's contract."""
+    import collections
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    freqs = collections.Counter()
+    for txt in t.column("text").to_pylist():
+        for w in (txt or "").lower().strip().split():
+            if w:
+                freqs[w] += 1
+    words: dict[tuple, int] = {}
+    for w, f in freqs.items():
+        words[tuple(w)] = words.get(tuple(w), 0) + f
+    rows = []
+    for rank in range(BPE_MERGES):
+        pc = collections.Counter()
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < BPE_MIN_PAIR:
+            break
+        rows.append((rank, l, r, l + r, c))
+        new: dict[tuple, int] = {}
+        for syms, f in words.items():
+            out, carry = [], syms[0]
+            for s in syms[1:]:
+                if carry == l and s == r:
+                    out.append(l + r)
+                    carry = None
+                elif carry is None:
+                    carry = s
+                else:
+                    out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            key = tuple(out)
+            new[key] = new.get(key, 0) + f
+        words = new
+    return pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], pa.int32()),
+            "left": pa.array([r[1] for r in rows], pa.string()),
+            "right": pa.array([r[2] for r in rows], pa.string()),
+            "merged": pa.array([r[3] for r in rows], pa.string()),
+            "pair_count": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 GOLDENS = {
     "ann_lsh_sf001.parquet": golden_ann_lsh,
     "ann_ivf_sf001.parquet": golden_ann_ivf,
     "extract_sf001.parquet": golden_extract,
+    "bpe_sf001.parquet": golden_bpe,
 }
 
 

@@ -525,3 +525,38 @@ def test_strip_boilerplate_lines(spark):
         )
     ).collect()
     assert all(r["n_removed"] == 0 for r in again)
+
+
+def test_bpe_learn_classic_example_and_merge_application(spark):
+    """BPE on the textbook low/lower corpus: deterministic merge order
+    (count desc, pair asc), left-to-right non-overlapping application
+    (aaaa + (a,a) -> two merges, never an overlapping three), early
+    stop under min_pair_count."""
+    from ocr_poc_spark.operators.curation import bpe_learn
+
+    d = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in bpe_learn(d, n_merges=6).collect()]
+    assert got == [
+        (0, "l", "o", "lo", 5),
+        (1, "lo", "w", "low", 5),
+        (2, "e", "w", "ew", 4),
+        (3, "n", "ew", "new", 4),
+        (4, "e", "r", "er", 2),
+        (5, "e", "s", "es", 2),
+    ]
+
+    # non-overlapping application: 'aaaa' x3 gives (a,a) count 9
+    # (3 adjacent pairs per word), merged once -> ('aa','aa') so the
+    # second round sees (aa,aa) count 3, not (aa,a)
+    d2 = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    got2 = [tuple(r) for r in bpe_learn(d2, n_merges=2).collect()]
+    assert got2 == [(0, "a", "a", "aa", 9), (1, "aa", "aa", "aaaa", 3)]
+
+    # early stop: singleton pairs fall under min_pair_count=2
+    d3 = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    assert bpe_learn(d3, n_merges=5).count() == 0

@@ -151,3 +151,8 @@ def test_ivf_centroid_rounding_margin_and_spark_parity(spark):
         seed=make_goldens.IVF_SEED,
     )
     assert spark_cents == cents
+
+
+def test_bpe_golden_is_current():
+    fresh = make_goldens.golden_bpe()
+    assert fresh.equals(_committed("bpe_sf001.parquet"))
