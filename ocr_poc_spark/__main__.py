@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
         help="curation: keep at most N docs per host (stable hash order)",
     )
     ap.add_argument(
+        "--max-ppl", type=float, default=None,
+        help="curation: drop docs whose self-trained bigram-LM "
+             "perplexity exceeds this (CCNet-style fluency gate)",
+    )
+    ap.add_argument(
         "--sample", metavar="LANG=RATE[,..]", default=None,
         help="after extraction, write a deterministic stratified sample "
              "keep-list by verified language (e.g. en=0.5,fr=0.25)",
@@ -156,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.out,
                 max_boiler_ratio=args.max_boiler_ratio,
                 max_per_host=args.host_cap,
+                max_ppl=args.max_ppl,
             )
         )
     if args.pack:

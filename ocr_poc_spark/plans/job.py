@@ -355,6 +355,7 @@ def run_curate(
     out_dir: str,
     max_boiler_ratio: float = 0.5,
     max_per_host: int | None = None,
+    max_ppl: float | None = None,
 ) -> dict:
     """Post-extraction keep-list pass (training-data curation): flag
     documents whose extracted body is mostly corpus-duplicated
@@ -368,14 +369,30 @@ def run_curate(
     Scale shape: the one-per-url collapse (_curation_docs) ships one
     representative body per url through one map-side-combined exchange;
     after that boilerplate_shingle_stats shuffles ids + 60-bit hashes
-    only and the host cap ranks on (host, stable hash)."""
+    only and the host cap ranks on (host, stable hash).
+
+    ``max_ppl``: optional CCNet-style fluency gate — drop docs whose
+    self-trained bigram-LM perplexity (textstats.bigram_lm_scores)
+    exceeds the threshold. Docs with no bigrams (< 2 tokens) have no
+    defined perplexity and fail the gate when it is on (they carry no
+    trainable signal anyway). The ppl column rides the keep-list either
+    way so operators can tune the threshold from one run."""
     from ..operators.curation import boilerplate_shingle_stats, host_cap
+    from ..operators.textstats import bigram_lm_scores
 
     docs = _curation_docs(spark, out_dir, with_host=True)
     boiler = boilerplate_shingle_stats(docs)
-    cur = docs.select("doc_id", "host").join(boiler, "doc_id")
-    passing = cur.where(F.col("boiler_ratio") <= max_boiler_ratio)
-    failing = cur.where(~(F.col("boiler_ratio") <= max_boiler_ratio)).withColumn(
+    lm = bigram_lm_scores(docs).select("doc_id", "ppl")
+    cur = (
+        docs.select("doc_id", "host")
+        .join(boiler, "doc_id")
+        .join(lm, "doc_id", "left")
+    )
+    quality_ok = F.col("boiler_ratio") <= max_boiler_ratio
+    if max_ppl is not None:
+        quality_ok = quality_ok & (F.col("ppl") <= max_ppl)
+    passing = cur.where(quality_ok)
+    failing = cur.where(~F.coalesce(quality_ok, F.lit(False))).withColumn(
         "host_rank", F.lit(None).cast("int")
     )
     if max_per_host is not None:

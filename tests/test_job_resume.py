@@ -270,3 +270,23 @@ def test_cli_pack_stage_composes_with_curation_and_dedup(spark, pages_df, tmp_pa
         assert all(spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))
         if s != last:
             assert spans[-1][1] == 64
+
+
+def test_cli_curate_max_ppl_gate(spark, pages_df, tmp_path):
+    """--max-ppl composes into the keep-list: no kept doc exceeds the
+    threshold, rejected docs keep their ppl for threshold tuning, and
+    the gate tightens monotonically."""
+    from ocr_poc_spark.plans.job import run_curate, run_job
+
+    out = str(tmp_path / "ppl")
+    run_job(spark, pages_df.limit(60), out, mode="fused", n_buckets=2)
+    loose = run_curate(spark, out, max_boiler_ratio=1.1)
+    rows = spark.read.parquet(f"{out}/curation").collect()
+    assert "ppl" in rows[0].asDict()
+    thr = sorted(r["ppl"] for r in rows if r["ppl"] is not None)[len(rows) // 2]
+    tight = run_curate(spark, out, max_boiler_ratio=1.1, max_ppl=float(thr))
+    assert tight["curation_kept"] < loose["curation_kept"]
+    kept = spark.read.parquet(f"{out}/curation").where("kept").collect()
+    assert kept and all(
+        r["ppl"] is not None and r["ppl"] <= thr for r in kept
+    )
