@@ -1083,6 +1083,24 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_chunk_bpe(spark, sf_dir):
+    """LEARNED-tokenizer chunking: the greedy longest-match budget of
+    chunk_subword, but over the vocab bpe_learn induces from THIS
+    corpus (30 merged symbols; single-char fallback covers the rest) —
+    train-tokenizer -> size-training-sequences, composed. The merge
+    list is golden-pinned (bpe_merges), so the oracle reads the SAME
+    learned vocab from the committed golden parquet and replays the
+    greedy rule with a recursive CTE."""
+    from ocr_poc_spark.operators.curation import bpe_learn, chunk_documents
+
+    merges = bpe_learn(_t(spark, sf_dir, "documents", spread=True), n_merges=30)
+    vocab = [r["merged"] for r in merges.collect()]  # 30 rows, bounded
+    return chunk_documents(
+        _t(spark, sf_dir, "documents", spread=True),
+        chunk_tokens=32, stride=32, tokenizer="subword", vocab=vocab,
+    )
+
+
 def q_vocab_topk(spark, sf_dir):  # corpus vocabulary stats
     from ocr_poc_spark.operators.curation import vocab_topk
 
@@ -1158,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_subword": q_pack_subword,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
+        "chunk_bpe": q_chunk_bpe,
         "extract_pipeline": q_extract_pipeline,
     }
 
@@ -2203,6 +2222,42 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(nll) / COUNT(*), 4) AS cross_entropy,
                    ROUND(pow(2.0, SUM(nll) / COUNT(*)), 4) AS ppl
             FROM scored GROUP BY doc_id
+        """,
+        # Same recursive greedy replay as chunk_subword, but the vocab
+        # is the LEARNED merge list read from the bpe golden (ordering
+        # for greedy match = longest-first; max(len) in the correlated
+        # subquery implements it vocab-order-independently).
+        "chunk_bpe": f"""
+            WITH RECURSIVE voc(v) AS (
+              SELECT merged FROM read_parquet('/root/repo/dist/golden/bpe_sf001.parquet')),
+            swt AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+                    WHERE length(trim(text)) > 0),
+            swn AS (SELECT doc_id, w,
+                           1 + CAST(ceil(greatest(len(w) - 32, 0) / 32.0) AS INTEGER) AS nc
+                    FROM swt),
+            swcw AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                     w[i*32 + 1 : i*32 + 32] AS cws,
+                     array_to_string(w[i*32 + 1 : i*32 + 32], ' ') AS chunk_text
+              FROM swn, unnest(range(0, nc)) AS u(i)),
+            swwrd AS (
+              SELECT doc_id, chunk_idx, CAST(j AS INTEGER) AS widx, cws[j+1] AS word
+              FROM swcw, unnest(range(0, len(cws))) AS uu(j)),
+            swtk(doc_id, chunk_idx, widx, word, pos, n) AS (
+              SELECT doc_id, chunk_idx, widx, word, 0, 0 FROM swwrd
+              UNION ALL
+              SELECT doc_id, chunk_idx, widx, word,
+                     pos + COALESCE((SELECT max(len(v)) FROM voc
+                                     WHERE substr(word, pos + 1, len(v)) = v), 1),
+                     n + 1
+              FROM swtk WHERE pos < len(word)),
+            swwc AS (SELECT doc_id, chunk_idx, widx, max(n) AS c
+                     FROM swtk GROUP BY doc_id, chunk_idx, widx),
+            swsum AS (SELECT doc_id, chunk_idx, CAST(SUM(c) AS INTEGER) AS n_tokens
+                      FROM swwc GROUP BY doc_id, chunk_idx)
+            SELECT c.doc_id, c.chunk_idx, c.chunk_text, s.n_tokens
+            FROM swcw c JOIN swsum s
+              ON c.doc_id = s.doc_id AND c.chunk_idx = s.chunk_idx
         """,
         "chunk_subword": f"""
             WITH RECURSIVE {_subword_chunks_sql()}

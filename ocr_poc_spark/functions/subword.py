@@ -50,16 +50,27 @@ for _v in SUBWORD_VOCAB:
 SUBWORD_VOCAB = sorted(_SEEN, key=lambda v: (-len(v), v))
 
 
-def _vocab_array_sql() -> str:
-    return "array(" + ", ".join(f"'{v}'" for v in SUBWORD_VOCAB) + ")"
+def _vocab_array_sql(vocab: list[str] | None = None) -> str:
+    vs = SUBWORD_VOCAB if vocab is None else sort_vocab(vocab)
+    quoted = ", ".join("'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'" for v in vs)
+    return "array(" + quoted + ")"
 
 
-def subword_count_word_sql(w: str) -> str:
+def sort_vocab(vocab: list[str]) -> list[str]:
+    """Longest-first (then lexicographic) order — the greedy-match
+    contract; dedups while keeping determinism."""
+    return sorted(dict.fromkeys(vocab), key=lambda v: (-len(v), v))
+
+
+def subword_count_word_sql(w: str, vocab: list[str] | None = None) -> str:
     """SQL expression: greedy-subword token count of ONE word expression
-    ``w``. Bounded fold: at most length(w) consume steps (each step
-    advances >= 1 char); sequence(1, n) is guarded against the empty
-    word (sequence(1, 0) is DESCENDING in Spark — the known gotcha)."""
-    vocab = _vocab_array_sql()
+    ``w`` over ``vocab`` (default: the committed SUBWORD_VOCAB; any
+    custom list — e.g. bpe_learn's merged symbols — is sorted
+    longest-first here). Bounded fold: at most length(w) consume steps
+    (each step advances >= 1 char); sequence(1, n) is guarded against
+    the empty word (sequence(1, 0) is DESCENDING in Spark — the known
+    gotcha)."""
+    vocab = _vocab_array_sql(vocab)
     return (
         f"CASE WHEN length({w}) = 0 THEN 0 ELSE "
         f"aggregate(sequence(1, length({w})), named_struct('p', 0, 'n', 0), "
@@ -71,11 +82,11 @@ def subword_count_word_sql(w: str) -> str:
     )
 
 
-def subword_count_words_sql(words: str) -> str:
+def subword_count_words_sql(words: str, vocab: list[str] | None = None) -> str:
     """SQL expression: total greedy-subword tokens over an
     array<string> expression ``words`` (sum of per-word counts)."""
     return (
         f"aggregate({words}, 0, (tot, wd) -> tot + "
-        + subword_count_word_sql("wd")
+        + subword_count_word_sql("wd", vocab)
         + ")"
     )

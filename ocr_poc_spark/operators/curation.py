@@ -307,6 +307,7 @@ def chunk_documents(
     chunk_tokens: int = 128,
     stride: int = 64,
     tokenizer: str | None = None,
+    vocab: list[str] | None = None,
 ) -> DataFrame:
     """Training-sequence prep: split each document into fixed-size
     word windows with overlap (stride <= chunk_tokens, enforced — a
@@ -337,6 +338,8 @@ def chunk_documents(
         )
     if tokenizer not in (None, "subword"):
         raise ValueError(f"unknown tokenizer: {tokenizer!r}")
+    if vocab is not None and tokenizer != "subword":
+        raise ValueError("vocab= requires tokenizer='subword'")
     df = df.where(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
     w = _norm_words(text_col)
     n_chunks = F.expr(
@@ -346,7 +349,10 @@ def chunk_documents(
     if tokenizer == "subword":
         from ..functions.subword import subword_count_words_sql
 
-        n_tokens_sql = subword_count_words_sql(slice_sql)
+        # vocab=None -> the committed inference vocab; a custom list
+        # (e.g. bpe_learn's merged symbols) plugs a LEARNED tokenizer
+        # into the same greedy longest-match rule.
+        n_tokens_sql = subword_count_words_sql(slice_sql, vocab)
     else:
         n_tokens_sql = f"size({slice_sql})"
     chunks = F.expr(

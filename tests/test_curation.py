@@ -560,3 +560,42 @@ def test_bpe_learn_classic_example_and_merge_application(spark):
     # early stop: singleton pairs fall under min_pair_count=2
     d3 = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
     assert bpe_learn(d3, n_merges=5).count() == 0
+
+
+def test_chunk_with_learned_vocab(spark):
+    """chunk_documents(vocab=...) plugs a LEARNED vocab into the greedy
+    rule: budgets differ from the committed vocab's and match a
+    pure-Python greedy mirror over the custom list."""
+    from ocr_poc_spark.functions.subword import sort_vocab
+    from ocr_poc_spark.operators.curation import bpe_learn, chunk_documents
+
+    d = spark.createDataFrame(
+        [(i, "lowering the lowest newer tower " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    vocab = [r["merged"] for r in bpe_learn(d, n_merges=8).collect()]
+    assert vocab
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["n_tokens"]
+        for r in chunk_documents(
+            d, chunk_tokens=32, stride=32, tokenizer="subword", vocab=vocab
+        ).collect()
+    }
+    sv = sort_vocab(vocab)
+
+    def count(word):
+        p = n = 0
+        while p < len(word):
+            m = next((v for v in sv if word.startswith(v, p)), None)
+            p += len(m) if m else 1
+            n += 1
+        return n
+
+    for (doc, _), n in got.items():
+        words = ("lowering the lowest newer tower " * 3).split()
+        assert n == sum(count(w) for w in words)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="vocab= requires"):
+        chunk_documents(d, vocab=["ab"])
