@@ -1070,6 +1070,20 @@ def q_pack_sequences(spark, sf_dir):  # training-sequence packing
     return pack_sequences(chunks, seq_len=100)
 
 
+def q_bm25_search(spark, sf_dir):
+    """Keyword retrieval over the corpus: Okapi BM25 top-20 for a fixed
+    query (operators/search.py). Integer tf/df witnesses are exact; the
+    ln-based score rides the 4-decimal rounding margin and BOTH engines
+    cut the top-k on the rounded score with an id tie-break."""
+    from ocr_poc_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents", spread=True),
+        "spark hash join window table",
+        top_n=20,
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer vocabulary induction: learn 30 BPE merges from the
     corpus word frequencies (curation.bpe_learn — counts are exact
@@ -1176,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_subword": q_pack_subword,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
+        "bm25_search": q_bm25_search,
         "chunk_bpe": q_chunk_bpe,
         "extract_pipeline": q_extract_pipeline,
     }
@@ -2390,6 +2405,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                    ROUND(cosine, 6) AS cosine
             FROM read_parquet('/root/repo/dist/golden/ann_ivf_sf001.parquet')
+        """,
+        # BM25: tokenize, tf for query terms only, df over those,
+        # Lucene idf, length-normalized tf, rounded-score top-k. Same
+        # (round-4, id) cut as the Spark side.
+        "bm25_search": f"""
+            WITH ws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            st AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(w)) AS avg_len FROM ws),
+            q(t) AS (VALUES ('hash'), ('join'), ('spark'), ('table'), ('window')),
+            tf AS (
+              SELECT doc_id, len(w) AS dl, u.t, COUNT(*) AS tf
+              FROM ws, unnest(w) AS u(t)
+              WHERE u.t IN (SELECT t FROM q)
+              GROUP BY doc_id, len(w), u.t),
+            dfreq AS (SELECT t, COUNT(*)::DOUBLE AS df FROM tf GROUP BY t),
+            scored AS (
+              SELECT tf.doc_id,
+                     COUNT(*) AS n_hit_terms,
+                     SUM(ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avg_len))
+                     ) AS s
+              FROM tf JOIN dfreq d ON tf.t = d.t CROSS JOIN st
+              GROUP BY tf.doc_id)
+            SELECT doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
+                   ROUND(s, 4) AS score
+            FROM scored
+            ORDER BY ROUND(s, 4) DESC, doc_id ASC
+            LIMIT 20
         """,
         # BPE merge learning: iterative argmax loop — not single-SQL
         # expressible; golden from the integer-exact pure-Python mirror

@@ -1,0 +1,92 @@
+"""Keyword retrieval over the document corpus: BM25 scoring + top-k —
+the lookup-side counterpart of the curation suite (a training-data
+pipeline constantly greps its corpus: find documents about X, audit
+what the dedup kept, pull eval-adjacent docs). Pure DataFrame ops, no
+UDF; exactly recomputable in SQL (the lm_perplexity float discipline:
+integer tf/df witnesses, log-based scores on a 4-decimal rounding
+margin).
+
+Scale shape: the query is a handful of terms — it rides as a broadcast
+literal set. One explode + per-(doc, term) count with map-side partial
+aggregation, document frequencies for ONLY the query terms (tiny
+aggregate), one broadcast join back, one TakeOrderedAndProject top-k.
+No inverted index is materialized; for query-many serving you would
+persist the (term, doc, tf) frame the same way minhash_band_index
+persists bands — same index-once/query-many pattern.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.texthash import norm_words
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Okapi BM25 top-k: score = sum over distinct query terms of
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen)), with
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1) (the non-negative
+    Lucene form). Determinism: the top-k orders by (round(score, 4)
+    desc, id asc) — both engines rank on the ROUNDED score, so libm
+    ulp noise cannot flip the cut (same 4-decimal-margin discipline as
+    bigram_lm_scores). Returns (id, n_hit_terms, score); consumers
+    recover rank from (score desc, id asc) — no rank column, because
+    producing one would need a global window, and the suite's plan
+    discipline keeps global top-k on TakeOrderedAndProject (per-
+    partition heaps + driver merge), never a single-partition window.
+
+    Documents matching no query term are not returned; a blank query
+    raises."""
+    terms = sorted({w for w in query.lower().strip().split() if w})
+    if not terms:
+        raise ValueError("bm25_topk: query has no terms")
+
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(norm_words(F.coalesce(F.col(text_col), F.lit(""))), F.array()).alias("_w"),
+    )
+    stats = words.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("_w")).alias("avg_len"),
+    )
+    term_lit = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        words.select("_id", F.size("_w").alias("dl"), F.explode("_w").alias("t"))
+        .where(F.array_contains(term_lit, F.col("t")))
+        .groupBy("_id", "dl", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "t").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_part = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avg_len"))
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_hit_terms"),
+        F.sum(idf * tf_part).alias("_s"),
+    )
+    return (
+        per_doc.select(
+            F.col("_id").alias(id_col),
+            "n_hit_terms",
+            F.round("_s", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_n)
+    )

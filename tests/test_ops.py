@@ -877,3 +877,37 @@ def test_bigram_lm_scores_contract(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         bigram_lm_scores(score, alpha=0.0)
+
+
+def test_bm25_topk_contract(spark):
+    """BM25 semantics on a hand-checkable corpus: rarer query terms
+    dominate (idf), length normalization penalizes padded docs, docs
+    matching no term never appear, blank query raises."""
+    import math
+
+    import pytest
+
+    from ocr_poc_spark.operators.search import bm25_topk
+
+    docs = [
+        (1, "spark shuffle spark shuffle spark"),   # tf-heavy on common term
+        (2, "quantile sketch here"),                # hits the RARE term once
+        (3, "spark " + "filler " * 60),             # padded: length-normalized down
+        (4, "nothing relevant at all"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bm25_topk(d, "spark quantile", top_n=10).collect()}
+    assert 4 not in out
+    assert set(out) == {1, 2, 3}
+    # idf(quantile): df=1 beats idf(spark): df=2 at N=4 -> doc 2 wins
+    assert out[2]["score"] > out[1]["score"] > out[3]["score"]
+    assert out[1]["n_hit_terms"] == 1 and out[2]["n_hit_terms"] == 1
+
+    # exact mirror for doc 2
+    N, avg = 4.0, sum(len(t.split()) for _, t in docs) / 4.0
+    idf = math.log((N - 1 + 0.5) / (1 + 0.5) + 1.0)
+    tfp = (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 3 / avg))
+    assert out[2]["score"] == round(idf * tfp, 4)
+
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk(d, "   ")
