@@ -1084,6 +1084,22 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_bm25_serve(spark, sf_dir):
+    """Serving-mode BM25: build the persistable inverted file
+    (search.bm25_index — (term, doc_id, tf, dl) rows, never text) and
+    answer a query from it alone, the index-once/query-many shape of
+    minhash_band_index and IVF serving. Corpus stats (N, avg length)
+    come from the index's distinct (doc_id, dl) pairs, i.e. documents
+    with >= 1 token; the oracle recomputes BM25 under exactly those
+    serving semantics."""
+    from ocr_poc_spark.operators.search import bm25_index, bm25_topk
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return bm25_topk(
+        docs, "stream filter merge vector", top_n=20, index=bm25_index(docs)
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer vocabulary induction: learn 30 BPE merges from the
     corpus word frequencies (curation.bpe_learn — counts are exact
@@ -1191,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
         "bm25_search": q_bm25_search,
+        "bm25_serve": q_bm25_serve,
         "chunk_bpe": q_chunk_bpe,
         "extract_pipeline": q_extract_pipeline,
     }
@@ -2413,6 +2430,37 @@ def oracle_sql() -> dict[str, str]:
             WITH ws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
             st AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(w)) AS avg_len FROM ws),
             q(t) AS (VALUES ('hash'), ('join'), ('spark'), ('table'), ('window')),
+            tf AS (
+              SELECT doc_id, len(w) AS dl, u.t, COUNT(*) AS tf
+              FROM ws, unnest(w) AS u(t)
+              WHERE u.t IN (SELECT t FROM q)
+              GROUP BY doc_id, len(w), u.t),
+            dfreq AS (SELECT t, COUNT(*)::DOUBLE AS df FROM tf GROUP BY t),
+            scored AS (
+              SELECT tf.doc_id,
+                     COUNT(*) AS n_hit_terms,
+                     SUM(ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avg_len))
+                     ) AS s
+              FROM tf JOIN dfreq d ON tf.t = d.t CROSS JOIN st
+              GROUP BY tf.doc_id)
+            SELECT doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
+                   ROUND(s, 4) AS score
+            FROM scored
+            ORDER BY ROUND(s, 4) DESC, doc_id ASC
+            LIMIT 20
+        """,
+        # Serving-mode BM25: identical scoring, but corpus stats (N,
+        # avg length) are those the inverted file can see — documents
+        # with at least one non-empty token (an all-whitespace doc has
+        # no index rows). Same rounded-score/id cut as the Spark side.
+        "bm25_serve": f"""
+            WITH ws0 AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            ws AS (SELECT doc_id, w FROM ws0
+                   WHERE len(list_filter(w, x -> x <> '')) > 0),
+            st AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(w)) AS avg_len FROM ws),
+            q(t) AS (VALUES ('filter'), ('merge'), ('stream'), ('vector')),
             tf AS (
               SELECT doc_id, len(w) AS dl, u.t, COUNT(*) AS tf
               FROM ws, unnest(w) AS u(t)

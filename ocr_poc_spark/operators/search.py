@@ -31,6 +31,8 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     top_n: int = 20,
+    index: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k: score = sum over distinct query terms of
     idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen)), with
@@ -45,26 +47,42 @@ def bm25_topk(
     partition heaps + driver merge), never a single-partition window.
 
     Documents matching no query term are not returned; a blank query
-    raises."""
+    raises.
+
+    SERVING MODE: pass ``index`` (the persisted bm25_index frame) to
+    answer the query from the inverted file without touching document
+    text — corpus stats (N, avg length) come from the index's distinct
+    (id, dl) pairs. ``n_docs`` overrides N for corpora whose empty
+    documents were dropped from the index but should still count."""
     terms = sorted({w for w in query.lower().strip().split() if w})
     if not terms:
         raise ValueError("bm25_topk: query has no terms")
 
-    words = df.select(
-        F.col(id_col).alias("_id"),
-        F.coalesce(norm_words(F.coalesce(F.col(text_col), F.lit(""))), F.array()).alias("_w"),
-    )
-    stats = words.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size("_w")).alias("avg_len"),
-    )
     term_lit = F.array(*[F.lit(t) for t in terms])
-    tf = (
-        words.select("_id", F.size("_w").alias("dl"), F.explode("_w").alias("t"))
-        .where(F.array_contains(term_lit, F.col("t")))
-        .groupBy("_id", "dl", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    if index is not None:
+        docs = index.select(F.col(id_col).alias("_id"), "dl").distinct()
+        stats = docs.agg(
+            (F.lit(n_docs) if n_docs is not None else F.count(F.lit(1))).alias("n_docs"),
+            F.avg("dl").alias("avg_len"),
+        )
+        tf = index.where(F.array_contains(term_lit, F.col("term"))).select(
+            F.col(id_col).alias("_id"), "dl", F.col("term").alias("t"), "tf"
+        )
+    else:
+        words = df.select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(norm_words(F.coalesce(F.col(text_col), F.lit(""))), F.array()).alias("_w"),
+        )
+        stats = words.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.size("_w")).alias("avg_len"),
+        )
+        tf = (
+            words.select("_id", F.size("_w").alias("dl"), F.explode("_w").alias("t"))
+            .where(F.array_contains(term_lit, F.col("t")))
+            .groupBy("_id", "dl", "t")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(dfreq), "t").crossJoin(F.broadcast(stats))
     idf = F.log(
@@ -89,4 +107,26 @@ def bm25_topk(
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_n)
+    )
+
+
+def bm25_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persistable BM25 inverted file: (term, id, tf, dl) — one row
+    per (document, distinct term), plus document length. Write once per
+    corpus snapshot; bm25_topk(..., index=) then serves any query from
+    it without re-tokenizing the corpus — the same index-once/query-many
+    shape as minhash_band_index and the IVF serving mode. Terms and
+    counts only, never document text."""
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(norm_words(F.coalesce(F.col(text_col), F.lit(""))), F.array()).alias("_w"),
+    )
+    return (
+        words.select("_id", F.size("_w").alias("dl"), F.explode("_w").alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("_id", "dl", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(F.col("t").alias("term"), F.col("_id").alias(id_col), "tf", "dl")
     )

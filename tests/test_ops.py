@@ -911,3 +911,26 @@ def test_bm25_topk_contract(spark):
 
     with pytest.raises(ValueError, match="no terms"):
         bm25_topk(d, "   ")
+
+
+def test_bm25_serving_mode_equals_direct(spark):
+    """Index-once/query-many: scoring against the persisted bm25_index
+    must equal the direct corpus path row-for-row, for several
+    queries, without touching document text."""
+    from ocr_poc_spark.operators.search import bm25_index, bm25_topk
+
+    d = spark.createDataFrame(
+        [
+            (i, f"spark shuffle join w{i} " * (i % 3 + 1) + "table scan")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    idx = bm25_index(d)
+    assert set(idx.columns) == {"term", "doc_id", "tf", "dl"}
+    for q in ("spark table", "join w7", "scan shuffle spark"):
+        direct = sorted(map(tuple, bm25_topk(d, q, top_n=10).collect()))
+        served = sorted(
+            map(tuple, bm25_topk(d, q, top_n=10, index=idx).collect())
+        )
+        assert direct == served and direct
