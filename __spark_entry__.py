@@ -1084,6 +1084,50 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment keyed on the HOST column
+    (curation.split_corpus, by="source") — leakage-safe: every document
+    of a host lands in the same split, so near-dup pages within a site
+    never straddle the train/test boundary. Zero shuffle, no RNG; the
+    oracle recomputes the md5-bucket thresholds exactly."""
+    from ocr_poc_spark.operators.curation import split_corpus
+
+    return split_corpus(
+        _t(spark, sf_dir, "documents", spread=True),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        by="source",
+    ).select("doc_id", "source", "split")
+
+
+def q_crawl_diff(spark, sf_dir):
+    """Crawl-snapshot diff (operators/crawl.py): classify every url
+    across two snapshots as added/deleted/changed/unchanged from sha2
+    content digests — the batch primitive that lets a rolling crawl
+    re-process only changed pages. Old = the documents table; new =
+    a deterministic edit (drop doc_id%7==0, append ' v2' to text of
+    doc_id%5==0, add doc_id%11==0 under shifted ids), derived
+    identically in both engines."""
+    from ocr_poc_spark.operators.crawl import crawl_diff
+
+    docs = _t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    did = F.col("doc_id")
+    new = (
+        docs.where(did % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(did % 11 == 0).select(
+                (did + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return crawl_diff(docs, new, id_col="doc_id", content_col="text")
+
+
 def q_bm25_serve(spark, sf_dir):
     """Serving-mode BM25: build the persistable inverted file
     (search.bm25_index — (term, doc_id, tf, dl) rows, never text) and
@@ -1208,6 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bm25_search": q_bm25_search,
         "bm25_serve": q_bm25_serve,
+        "corpus_split": q_corpus_split,
+        "crawl_diff": q_crawl_diff,
         "chunk_bpe": q_chunk_bpe,
         "extract_pipeline": q_extract_pipeline,
     }
@@ -2450,6 +2496,40 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY ROUND(s, 4) DESC, doc_id ASC
             LIMIT 20
+        """,
+        # Leakage-safe splits: md5-hex15 bucket of the HOST, cumulative
+        # thresholds in sorted split-name order (test 1000, train 9000,
+        # val 10000 of denom 10000) — exactly split_corpus's arithmetic.
+        "corpus_split": """
+            SELECT doc_id, source,
+                   CASE WHEN b < 1000 THEN 'test'
+                        WHEN b < 9000 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM (SELECT doc_id, source,
+                         ('0x' || substr(md5(source), 1, 15))::BIGINT % 10000 AS b
+                  FROM documents)
+        """,
+        # Crawl diff: the same deterministic old/new synthesis, sha256
+        # digests (NULL text digests as ''), FULL OUTER on the id, and
+        # the same 4-way status CASE.
+        "crawl_diff": """
+            WITH newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+            o AS (SELECT doc_id, sha256(COALESCE(text, '')) AS old_digest
+                  FROM documents),
+            n AS (SELECT doc_id, sha256(COALESCE(text, '')) AS new_digest
+                  FROM newsnap)
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.old_digest IS NULL THEN 'added'
+                        WHEN n.new_digest IS NULL THEN 'deleted'
+                        WHEN o.old_digest <> n.new_digest THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   o.old_digest, n.new_digest
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         """,
         # Serving-mode BM25: identical scoring, but corpus stats (N,
         # avg length) are those the inverted file can see — documents

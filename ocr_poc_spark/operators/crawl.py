@@ -1,0 +1,92 @@
+"""Crawl-snapshot operators: comparing two crawls of the same id space.
+
+A rolling web crawl re-fetches URLs continuously; the expensive part of
+the pipeline (extraction, dedup, curation) should only ever run on
+pages whose CONTENT changed since the last snapshot. `crawl_diff`
+classifies every url across two snapshots as added / deleted / changed
+/ unchanged from content digests, and `changed_slice` is the
+ready-to-process frame (new rows needing work) an incremental run
+feeds to the job — the batch complement of the streaming
+minhash-incremental path (streaming/stream_job.py).
+
+Scale notes (100 TB): both sides project to (id, 64-hex sha2 digest)
+BEFORE the full-outer join, so the shuffle carries ~80 bytes per url,
+never page bytes; the join keys on the url, which is unique per
+snapshot (enforce upstream with the min_by pre-dedup run_job uses —
+duplicate ids would cross-multiply, so this module asserts nothing and
+documents the contract instead of scanning for violations). Digest
+grouping is the same sha2-256 trick as dedup.exact_duplicates
+(collision probability negligible at any corpus size).
+
+Reference parity: the reference service re-OCRs every uploaded card
+unconditionally (/root/reference/api_server.py:177 — stateless per-
+document HTTP); snapshot diffing is the batch-pipeline capability that
+replaces "re-process everything" at crawl scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "url",
+    content_col: str = "text",
+) -> DataFrame:
+    """One row per url present in EITHER snapshot, with
+    status in {'added','deleted','changed','unchanged'} plus both
+    content digests (NULL where the url is absent on that side).
+
+    `content_col` may be string (extracted text) or binary (raw html /
+    warc payload) — sha2 accepts both. NULL content is digested as the
+    empty string so presence-with-NULL is distinguishable from absence
+    (the digest column itself is the presence witness)."""
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        c = F.col(content_col)
+        # digest-of-branches, not branch-of-contents: binary content
+        # must reach sha2 raw (a cast to string would mangle non-UTF-8
+        # bytes), and the NULL arm's empty-string digest keeps one type.
+        digest = F.when(c.isNull(), F.sha2(F.lit(""), 256)).otherwise(
+            F.sha2(c, 256)
+        )
+        return df.select(F.col(id_col).alias("_id"), digest.alias(alias))
+
+    joined = side(old, "old_digest").join(
+        side(new, "new_digest"), "_id", "full_outer"
+    )
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("deleted"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        status.alias("status"),
+        "old_digest",
+        "new_digest",
+    )
+
+
+def changed_slice(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "url",
+    content_col: str = "text",
+) -> DataFrame:
+    """The incremental work set: rows of `new` whose content is new or
+    changed vs `old` — what an incremental extraction/curation run
+    actually processes. LEFT SEMI against the diff, so the output
+    carries `new`'s full row (the downstream job needs the page), but
+    only ids+digests ride the diff join itself."""
+    work = (
+        crawl_diff(old, new, id_col=id_col, content_col=content_col)
+        .where(F.col("status").isin("added", "changed"))
+        .select(F.col(id_col).alias("_work_id"))
+    )
+    return new.join(
+        work, on=F.col(id_col) == F.col("_work_id"), how="left_semi"
+    )

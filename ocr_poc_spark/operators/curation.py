@@ -193,6 +193,49 @@ def stratified_sample(
     return df.where(bucket < thresh)
 
 
+def split_corpus(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    by: str | None = None,
+    denom: int = 10000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a `split` column
+    naming which partition of `splits` (name -> fraction, summing to 1)
+    each row belongs to. Map-only, zero shuffle, no RNG — the same
+    md5-bucket construction as stratified_sample, so re-runs, resumed
+    partitions, and the DuckDB oracle all agree row-for-row.
+
+    Leakage control: pass ``by`` (e.g. the host column) to key the
+    bucket on that column instead of the row id — every document of a
+    host then lands in the SAME split, so near-duplicate pages within
+    a site can never straddle the train/test boundary (the standard
+    web-corpus eval-hygiene rule).
+
+    Fractions are quantised to 1/denom steps; the quantised cumulative
+    thresholds must exhaust [0, denom) exactly — a dict that rounds to
+    99.99% would silently leave buckets unassigned, so it raises
+    instead. Assignment scans split names in sorted order (first
+    cumulative threshold the bucket falls under), making the layout a
+    pure function of (splits, by-key)."""
+    if not splits:
+        raise ValueError("split_corpus: splits is empty")
+    cum, edges = 0, []
+    for name in sorted(splits):
+        cum += int(round(splits[name] * denom))
+        edges.append((name, cum))
+    if cum != denom:
+        raise ValueError(
+            f"split_corpus: quantised fractions sum to {cum}/{denom}, not 1"
+        )
+    bucket = sample_bucket(by or id_col, denom)
+    expr = None
+    for name, edge in edges:
+        cond = bucket < F.lit(edge)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
 def host_cap(
     df: DataFrame,
     max_per_host: int,

@@ -599,3 +599,81 @@ def test_chunk_with_learned_vocab(spark):
 
     with pytest.raises(ValueError, match="vocab= requires"):
         chunk_documents(d, vocab=["ab"])
+
+
+def test_split_corpus_deterministic_and_leakage_safe(spark):
+    """Every row gets exactly one split; fractions land near quotas;
+    keying on the host column sends a whole host to one split; bad
+    fraction sums raise."""
+    import pytest
+
+    from ocr_poc_spark.operators.curation import split_corpus
+
+    d = spark.createDataFrame(
+        [(i, f"host{i % 17}.example") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    out = split_corpus(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+    again = {tuple(r) for r in split_corpus(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert again == {tuple(r) for r in out.collect()}
+
+    by_host = split_corpus(d, {"train": 0.8, "val": 0.1, "test": 0.1}, by="source")
+    assert by_host.groupBy("source").agg(
+        F.countDistinct("split").alias("k")).where(F.col("k") > 1).count() == 0
+
+    with pytest.raises(ValueError, match="sum to"):
+        split_corpus(d, {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError, match="empty"):
+        split_corpus(d, {})
+
+
+def test_crawl_diff_statuses_and_changed_slice(spark):
+    """All four statuses from a synthetic old/new pair; changed_slice
+    returns exactly new's added+changed rows with full columns; binary
+    content diffs on raw bytes."""
+    from ocr_poc_spark.operators.crawl import changed_slice, crawl_diff
+
+    old = spark.createDataFrame(
+        [("u1", "alpha"), ("u2", "beta"), ("u3", "gamma"), ("u4", None)],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u2", "beta"), ("u3", "gamma v2"), ("u4", ""), ("u5", "new page")],
+        "url string, text string",
+    )
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "u1": "deleted",
+        "u2": "unchanged",
+        "u3": "changed",
+        "u4": "unchanged",  # NULL content digests as empty string
+        "u5": "added",
+    }
+
+    sl = changed_slice(old, new)
+    assert set(sl.columns) == {"url", "text"}
+    assert {(r["url"], r["text"]) for r in sl.collect()} == {
+        ("u3", "gamma v2"),
+        ("u5", "new page"),
+    }
+
+    b_old = spark.createDataFrame(
+        [("u1", bytearray(b"\x00\xff")), ("u2", bytearray(b"same"))],
+        "url string, html binary",
+    )
+    b_new = spark.createDataFrame(
+        [("u1", bytearray(b"\x00\xfe")), ("u2", bytearray(b"same"))],
+        "url string, html binary",
+    )
+    got_b = {
+        r["url"]: r["status"]
+        for r in crawl_diff(b_old, b_new, content_col="html").collect()
+    }
+    assert got_b == {"u1": "changed", "u2": "unchanged"}
