@@ -1084,6 +1084,20 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style data selection (operators/dsir.py, after Xie et al.
+    NeurIPS 2023): hashed unigram+bigram importance weights of every
+    raw document against a small target exemplar set (the en-language
+    docs with doc_id%10==0). Counts are exact integers; the ln-sum
+    rides the 4-decimal rounding margin; the bucket log-ratio table is
+    broadcast and only (id, bucket, count) rows cross shuffles."""
+    from ocr_poc_spark.operators.dsir import importance_weights
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") % 10 == 0))
+    return importance_weights(docs, target)
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment keyed on the HOST column
     (curation.split_corpus, by="source") — leakage-safe: every document
@@ -1254,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_serve": q_bm25_serve,
         "corpus_split": q_corpus_split,
         "crawl_diff": q_crawl_diff,
+        "dsir_weights": q_dsir_weights,
         "chunk_bpe": q_chunk_bpe,
         "extract_pipeline": q_extract_pipeline,
     }
@@ -2496,6 +2511,39 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY ROUND(s, 4) DESC, doc_id ASC
             LIMIT 20
+        """,
+        # DSIR: full recompute of the hashed n-gram importance model —
+        # unigram+bigram features, md5-hex15 bucket % 4096, add-0.5
+        # smoothing, ln log-ratios summed per doc, round 4. The raw
+        # count table covers every doc bucket by construction; only the
+        # target side needs COALESCE 0.
+        "dsir_weights": f"""
+            WITH ws AS (SELECT doc_id, lang, {_WORDS_SQL} AS w FROM documents),
+            grams AS (
+              SELECT doc_id, lang, u.g FROM ws, unnest(w) AS u(g) WHERE u.g <> ''
+              UNION ALL
+              SELECT doc_id, lang, w[i.i - 1] || ' ' || w[i.i] AS g
+              FROM ws, unnest(range(2, len(w)::BIGINT + 1)) AS i(i)),
+            bk AS (SELECT doc_id, lang,
+                          ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS b
+                   FROM grams),
+            rawc AS (SELECT b, COUNT(*) AS c_raw FROM bk GROUP BY b),
+            tgtc AS (SELECT b, COUNT(*) AS c_tgt FROM bk
+                     WHERE lang = 'en' AND doc_id % 10 = 0 GROUP BY b),
+            tot AS (SELECT (SELECT SUM(c_raw) FROM rawc)::DOUBLE AS t_raw,
+                           (SELECT SUM(c_tgt) FROM tgtc)::DOUBLE AS t_tgt),
+            ratio AS (
+              SELECT rawc.b,
+                     ln(COALESCE(c_tgt, 0) + 0.5) - ln(t_tgt + 0.5 * 4096)
+                     - ln(c_raw + 0.5) + ln(t_raw + 0.5 * 4096) AS log_ratio
+              FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tot),
+            per_doc AS (
+              SELECT doc_id, bk.b, COUNT(*) AS c_doc
+              FROM bk GROUP BY doc_id, bk.b)
+            SELECT doc_id, SUM(c_doc)::BIGINT AS n_ngrams,
+                   ROUND(SUM(c_doc * log_ratio), 4) AS logw
+            FROM per_doc JOIN ratio ON per_doc.b = ratio.b
+            GROUP BY doc_id
         """,
         # Leakage-safe splits: md5-hex15 bucket of the HOST, cumulative
         # thresholds in sorted split-name order (test 1000, train 9000,

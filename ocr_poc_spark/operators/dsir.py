@@ -1,0 +1,149 @@
+"""Data selection via importance resampling (DSIR-style).
+
+Given a RAW web corpus and a small TARGET corpus that exemplifies the
+distribution you want (curated text, a domain, a language register),
+score every raw document by how target-like it is:
+
+    log w(doc) = sum over the doc's hashed n-gram buckets b of
+                 c_doc[b] * ( ln p_target[b] - ln p_raw[b] )
+
+where p_* are add-alpha-smoothed bucket probabilities of unigram+bigram
+features hashed into ``n_buckets`` buckets (the hashing trick makes the
+"language model" a fixed-size count vector regardless of vocabulary).
+Selecting the top-weighted documents approximates sampling the raw
+corpus under the target distribution — the standard pretraining-data
+selection recipe published as DSIR (Xie et al., "Data Selection for
+Language Models via Importance Resampling", NeurIPS 2023, public).
+
+Plan (scales to 100 TB):
+- the bucket log-ratio table is at most ``n_buckets`` rows (counts from
+  two explode+groupBy passes, keys are uniform hashes — no skew) and is
+  explicitly broadcast; document scoring is one explode, one
+  (id, bucket) partial-combined groupBy, one broadcast join, one
+  per-doc aggregate. Only (id, int bucket, int count) rows cross any
+  shuffle — never text.
+- the target corpus is small by construction (it defines the goal);
+  its count pass is a toy job at any raw-corpus size.
+
+Float discipline (cross-engine oracle): every count is an exact
+integer; the only floats are ln() terms summed per doc and rounded to
+4 decimals — JVM vs DuckDB libm differ at most in the last ulp per
+term, absorbed by the rounding margin (same contract as
+textstats.bigram_lm_scores).
+
+Reference parity: the reference pipeline has no corpus-selection stage
+(single-document service); this operator is part of the LLM-pipeline
+brief (training-data curation at scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.texthash import hash60, norm_words
+
+DEFAULT_BUCKETS = 4096
+
+
+def _doc_buckets(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int, keep_id: bool
+) -> DataFrame:
+    """(id?, bucket) rows: one per unigram and bigram occurrence,
+    hashed into [0, n_buckets). Empty/NULL text yields no rows."""
+    cols = [F.col(id_col)] if keep_id else []
+    w = F.coalesce(norm_words(text_col), F.array())
+    base = df.select(*cols, w.alias("_w"))
+    uni = base.select(*cols, F.explode("_w").alias("_g")).where(F.col("_g") != "")
+    pair = F.expr(
+        "transform(sequence(1, size(_w) - 1), i -> concat(_w[i - 1], ' ', _w[i]))"
+    )
+    bi = base.where(F.size("_w") >= 2).select(*cols, F.explode(pair).alias("_g"))
+    return uni.unionByName(bi).select(
+        *cols, F.pmod(hash60(F.col("_g")), F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-raw-document DSIR log importance weight under the hashed
+    n-gram model: (id, n_ngrams, logw), logw rounded to 4 decimals,
+    higher = more target-like. Documents with no n-grams (empty text)
+    yield no row — callers LEFT-join back if they need one per doc.
+
+    Every bucket a document hits is present in the raw count table by
+    construction (the raw counts are estimated over the same frame
+    being scored), so only the target side needs the coalesce-to-0
+    unseen arm."""
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (zero breaks unseen buckets)")
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+
+    def bucket_counts(frame: DataFrame) -> DataFrame:
+        return (
+            _doc_buckets(frame, id_col, text_col, n_buckets, keep_id=False)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    tgt = bucket_counts(target).withColumnRenamed("c", "c_tgt")
+    rawc = bucket_counts(raw).withColumnRenamed("c", "c_raw")
+    totals = (
+        tgt.agg(F.sum("c_tgt").alias("t_tgt"))
+        .crossJoin(rawc.agg(F.sum("c_raw").alias("t_raw")))
+    )
+    a, b = F.lit(float(alpha)), F.lit(float(n_buckets))
+    ratio = (
+        rawc.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce("c_tgt", F.lit(0)) + a)
+                - F.log(F.col("t_tgt") + a * b)
+                - F.log(F.col("c_raw") + a)
+                + F.log(F.col("t_raw") + a * b)
+            ).alias("log_ratio"),
+        )
+    )
+    per_doc = (
+        _doc_buckets(raw, id_col, text_col, n_buckets, keep_id=True)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .join(F.broadcast(ratio), "bucket")
+    )
+    return (
+        per_doc.groupBy(id_col)
+        .agg(
+            F.sum("c_doc").alias("n_ngrams"),
+            F.sum(F.col("c_doc") * F.col("log_ratio")).alias("_lw"),
+        )
+        .select(id_col, "n_ngrams", F.round("_lw", 4).alias("logw"))
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    top_n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The selection cut: top_n raw documents by importance weight,
+    deterministic (rounded logw desc, id asc) — the same distributed
+    TakeOrderedAndProject top-k discipline as bm25_topk, never a
+    single-partition window."""
+    w = importance_weights(
+        raw, target, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, alpha=alpha,
+    )
+    return w.orderBy(F.desc("logw"), F.asc(id_col)).limit(top_n)

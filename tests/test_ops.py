@@ -934,3 +934,48 @@ def test_bm25_serving_mode_equals_direct(spark):
             map(tuple, bm25_topk(d, q, top_n=10, index=idx).collect())
         )
         assert direct == served and direct
+
+
+def test_dsir_importance_weights_rank_target_like_docs(spark):
+    """Docs sharing the target's vocabulary must outweigh off-domain
+    docs; weights are deterministic; empty docs yield no row; the
+    top-n cut is (logw desc, id) stable."""
+    import pytest
+
+    from ocr_poc_spark.operators.dsir import dsir_select, importance_weights
+
+    raw = spark.createDataFrame(
+        [
+            (1, "the spark shuffle join optimizer plans the join"),
+            (2, "spark plans shuffle joins with the optimizer"),
+            (3, "cheap viagra casino bonus click here casino"),
+            (4, "casino bonus click viagra cheap cheap"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "the spark optimizer plans every shuffle join")],
+        "doc_id long, text string",
+    )
+    w = importance_weights(raw, target)
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # empty/NULL docs yield no row
+    assert rows[1]["logw"] > rows[3]["logw"]
+    assert rows[2]["logw"] > rows[4]["logw"]
+    # n_ngrams = unigrams + bigrams = 2*len - 1 for these docs
+    assert rows[1]["n_ngrams"] == 15 and rows[3]["n_ngrams"] == 13
+
+    again = {r["doc_id"]: r["logw"] for r in importance_weights(raw, target).collect()}
+    assert again == {k: r["logw"] for k, r in rows.items()}
+
+    top = dsir_select(raw, target, top_n=2)
+    assert [r["doc_id"] for r in top.collect()] == sorted(
+        [1, 2], key=lambda i: (-rows[i]["logw"], i)
+    )
+
+    with pytest.raises(ValueError, match="alpha"):
+        importance_weights(raw, target, alpha=0.0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        importance_weights(raw, target, n_buckets=0)
