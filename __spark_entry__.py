@@ -1084,6 +1084,23 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-then-dedup (similarity.semantic_dedup):
+    integer hashing-trick embeddings assigned to the 8 shared integer
+    centroids (broadcast, map-side), exact cosine pairs WITHIN each
+    cluster only, hub-safe connected components, one keeper per group.
+    Integer vectors + integer centroids make assignment, cosine and
+    closure bit-exactly recomputable in SQL."""
+    from ocr_poc_spark.operators.similarity import semantic_dedup
+    from ocr_poc_spark.operators.textstats import hash_embedding
+
+    emb = hash_embedding(_t(spark, sf_dir, "documents", spread=True), dim=16)
+    return semantic_dedup(
+        emb, _ivf_lookup_centroids(), id_col="doc_id",
+        cosine_threshold=0.99,
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR-style data selection (operators/dsir.py, after Xie et al.
     NeurIPS 2023): hashed unigram+bigram importance weights of every
@@ -1269,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "crawl_diff": q_crawl_diff,
         "dsir_weights": q_dsir_weights,
+        "semantic_dedup": q_semantic_dedup,
         "chunk_bpe": q_chunk_bpe,
         "extract_pipeline": q_extract_pipeline,
     }
@@ -2545,6 +2563,56 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc JOIN ratio ON per_doc.b = ratio.b
             GROUP BY doc_id
         """,
+        # SemDeDup: integer-exact recompute of the whole cluster-then-
+        # dedup chain — nearest-centroid assignment ((dist, ci) order),
+        # in-cluster cosine pairs at 0.99, recursive-CTE closure,
+        # min-id keeper. Same centroid literals as ann_ivf_lookup.
+        "semantic_dedup": f"""
+            WITH RECURSIVE {{_EVS}},
+            cent(ci, cv) AS (VALUES {{cent_rows}}),
+            assign AS (
+              SELECT doc_id, ci FROM (
+                SELECT v.doc_id, t.ci,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY v.doc_id
+                         ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> (v.v[i] - t.cv[i]) * (v.v[i] - t.cv[i]))),
+                           t.ci) AS rn
+                FROM vec v CROSS JOIN cent t)
+              WHERE rn = 1),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM vec a JOIN assign aa ON aa.doc_id = a.doc_id
+                   JOIN assign bb ON aa.ci = bb.ci
+                   JOIN vec b ON b.doc_id = bb.doc_id AND a.doc_id < b.doc_id
+              WHERE list_sum(list_transform(range(1, 17), i -> a.v[i] * b.v[i]))
+                      / NULLIF(
+                          sqrt(list_sum(list_transform(range(1, 17), i -> a.v[i] * a.v[i])))
+                          * sqrt(list_sum(list_transform(range(1, 17), i -> b.v[i] * b.v[i]))),
+                          0)
+                    >= 0.99),
+            e AS (SELECT id_a AS u, id_b AS v FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+                WHERE e2.v != r.u),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS component_id
+              FROM reach GROUP BY u)
+            SELECT c.doc_id, CAST(a2.ci AS INTEGER) AS cluster,
+                   c.component_id, (c.doc_id = c.component_id) AS keeper
+            FROM comp c JOIN assign a2 ON a2.doc_id = c.doc_id
+        """.format(
+            _EVS=_EMBED_VEC_SQL,
+            cent_rows=", ".join(
+                "({}, [{}])".format(
+                    i, ", ".join(f"{x:.1f}" for x in c)
+                )
+                for i, c in enumerate(_ivf_lookup_centroids())
+            )
+        ),
         # Leakage-safe splits: md5-hex15 bucket of the HOST, cumulative
         # thresholds in sorted split-name order (test 1000, train 9000,
         # val 10000 of denom 10000) — exactly split_corpus's arithmetic.

@@ -625,3 +625,110 @@ def ivf_ann_topk(
     return _rerank_pairs(
         _join_back_vectors(pairs, base, id_col, qvecs=qbase), k
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication: cluster, then dedup within clusters.
+# ---------------------------------------------------------------------------
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) nearest-centroid assignment under a supplied
+    quantizer — the standalone document-clustering primitive IVF and
+    semantic_dedup share. Centroids ride as the single-row broadcast
+    array (_with_centroids_col), so the pass is map-side: no vector
+    ever crosses an exchange and the plan is independent of k. Same
+    left-fold distance and (d, i) tie-break as every IVF path, so
+    assignments are bit-identical across the suite."""
+    if not centroids:
+        raise ValueError("assign_clusters: centroids is empty")
+    dim = len(centroids[0])
+    for i, c in enumerate(centroids):
+        if len(c) != dim:
+            raise ValueError(
+                f"assign_clusters: centroids[{i}] has {len(c)} dims, expected {dim}"
+            )
+    base = with_norm(df.select(id_col, vec_col), vec_col).where(
+        F.when(
+            F.size("_v") != F.lit(dim),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"assign_clusters: centroid dim={dim} but vector has "),
+                    F.size("_v").cast("string"),
+                    F.lit(" elements"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    return _with_centroids_col(base, centroids).select(
+        id_col,
+        "_v",
+        "_norm",
+        _sorted_centroid_dists(F.col("_v"))[0]["i"].alias("cluster"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023 — public): find
+    semantic duplicates by comparing embeddings ONLY within k-means
+    clusters, then resolve duplicate groups and mark one keeper each.
+    Returns (id, cluster, component_id, keeper) for every document in
+    at least one near-dup pair; docs with no semantic dup yield no row
+    (callers LEFT-join and treat null as keeper).
+
+    Scale shape: the all-pairs cosine is confined to each cluster —
+    candidate work is sum over clusters of |c|^2 ~ n^2/k instead of
+    n^2, the paper's trade. Assignment is map-side (broadcast
+    centroids); the pair join keys on the cluster id, and vectors DO
+    ride that one shuffle (they are needed for the in-cluster cosine) —
+    with k ~ n/1e5 each cluster is bounded and the per-key fan-in is
+    |c| rows. A pathological giant cluster degrades toward all-pairs:
+    re-cluster it with a finer quantizer before dedup (the same k~n
+    scaling rule BENCH/SCALE10X.md measures for IVF). Duplicate-group
+    resolution reuses the hub-degree-bounded connected_components, so
+    transitive chains collapse without any unbounded row."""
+    from .dedup import connected_components
+
+    assigned = assign_clusters(df, centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("cluster"),
+        F.col("_v").alias("v_a"), F.col("_norm").alias("n_a"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("cluster"),
+        F.col("_v").alias("v_b"), F.col("_norm").alias("n_b"),
+    )
+    cos = _cosine_or_null(_dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b"))
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.join(
+            assigned.select(F.col(id_col).alias("doc_id"), "cluster"), "doc_id"
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "cluster",
+            "component_id",
+            (F.col("doc_id") == F.col("component_id")).alias("keeper"),
+        )
+    )

@@ -979,3 +979,40 @@ def test_dsir_importance_weights_rank_target_like_docs(spark):
         importance_weights(raw, target, alpha=0.0)
     with pytest.raises(ValueError, match="n_buckets"):
         importance_weights(raw, target, n_buckets=0)
+
+
+def test_semantic_dedup_within_cluster_groups(spark):
+    """Near-dup groups resolve within clusters with one keeper (min
+    id); transitive chains collapse; pairs straddling a centroid
+    boundary are NOT emitted (the SemDeDup approximation, by
+    contract); dup-free docs yield no row; dim mismatch raises."""
+    import pytest
+
+    from ocr_poc_spark.operators.similarity import assign_clusters, semantic_dedup
+
+    centroids = [[10.0, 0.0], [0.0, 10.0]]
+    rows = [
+        (1, [9.0, 0.0]),     # cluster 0
+        (2, [9.0, 0.1]),     # ~dup of 1
+        (3, [8.9, 0.2]),     # ~dup of 2 (chain 1-2-3)
+        (4, [0.0, 9.0]),     # cluster 1
+        (5, [0.1, 9.0]),     # ~dup of 4
+        (6, [5.1, 5.0]),     # straddles the boundary -> cluster 0
+        (7, [5.0, 5.1]),     # near-identical to 6 but cluster 1
+        (8, [-9.0, 0.5]),    # no dup anywhere
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    asg = {r["vec_id"]: r["cluster"] for r in assign_clusters(d, centroids).collect()}
+    assert asg[6] == 0 and asg[7] == 1 and asg[1] == 0 and asg[4] == 1
+
+    out = {r["vec_id"]: r for r in semantic_dedup(d, centroids, cosine_threshold=0.999).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # 6/7 split by the boundary; 8 dup-free
+    assert {k: v["component_id"] for k, v in out.items()} == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    assert [k for k, v in out.items() if v["keeper"]] == [1, 4] or \
+        sorted(k for k, v in out.items() if v["keeper"]) == [1, 4]
+
+    with pytest.raises(ValueError, match="centroids is empty"):
+        semantic_dedup(d, [], cosine_threshold=0.9)
+    with pytest.raises(Exception, match="dim"):
+        semantic_dedup(d, [[1.0, 2.0, 3.0]], cosine_threshold=0.9).collect()

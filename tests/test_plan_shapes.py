@@ -209,3 +209,28 @@ def test_star_round_is_hub_degree_bounded(spark):
     assert "explode" not in plan.lower(), plan
     # scalar min aggregates carry partial combine: partial_min present
     assert "partial_min" in plan or "partial_least" in plan, plan
+
+
+def test_assign_clusters_is_map_side(spark):
+    """Nearest-centroid assignment must never shuffle: centroids ride a
+    broadcast single-row frame, so the only allowed Exchange-free
+    deviation is the BroadcastExchange of that one row."""
+    from ocr_poc_spark.operators.similarity import assign_clusters
+
+    d = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 7)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(assign_clusters(d, [[0.0, 0.0], [5.0, 5.0]]))
+    import re
+
+    non_broadcast = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange\b", ln) and "BroadcastExchange" not in ln
+    ]
+    # The single allowed Exchange is the k-row -> 1-row centroid
+    # roll-up feeding the broadcast (the load-bearing non-foldable
+    # barrier _with_centroids_col documents). The CORPUS side must
+    # never hash-shuffle: no hashpartitioning Exchange anywhere.
+    assert all("SinglePartition" in ln for ln in non_broadcast), plan
+    assert "hashpartitioning" not in plan, plan
