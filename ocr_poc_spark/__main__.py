@@ -87,6 +87,13 @@ def main(argv: list[str] | None = None) -> int:
              "longest-match over the committed vocab)",
     )
     ap.add_argument(
+        "--diff-against", metavar="OLD_PAGES", default=None,
+        help="incremental crawl mode: process only pages whose html "
+             "bytes are new or changed vs this previous pages snapshot "
+             "(same parquet/warc/iceberg forms as --input); unchanged "
+             "and deleted urls are skipped before extraction",
+    )
+    ap.add_argument(
         "--dedup-method", choices=["minhash", "simhash"], default="minhash",
         help="near-dup detector: MinHash+LSH (exact-Jaccard verified) or "
              "SimHash banding (pigeonhole-exact recall)",
@@ -116,6 +123,19 @@ def main(argv: list[str] | None = None) -> int:
     if done:
         print(f"resuming: {len(done)} bucket(s) already committed", file=sys.stderr)
     pages = read_pages(spark, args.input)
+    if args.diff_against:
+        from .operators.crawl import changed_slice
+
+        # Only ids + sha2 digests ride the diff join; the unchanged
+        # bulk of a rolling crawl never reaches extraction. Composes
+        # with manifest resume: the filtered frame just has fewer rows
+        # per bucket.
+        pages = changed_slice(
+            read_pages(spark, args.diff_against),
+            pages,
+            id_col="url",
+            content_col="html",
+        )
     summary = run_job(
         spark,
         pages,
@@ -125,6 +145,8 @@ def main(argv: list[str] | None = None) -> int:
         buckets_per_pass=args.buckets_per_pass,
         repartition=args.repartition,
     )
+    if args.diff_against:
+        summary["diff_against"] = args.diff_against
     if args.dedup:
         from .plans.job import run_dedup
 

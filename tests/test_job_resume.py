@@ -290,3 +290,43 @@ def test_cli_curate_max_ppl_gate(spark, pages_df, tmp_path):
     assert kept and all(
         r["ppl"] is not None and r["ppl"] <= thr for r in kept
     )
+
+
+def test_incremental_diff_job_extracts_only_changed(spark, pages_df, tmp_path):
+    """The --diff-against wiring: changed_slice(old, new) over html bytes
+    feeds run_job, so a rolling crawl processes only changed/added pages
+    — and their extracted rows byte-match a full run on the new snapshot."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.operators.crawl import changed_slice
+    from ocr_poc_spark.plans.job import run_job
+
+    old = pages_df
+    grp = F.crc32(F.col("url")) % 5
+    changed = old.where(grp == 0).withColumn(
+        "html", F.concat("html", F.lit(bytearray(b"<!-- recrawl v2 -->")))
+    )
+    kept = old.where((grp != 0) & (grp != 1))  # grp==1 urls: deleted
+    added = old.where(grp == 1).limit(5).select(
+        F.concat(F.lit("https://recrawl.example/"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    new = kept.unionByName(changed).unionByName(added)
+
+    work = changed_slice(old, new, id_col="url", content_col="html")
+    expect_urls = {r["url"] for r in changed.select("url").collect()} | {
+        r["url"] for r in added.select("url").collect()
+    }
+    assert {r["url"] for r in work.select("url").collect()} == expect_urls
+
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    s = run_job(spark, work, inc_dir, mode="fused", n_buckets=2)
+    assert s["rows_this_run"] == len(expect_urls)
+    run_job(spark, new, full_dir, mode="fused", n_buckets=2)
+
+    inc = _read_sorted(spark, inc_dir + "/extracted")
+    full = [
+        t for t in _read_sorted(spark, full_dir + "/extracted")
+        if t[0] in expect_urls
+    ]
+    assert inc == full
