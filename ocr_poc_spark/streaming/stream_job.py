@@ -310,3 +310,90 @@ def start_minhash_incremental_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_crawl_diff_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    state_dir: str,
+    max_files: int = 1,
+) -> StreamingQuery:
+    """Rolling-crawl change detection as a stream: each micro-batch of
+    newly-crawled pages is classified added / changed / unchanged
+    against the PERSISTED digest index of every url's most recent
+    earlier crawl — the streaming front-end of operators/crawl.crawl_diff
+    (a stream observes arrivals, so the batch diff's 'deleted' status
+    has no streaming analogue). Emits one row (url, status, digest) per
+    added/changed page to ``out_path/batch=K``; downstream feeds exactly
+    those urls to extraction, completing the incremental chain
+    diff -> extract (--diff-against) -> dedup (minhash incremental).
+
+    State under ``state_dir/digests/batch=K`` is (url, 64-hex digest)
+    only — never page bytes; ~80 bytes per crawl event, the minimum any
+    diff-against-history needs. A url re-crawled in several batches is
+    compared against its LATEST prior digest (max_by over the batch
+    column). Writes are partition-overwrite, so a replayed micro-batch
+    is idempotent, and a fresh checkpoint over stale state is refused
+    loudly (same contract as start_minhash_incremental_stream)."""
+
+    def _one_batch(bdf: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        s = bdf.sparkSession
+        digest = F.when(
+            F.col("html").isNull(), F.sha2(F.lit(""), 256)
+        ).otherwise(F.sha2(F.col("html"), 256))
+        # One digest per url per batch: a url crawled twice inside one
+        # micro-batch keeps its latest fetch (deterministic (warc_ts,
+        # digest) max — struct ordering breaks timestamp ties).
+        new_digests = (
+            bdf.select("url", F.struct("warc_ts", digest.alias("digest")).alias("_e"))
+            .groupBy("url")
+            .agg(F.max("_e").alias("_e"))
+            .select("url", F.col("_e.digest").alias("digest"))
+        )
+        try:
+            hist = s.read.parquet(f"{state_dir}/digests")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            hist = s.createDataFrame([], "url string, digest string, batch int")
+        stale = hist.select(F.max("batch").alias("m")).collect()[0]["m"]
+        if stale is not None and stale > batch_id:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds batches up to "
+                f"{stale} but this stream is at batch {batch_id}: resume "
+                "with the original checkpoint, or start with a fresh "
+                "state_dir"
+            )
+        prior = (
+            hist.where(F.col("batch") < batch_id)
+            .groupBy("url")
+            .agg(F.max_by("digest", "batch").alias("prior_digest"))
+        )
+        out = (
+            new_digests.join(prior, "url", "left")
+            .select(
+                "url",
+                F.when(F.col("prior_digest").isNull(), F.lit("added"))
+                .when(F.col("prior_digest") != F.col("digest"), F.lit("changed"))
+                .otherwise(F.lit("unchanged"))
+                .alias("status"),
+                "digest",
+            )
+            .where(F.col("status") != "unchanged")
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        new_digests.write.mode("overwrite").parquet(
+            f"{state_dir}/digests/batch={batch_id}"
+        )
+
+    pages = read_pages_stream(spark, in_path, max_files=max_files)
+    return (
+        pages.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

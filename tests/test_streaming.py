@@ -429,3 +429,67 @@ def test_stream_minhash_incremental_refuses_stale_state(spark, tmp_path):
     with pytest.raises(Exception, match="belong together"):
         q2.awaitTermination()
         raise RuntimeError(q2.exception() or "stream succeeded unexpectedly")
+
+
+def test_stream_crawl_diff_statuses_and_state(spark, tmp_path):
+    """Rolling-crawl change detection over THREE micro-batches: first
+    sight of a url is 'added', a re-crawl with different html bytes is
+    'changed' (vs the LATEST prior digest), identical re-crawls emit
+    nothing; state holds (url, digest, batch) rows only."""
+    import os
+
+    from ocr_poc_spark.streaming.stream_job import start_crawl_diff_stream
+
+    rows = gen_pages(9, seed=3)
+    # script the scenario on top of the fixture rows:
+    #   batch 0: A v1, B v1, X        batch 1: A v1 (same), C, Y
+    #   batch 2: A v2, B v2, Z
+    script = [
+        ("A", b"<html>a v1</html>"), ("B", b"<html>b v1</html>"), ("X", b"<html>x</html>"),
+        ("A", b"<html>a v1</html>"), ("C", b"<html>c</html>"), ("Y", b"<html>y</html>"),
+        ("A", b"<html>a v2</html>"), ("B", b"<html>b v2</html>"), ("Z", b"<html>z</html>"),
+    ]
+    for r, (u, h) in zip(rows, script):
+        r["url"], r["html"] = u, h
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for b in range(3):
+        chunk = rows[b * 3 : (b + 1) * 3]
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r["url"] for r in chunk], pa.string()),
+                    "warc_ts": pa.array(
+                        [r["warc_ts"] for r in chunk], pa.timestamp("us", tz="UTC")
+                    ),
+                    "html": pa.array([r["html"] for r in chunk], pa.binary()),
+                    "text": pa.array([r["text"] for r in chunk], pa.string()),
+                    "lang": pa.array([r["lang"] for r in chunk], pa.string()),
+                }
+            ),
+            f"{in_dir}/part-{b}.parquet",
+        )
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    q = start_crawl_diff_stream(
+        spark, in_dir, out, str(tmp_path / "ck"), state, max_files=1
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["batch"], r["url"]): r["status"]
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    assert got == {
+        (0, "A"): "added", (0, "B"): "added", (0, "X"): "added",
+        # batch 1: A unchanged (not emitted), C and Y new
+        (1, "C"): "added", (1, "Y"): "added",
+        (2, "A"): "changed", (2, "B"): "changed", (2, "Z"): "added",
+    }
+
+    hist = spark.read.parquet(f"{state}/digests")
+    assert set(hist.columns) == {"url", "digest", "batch"}
+    assert hist.count() == 9
+    assert sorted(
+        r["batch"] for r in hist.select("batch").distinct().collect()
+    ) == [0, 1, 2]
