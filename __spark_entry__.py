@@ -1159,6 +1159,63 @@ def q_crawl_diff(spark, sf_dir):
     return crawl_diff(docs, new, id_col="doc_id", content_col="text")
 
 
+def q_crawl_churn(spark, sf_dir):
+    """Per-host churn rollup (crawl.crawl_churn_stats) — the recrawl-
+    scheduling signal. Documents become urls 'https://<source>/doc/<id>'
+    so hosts are the source column; the new snapshot applies the same
+    deterministic edit as crawl_diff. Counts are exact; churn is a
+    round-6 ratio."""
+    from ocr_poc_spark.operators.crawl import crawl_churn_stats
+
+    docs = _t(spark, sf_dir, "documents", spread=True).select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+        F.col("doc_id").alias("_did"),
+    )
+    did = F.col("_did")
+    new = (
+        docs.where(did % 7 != 0)
+        .select(
+            "url",
+            F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(did % 11 == 0).select(
+                F.concat(F.lit("https://recrawl.example/doc/"), did.cast("string")).alias("url"),
+                "text",
+            )
+        )
+    )
+    return crawl_churn_stats(docs.select("url", "text"), new)
+
+
+def q_corpus_quantiles(spark, sf_dir):
+    """Distribution summary (textstats.corpus_quantiles, exact witness
+    variant): per-language doc-length percentiles + mean over the
+    documents table. Exact linear-interpolation percentile matches
+    DuckDB quantile_cont bit-for-bit on integer inputs (round 6 rides
+    any last-ulp divergence); the approx_percentile scale path is
+    pytest-bounded against this witness."""
+    from ocr_poc_spark.operators.textstats import corpus_quantiles
+
+    return corpus_quantiles(
+        _t(spark, sf_dir, "documents", spread=True),
+        "n_chars",
+        keys=["lang"],
+        ps=(0.25, 0.5, 0.9, 0.99),
+        exact=True,
+    ).select(
+        "lang", "n", F.round("mean", 6).alias("mean"),
+        F.round("p25", 6).alias("p25"), F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"), F.round("p99", 6).alias("p99"),
+    )
+
+
 def q_bm25_serve(spark, sf_dir):
     """Serving-mode BM25: build the persistable inverted file
     (search.bm25_index — (term, doc_id, tf, dl) rows, never text) and
@@ -1287,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
+        "crawl_churn": q_crawl_churn,
+        "corpus_quantiles": q_corpus_quantiles,
         "chunk_bpe": q_chunk_bpe,
         "extract_pipeline": q_extract_pipeline,
     }
@@ -2646,6 +2705,51 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS status,
                    o.old_digest, n.new_digest
             FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        # Churn rollup: same synthesis as crawl_diff but over
+        # 'https://<source>/doc/<id>' urls; host = regexp of the url;
+        # counts exact, churn round-6.
+        "crawl_churn": """
+            WITH docs AS (
+              SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     text, doc_id FROM documents),
+            newsnap AS (
+              SELECT url,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM docs WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT 'https://recrawl.example/doc/' || CAST(doc_id AS VARCHAR), text
+              FROM docs WHERE doc_id % 11 = 0),
+            o AS (SELECT url, sha256(COALESCE(text, '')) AS od FROM docs),
+            n AS (SELECT url, sha256(COALESCE(text, '')) AS nd FROM newsnap),
+            d AS (
+              SELECT COALESCE(o.url, n.url) AS url,
+                     CASE WHEN o.od IS NULL THEN 'added'
+                          WHEN n.nd IS NULL THEN 'deleted'
+                          WHEN o.od <> n.nd THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM o FULL OUTER JOIN n ON o.url = n.url)
+            SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                   COUNT(*) AS n_urls,
+                   SUM((status = 'added')::BIGINT) AS n_added,
+                   SUM((status = 'changed')::BIGINT) AS n_changed,
+                   SUM((status = 'deleted')::BIGINT) AS n_deleted,
+                   SUM((status = 'unchanged')::BIGINT) AS n_unchanged,
+                   ROUND((COUNT(*) - SUM((status = 'unchanged')::BIGINT))::DOUBLE
+                         / COUNT(*), 6) AS churn
+            FROM d GROUP BY 1
+        """,
+        # Exact percentile summary: quantile_cont's linear interpolation
+        # is the same rank p*(n-1) rule as Spark's percentile; integer
+        # inputs make it bit-equal, round-6 rides any ulp.
+        "corpus_quantiles": """
+            SELECT lang, COUNT(*) AS n,
+                   ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 6) AS mean,
+                   ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM documents GROUP BY lang
         """,
         # Serving-mode BM25: identical scoring, but corpus stats (N,
         # avg length) are those the inverted file can see — documents

@@ -90,3 +90,47 @@ def changed_slice(
     return new.join(
         work, on=F.col(id_col) == F.col("_work_id"), how="left_semi"
     )
+
+
+def crawl_churn_stats(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "url",
+    content_col: str = "text",
+    key=None,
+) -> DataFrame:
+    """Per-host churn rollup of a snapshot pair — the recrawl-scheduling
+    signal: hosts whose content churns (high added/changed/deleted
+    share) deserve a faster revisit cadence; static hosts can be
+    demoted. Returns one row per host: status counts + churn ratio
+    (non-unchanged share, round 6).
+
+    ``key`` is the grouping expression over the diff's id column
+    (default: the host of a url, hoststats.host_of — pass your own for
+    domain/TLD/prefix rollups). The groupBy key is a host string over
+    ids-only diff rows, so the whole rollup shuffles ~100 bytes per
+    url; zipfian host skew is absorbed by partial aggregation (counts
+    are associative — each input partition ships at most one row per
+    host)."""
+    from .hoststats import host_of
+
+    if key is None:
+        key = host_of(id_col)
+    diff = crawl_diff(old, new, id_col=id_col, content_col=content_col)
+    n_of = lambda s: F.sum((F.col("status") == s).cast("long")).alias(f"n_{s}")
+    return (
+        diff.groupBy(key.alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            n_of("added"),
+            n_of("changed"),
+            n_of("deleted"),
+            n_of("unchanged"),
+        )
+        .withColumn(
+            "churn",
+            F.round(
+                (F.col("n_urls") - F.col("n_unchanged")) / F.col("n_urls"), 6
+            ),
+        )
+    )

@@ -354,3 +354,52 @@ def bigram_lm_scores(
             ),
         )
     )
+
+
+def corpus_quantiles(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Distribution summary of a numeric column per group: count, mean,
+    and the requested percentiles as pNN columns — the corpus-health
+    dashboard a curation run reads (doc-length drift per language,
+    token-count tails per source, boilerplate-ratio spread).
+
+    ``exact=False`` (default, THE SCALE PATH) uses approx_percentile —
+    Spark's t-digest-style sketch: fixed memory per group regardless of
+    group size, rank error <= 1/accuracy, partial-merges map-side.
+    ``exact=True`` uses the exact sort-based percentile, which buffers
+    each group's values in the aggregation state — fine up to ~10^7
+    rows per group, a memory hazard on a 100 TB corpus; it exists as
+    the oracle-checkable witness (linear interpolation matches DuckDB
+    quantile_cont bit-for-bit on integer inputs) and the accuracy
+    reference the approx path is pytest-bounded against. Mean is
+    sum/count on integer-valued columns — exact in both engines."""
+    if not ps:
+        raise ValueError("corpus_quantiles: ps is empty")
+    if not all(0.0 <= p <= 1.0 for p in ps):
+        raise ValueError("corpus_quantiles: percentiles must be in [0, 1]")
+    arr = "array({})".format(", ".join(f"{p!r}D" for p in ps))
+    fn = (
+        f"percentile({value_col}, {arr})"
+        if exact
+        else f"approx_percentile({value_col}, {arr}, {accuracy})"
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col(value_col)) / F.count(F.lit(1))).alias("mean"),
+        F.expr(fn).alias("_q"),
+    ]
+    grouped = df.groupBy(*(keys or [])).agg(*aggs)
+    qcols = [
+        # p25/p50/p90/p99; fractional percentiles dot -> underscore (p99_9)
+        F.col("_q")[i].cast("double").alias(
+            "p" + ("%g" % (p * 100)).replace(".", "_")
+        )
+        for i, p in enumerate(ps)
+    ]
+    return grouped.select(*(keys or []), "n", "mean", *qcols)

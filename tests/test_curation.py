@@ -677,3 +677,33 @@ def test_crawl_diff_statuses_and_changed_slice(spark):
         for r in crawl_diff(b_old, b_new, content_col="html").collect()
     }
     assert got_b == {"u1": "changed", "u2": "unchanged"}
+
+
+def test_crawl_churn_stats_per_host(spark):
+    """Status counts and churn ratio roll up per host of the url."""
+    from ocr_poc_spark.operators.crawl import crawl_churn_stats
+
+    old = spark.createDataFrame(
+        [
+            ("https://a.example/1", "x1"),
+            ("https://a.example/2", "x2"),
+            ("https://a.example/3", "x3"),
+            ("https://b.example/1", "y1"),
+        ],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("https://a.example/1", "x1"),       # unchanged
+            ("https://a.example/2", "x2 v2"),    # changed
+            # a/3 deleted
+            ("https://b.example/1", "y1"),       # unchanged
+            ("https://b.example/2", "y2"),       # added
+        ],
+        "url string, text string",
+    )
+    got = {r["host"]: r for r in crawl_churn_stats(old, new).collect()}
+    a, b = got["a.example"], got["b.example"]
+    assert (a["n_urls"], a["n_added"], a["n_changed"], a["n_deleted"], a["n_unchanged"]) == (3, 0, 1, 1, 1)
+    assert (b["n_urls"], b["n_added"], b["n_changed"], b["n_deleted"], b["n_unchanged"]) == (2, 1, 0, 0, 1)
+    assert abs(a["churn"] - round(2 / 3, 6)) < 1e-9 and b["churn"] == 0.5

@@ -1016,3 +1016,33 @@ def test_semantic_dedup_within_cluster_groups(spark):
         semantic_dedup(d, [], cosine_threshold=0.9)
     with pytest.raises(Exception, match="dim"):
         semantic_dedup(d, [[1.0, 2.0, 3.0]], cosine_threshold=0.9).collect()
+
+
+def test_corpus_quantiles_exact_and_approx(spark):
+    """Exact path reproduces hand-computed linear interpolation; approx
+    (t-digest scale path) lands within rank-error bounds of exact;
+    invalid ps raise."""
+    import pytest
+
+    from ocr_poc_spark.operators.textstats import corpus_quantiles
+
+    vals = list(range(1, 101))  # 1..100 in one group
+    d = spark.createDataFrame([("g", v) for v in vals], "lang string, x long")
+    ex = corpus_quantiles(d, "x", keys=["lang"], ps=(0.25, 0.5, 0.99), exact=True)
+    r = ex.collect()[0]
+    assert set(ex.columns) == {"lang", "n", "mean", "p25", "p50", "p99"}
+    assert r["n"] == 100 and r["mean"] == 50.5
+    # exact percentile: rank p*(n-1) on the sorted values
+    assert r["p25"] == 1 + 0.25 * 99 and r["p50"] == 1 + 0.5 * 99
+    assert r["p99"] == 1 + 0.99 * 99
+
+    ap = corpus_quantiles(d, "x", keys=["lang"], ps=(0.25, 0.5, 0.99)).collect()[0]
+    for c in ("p25", "p50", "p99"):
+        assert abs(ap[c] - r[c]) <= 2.0  # 100 values, accuracy 10000
+
+    assert corpus_quantiles(d, "x", ps=(0.999,), exact=True).columns[-1] == "p99_9"
+
+    with pytest.raises(ValueError, match="ps is empty"):
+        corpus_quantiles(d, "x", ps=())
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        corpus_quantiles(d, "x", ps=(1.5,))
