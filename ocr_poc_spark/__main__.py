@@ -87,6 +87,18 @@ def main(argv: list[str] | None = None) -> int:
              "longest-match over the committed vocab)",
     )
     ap.add_argument(
+        "--split", metavar="NAME=FRAC[,..]", default=None,
+        help="after extraction, write a train/val/test assignment "
+             "(e.g. train=0.9,val=0.05,test=0.05); deterministic md5 "
+             "buckets keyed on the HOST (leakage-safe) unless "
+             "--split-by-url",
+    )
+    ap.add_argument(
+        "--split-by-url", action="store_true",
+        help="key --split buckets on the url instead of the host "
+             "(iid row-level splits; near-dups may straddle splits)",
+    )
+    ap.add_argument(
         "--diff-against", metavar="OLD_PAGES", default=None,
         help="incremental crawl mode: process only pages whose html "
              "bytes are new or changed vs this previous pages snapshot "
@@ -166,6 +178,16 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.job import run_decontaminate
 
         summary.update(run_decontaminate(spark, args.out, args.decontaminate))
+    if args.split:
+        from .plans.job import run_split
+
+        splits = {}
+        for part in args.split.split(","):
+            key, _, frac = part.partition("=")
+            splits[key.strip()] = float(frac)
+        summary.update(
+            run_split(spark, args.out, splits, by_host=not args.split_by_url)
+        )
     if args.sample:
         from .plans.job import run_sample
 

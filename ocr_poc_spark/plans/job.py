@@ -461,6 +461,39 @@ def run_sample(spark: SparkSession, out_dir: str, quotas: dict[str, float]) -> d
     return {"sample_rows": n, "sample_dir": smp_dir, "sample_quotas": quotas}
 
 
+def run_split(
+    spark: SparkSession,
+    out_dir: str,
+    splits: dict[str, float],
+    by_host: bool = True,
+) -> dict:
+    """Post-extraction train/val/test assignment: deterministic
+    md5-bucket splits of the extracted docs -> <out>/splits parquet
+    (url, host, split). Keyed on the HOST by default (leakage-safe:
+    near-dup pages within a site never straddle the train/test
+    boundary — curation.split_corpus); by_host=False keys on the url
+    for iid row-level splits. Map-only, reproducible under resume."""
+    from ..operators.curation import split_corpus
+    from ..operators.hoststats import host_of
+
+    docs = _curation_docs(spark, out_dir).select(
+        F.col("doc_id").alias("url"), host_of("doc_id").alias("host")
+    )
+    assigned = split_corpus(
+        docs, splits, id_col="url", by="host" if by_host else None
+    )
+    sp_dir = os.path.join(out_dir, "splits")
+    assigned.write.mode("overwrite").parquet(sp_dir)
+    counts = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(sp_dir)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {"split_dir": sp_dir, "split_rows": counts}
+
+
 def run_pack(
     spark: SparkSession,
     out_dir: str,

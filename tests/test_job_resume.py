@@ -330,3 +330,24 @@ def test_incremental_diff_job_extracts_only_changed(spark, pages_df, tmp_path):
         if t[0] in expect_urls
     ]
     assert inc == full
+
+
+def test_cli_split_stage(spark, pages_df, tmp_path):
+    """--split writes a leakage-safe host-keyed assignment over the
+    curation docs: every doc of a host in one split, counts exhaust the
+    corpus, re-run reproduces identically."""
+    from ocr_poc_spark.plans.job import run_job, run_split
+
+    out = str(tmp_path / "sp")
+    run_job(spark, pages_df, out, mode="fused", n_buckets=2)
+    res = run_split(spark, out, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = spark.read.parquet(res["split_dir"]).collect()
+    assert sum(res["split_rows"].values()) == len(rows) > 0
+    assert set(res["split_rows"]) <= {"train", "val", "test"}
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_host.values())
+
+    again = run_split(spark, out, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert again["split_rows"] == res["split_rows"]
