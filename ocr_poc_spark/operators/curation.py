@@ -220,6 +220,10 @@ def split_corpus(
     pure function of (splits, by-key)."""
     if not splits:
         raise ValueError("split_corpus: splits is empty")
+    if any(v < 0 for v in splits.values()):
+        # negative fractions can cancel inside the sum check and then
+        # produce non-monotone thresholds (unreachable splits)
+        raise ValueError("split_corpus: fractions must be non-negative")
     cum, edges = 0, []
     for name in sorted(splits):
         cum += int(round(splits[name] * denom))

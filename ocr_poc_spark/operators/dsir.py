@@ -100,6 +100,17 @@ def importance_weights(
         .crossJoin(rawc.agg(F.sum("c_raw").alias("t_raw")))
     )
     a, b = F.lit(float(alpha)), F.lit(float(n_buckets))
+    # An empty target corpus (no n-grams at all) must fail loudly: its
+    # total is a NULL sum, which would propagate to an all-NULL logw
+    # column that downstream thresholds silently treat as "select
+    # nothing". In-plan raise_error (no extra driver action), the same
+    # guard style as ivf_ann_topk's dim check.
+    t_tgt_checked = F.when(
+        F.col("t_tgt").isNull(),
+        F.raise_error(
+            F.lit("importance_weights: target corpus has no n-grams")
+        ).cast("double"),
+    ).otherwise(F.col("t_tgt"))
     ratio = (
         rawc.join(tgt, "bucket", "left")
         .crossJoin(F.broadcast(totals))
@@ -107,7 +118,7 @@ def importance_weights(
             "bucket",
             (
                 F.log(F.coalesce("c_tgt", F.lit(0)) + a)
-                - F.log(F.col("t_tgt") + a * b)
+                - F.log(t_tgt_checked + a * b)
                 - F.log(F.col("c_raw") + a)
                 + F.log(F.col("t_raw") + a * b)
             ).alias("log_ratio"),

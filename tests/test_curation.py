@@ -707,3 +707,13 @@ def test_crawl_churn_stats_per_host(spark):
     assert (a["n_urls"], a["n_added"], a["n_changed"], a["n_deleted"], a["n_unchanged"]) == (3, 0, 1, 1, 1)
     assert (b["n_urls"], b["n_added"], b["n_changed"], b["n_deleted"], b["n_unchanged"]) == (2, 1, 0, 0, 1)
     assert abs(a["churn"] - round(2 / 3, 6)) < 1e-9 and b["churn"] == 0.5
+
+
+def test_split_corpus_rejects_negative_fractions(spark):
+    import pytest
+
+    from ocr_poc_spark.operators.curation import split_corpus
+
+    d = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="non-negative"):
+        split_corpus(d, {"train": 1.2, "val": -0.2})

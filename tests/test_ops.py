@@ -1046,3 +1046,16 @@ def test_corpus_quantiles_exact_and_approx(spark):
         corpus_quantiles(d, "x", ps=())
     with pytest.raises(ValueError, match="in \\[0, 1\\]"):
         corpus_quantiles(d, "x", ps=(1.5,))
+
+
+def test_dsir_empty_target_raises_in_plan(spark):
+    """An empty target corpus must fail loudly, never emit all-NULL
+    weights (a silent select-nothing)."""
+    import pytest
+
+    from ocr_poc_spark.operators.dsir import importance_weights
+
+    raw = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(Exception, match="target corpus has no n-grams"):
+        importance_weights(raw, empty).collect()
