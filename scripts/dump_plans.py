@@ -144,6 +144,41 @@ def main() -> None:
             "top-k survivors.",
             em.queries()["corpus_pipeline"](spark, sf),
         ),
+        (
+            "DSIR importance weights",
+            "The bucket log-ratio table (<= n_buckets rows) arrives by "
+            "BroadcastExchange; the only hash exchanges carry (id, int "
+            "bucket, long count) rows from the per-doc partial-combined "
+            "groupBys — never text. Corpus totals are single-row "
+            "aggregates cross-joined as broadcasts.",
+            em.queries()["dsir_weights"](spark, sf),
+        ),
+        (
+            "SemDeDup semantic dedup (result join of the component stage)",
+            "Nearest-centroid assignment is map-side (single-row "
+            "broadcast centroid array; plan-guarded in "
+            "test_plan_shapes). The in-cluster pair join is the one "
+            "place vectors deliberately ride a shuffle — keyed on the "
+            "cluster id, bounded by cluster size (k must scale with n; "
+            "see SCALE10X). Components run eagerly upstream (Scan "
+            "ExistingRDD here).",
+            em.queries()["semantic_dedup"](spark, sf),
+        ),
+        (
+            "Crawl snapshot diff",
+            "Both snapshots project to (id, 64-hex sha2) BEFORE the "
+            "full-outer SortMergeJoin — ~80 bytes per url through the "
+            "exchanges, page bytes never leave the scan.",
+            em.queries()["crawl_diff"](spark, sf),
+        ),
+        (
+            "BM25 serving mode (inverted-file scoring)",
+            "The query-term filter prunes the index scan; per-term df "
+            "and corpus stats are tiny broadcast aggregates; the top-k "
+            "is TakeOrderedAndProject (per-partition heaps), never a "
+            "global window.",
+            em.queries()["bm25_serve"](spark, sf),
+        ),
     ]
 
     out = ["# PLANS — physical plans of headline operators\n"]
