@@ -69,6 +69,17 @@ def main(argv: list[str] | None = None) -> int:
              "benchmark corpus (parquet with a text column)",
     )
     ap.add_argument(
+        "--select-target", metavar="TARGET_PARQUET", default=None,
+        help="after extraction, DSIR-score every doc against this "
+             "target exemplar corpus (parquet with a text column) and "
+             "write a selection keep-list; requires --select-top",
+    )
+    ap.add_argument(
+        "--select-top", type=int, default=None,
+        help="number of most-target-like docs to mark selected "
+             "(--pack then packs only those)",
+    )
+    ap.add_argument(
         "--pack", action="store_true",
         help="after extraction (and any curation/dedup stages), chunk "
              "kept docs and pack fixed-length training sequences",
@@ -124,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
             f"--chunk-stride ({args.chunk_stride}) > --chunk-tokens "
             f"({args.chunk_tokens}) would drop words between windows"
         )
+    if (args.select_target is None) != (args.select_top is None):
+        ap.error("--select-target and --select-top go together")
+    if args.select_top is not None and args.select_top <= 0:
+        ap.error("--select-top must be positive")
     if args.dedup_clusters:
         # clusters are resolved from the pair stage's output; asking for
         # them implies running it (silently ignoring the flag would
@@ -207,6 +222,12 @@ def main(argv: list[str] | None = None) -> int:
                 max_per_host=args.host_cap,
                 max_ppl=args.max_ppl,
             )
+        )
+    if args.select_target:
+        from .plans.job import run_select
+
+        summary.update(
+            run_select(spark, args.out, args.select_target, args.select_top)
         )
     if args.pack:
         from .plans.job import run_pack

@@ -494,6 +494,53 @@ def run_split(
     return {"split_dir": sp_dir, "split_rows": counts}
 
 
+def run_select(
+    spark: SparkSession,
+    out_dir: str,
+    target_path: str,
+    top_n: int,
+) -> dict:
+    """Post-extraction DSIR selection pass (operators/dsir.py): score
+    every extracted doc's hashed-ngram importance weight against a
+    TARGET exemplar corpus (parquet with a text column, like the
+    --decontaminate benchmark input) and mark the top_n most
+    target-like -> <out>/selection parquet (url, n_ngrams, logw,
+    selected). The full weight table is kept (not just the cut) so the
+    threshold can be re-drawn without re-scoring; --pack honors the
+    selected flag via LEFT SEMI. Deterministic (rounded logw desc, url)
+    cut; idempotent overwrite like every post-stage."""
+    from ..operators.dsir import importance_weights
+
+    docs = _curation_docs(spark, out_dir).select(
+        F.col("doc_id"), F.col("text")
+    )
+    target = spark.read.parquet(target_path).select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    )
+    w = importance_weights(docs, target, id_col="doc_id").localCheckpoint(
+        eager=True
+    )
+    top = (
+        w.orderBy(F.desc("logw"), F.asc("doc_id"))
+        .limit(top_n)
+        .select("doc_id", F.lit(True).alias("_sel"))
+    )
+    sel = w.join(top, "doc_id", "left").select(
+        F.col("doc_id").alias("url"),
+        "n_ngrams",
+        "logw",
+        F.coalesce("_sel", F.lit(False)).alias("selected"),
+    )
+    sel_dir = os.path.join(out_dir, "selection")
+    sel.write.mode("overwrite").parquet(sel_dir)
+    out = spark.read.parquet(sel_dir)
+    return {
+        "selection_dir": sel_dir,
+        "selection_rows": out.count(),
+        "selection_kept": out.where("selected").count(),
+    }
+
+
 def run_pack(
     spark: SparkSession,
     out_dir: str,
@@ -532,6 +579,13 @@ def run_pack(
         )
         docs = docs.join(losers, "doc_id", "left_anti")
         filters.append("dedup_keepers")
+    sel_dir = os.path.join(out_dir, "selection")
+    if os.path.isdir(sel_dir):
+        chosen = spark.read.parquet(sel_dir).where("selected").select(
+            F.col("url").alias("doc_id")
+        )
+        docs = docs.join(chosen, "doc_id", "left_semi")
+        filters.append("dsir_selection")
     chunks = chunk_documents(
         docs, id_col="doc_id", text_col="text",
         chunk_tokens=chunk_tokens, stride=chunk_stride, tokenizer=tokenizer,

@@ -351,3 +351,50 @@ def test_cli_split_stage(spark, pages_df, tmp_path):
 
     again = run_split(spark, out, {"train": 0.8, "val": 0.1, "test": 0.1})
     assert again["split_rows"] == res["split_rows"]
+
+
+def test_cli_select_stage_composes_with_pack(spark, pages_df, tmp_path):
+    """DSIR selection stage: docs most like the target exemplars are
+    marked selected; --pack then packs only those."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_job, run_pack, run_select
+
+    out = str(tmp_path / "sel")
+    run_job(spark, pages_df, out, mode="fused", n_buckets=2)
+
+    # target = the bodies of 5 extracted docs -> those docs (and their
+    # look-alikes) must score highest
+    bodies = (
+        spark.read.parquet(out + "/extracted")
+        .where("success AND body_text IS NOT NULL")
+        .select("url", "body_text")
+        .orderBy("url")
+        .limit(5)
+    )
+    target_path = str(tmp_path / "target.parquet")
+    bodies.select(F.col("body_text").alias("text")).write.parquet(target_path)
+    target_urls = {r["url"] for r in bodies.collect()}
+
+    res = run_select(spark, out, target_path, top_n=10)
+    sel = spark.read.parquet(res["selection_dir"])
+    assert res["selection_kept"] == 10
+    assert res["selection_rows"] == sel.count() > 10
+    chosen = {r["url"] for r in sel.where("selected").collect()}
+    # logw is a whole-doc log-likelihood ratio (length-weighted sum),
+    # so a short exemplar can rank under a long target-like doc — the
+    # robust claim is that every exemplar scores in the top half of
+    # the corpus, not that all five make the top-10 cut.
+    med = sel.agg(F.expr("percentile(logw, 0.5)")).collect()[0][0]
+    ex = {r["url"]: r["logw"] for r in sel.collect() if r["url"] in target_urls}
+    assert len(ex) == len(target_urls)
+    assert all(v > med for v in ex.values())
+    assert target_urls & chosen  # and at least one makes the cut
+
+    packed = run_pack(spark, out, seq_len=64, chunk_tokens=32, chunk_stride=32)
+    assert "dsir_selection" in packed["packed_filters"]
+    packed_urls = {
+        r["doc_id"]
+        for r in spark.read.parquet(packed["packed_dir"]).select("doc_id").distinct().collect()
+    }
+    assert packed_urls <= chosen
