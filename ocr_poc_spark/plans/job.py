@@ -347,7 +347,25 @@ def run_corpus_stats(spark: SparkSession, out_dir: str) -> dict:
     stats_dir = os.path.join(out_dir, "corpus_stats")
     stats.write.mode("overwrite").parquet(stats_dir)
     n = spark.read.parquet(stats_dir).count()
-    return {"corpus_stats_rows": n, "corpus_stats_dir": stats_dir}
+    # Corpus-health profile: per-language doc-length distribution
+    # (t-digest approx_percentile — fixed memory per group at any
+    # corpus size; textstats.corpus_quantiles). The dashboard row a
+    # crawl operator actually watches for drift between snapshots.
+    from ..operators.textstats import corpus_quantiles
+
+    profile = corpus_quantiles(
+        docs.select("lang_guess", F.length("text").alias("n_chars")),
+        "n_chars",
+        keys=["lang_guess"],
+    )
+    profile_dir = os.path.join(out_dir, "corpus_profile")
+    profile.write.mode("overwrite").parquet(profile_dir)
+    return {
+        "corpus_stats_rows": n,
+        "corpus_stats_dir": stats_dir,
+        "corpus_profile_dir": profile_dir,
+        "corpus_profile_rows": spark.read.parquet(profile_dir).count(),
+    }
 
 
 def run_curate(

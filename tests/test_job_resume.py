@@ -398,3 +398,23 @@ def test_cli_select_stage_composes_with_pack(spark, pages_df, tmp_path):
         for r in spark.read.parquet(packed["packed_dir"]).select("doc_id").distinct().collect()
     }
     assert packed_urls <= chosen
+
+
+def test_cli_corpus_stats_writes_profile(spark, pages_df, tmp_path):
+    """--corpus-stats writes per-doc signals AND the per-language
+    length-distribution profile (approx t-digest quantiles)."""
+    from ocr_poc_spark.plans.job import run_corpus_stats, run_job
+
+    out = str(tmp_path / "cs")
+    run_job(spark, pages_df, out, mode="fused", n_buckets=2)
+    res = run_corpus_stats(spark, out)
+    assert res["corpus_stats_rows"] > 0
+    prof = spark.read.parquet(res["corpus_profile_dir"]).collect()
+    assert res["corpus_profile_rows"] == len(prof) > 0
+    assert {"lang_guess", "n", "mean", "p25", "p50", "p90", "p99"} <= set(
+        prof[0].asDict()
+    )
+    for r in prof:
+        assert r["p25"] <= r["p50"] <= r["p90"] <= r["p99"]
+        assert r["n"] > 0
+    assert sum(r["n"] for r in prof) == res["corpus_stats_rows"]
