@@ -455,6 +455,7 @@ def test_stream_crawl_diff_statuses_and_state(spark, tmp_path):
     os.makedirs(in_dir)
     for b in range(3):
         chunk = rows[b * 3 : (b + 1) * 3]
+        path = f"{in_dir}/part-{b}.parquet"
         pq.write_table(
             pa.table(
                 {
@@ -467,8 +468,13 @@ def test_stream_crawl_diff_statuses_and_state(spark, tmp_path):
                     "lang": pa.array([r["lang"] for r in chunk], pa.string()),
                 }
             ),
-            f"{in_dir}/part-{b}.parquet",
+            path,
         )
+        # FileStreamSource picks files by MODIFICATION TIME under
+        # maxFilesPerTrigger; three files written back-to-back collide
+        # at mtime granularity and the batch order flips run to run.
+        # A rolling crawl's batch order is its arrival order — pin it.
+        os.utime(path, (1_700_000_000 + b, 1_700_000_000 + b))
 
     out, state = str(tmp_path / "out"), str(tmp_path / "state")
     q = start_crawl_diff_stream(
