@@ -1159,6 +1159,36 @@ def q_crawl_diff(spark, sf_dir):
     return crawl_diff(docs, new, id_col="doc_id", content_col="text")
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/timeseries.py): for every click
+    event, the user's latest prior-or-same-instant view — the canonical
+    time-series join Spark lacks natively, formulated as union +
+    carry-forward window (one exchange, one sort, NO join node, output
+    exactly |L| rows). Oracle = DuckDB's NATIVE ASOF LEFT JOIN — a
+    fully independent implementation of the same semantics. Timestamps
+    compare as integer microseconds."""
+    from ocr_poc_spark.operators.timeseries import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, views, on="user_id", ts_col="ts", tie_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("view_ts_us"),
+        F.col("event_id_asof").alias("view_event_id"),
+        F.round("value_asof", 6).alias("view_value"),
+    )
+
+
 def q_crawl_churn(spark, sf_dir):
     """Per-host churn rollup (crawl.crawl_churn_stats) — the recrawl-
     scheduling signal. Documents become urls 'https://<source>/doc/<id>'
@@ -1344,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
+        "asof_join": q_asof_join,
         "crawl_churn": q_crawl_churn,
         "corpus_quantiles": q_corpus_quantiles,
         "chunk_bpe": q_chunk_bpe,
@@ -2705,6 +2736,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS status,
                    o.old_digest, n.new_digest
             FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
+        # As-of oracle: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+        # engine implementation of backward-inclusive as-of semantics.
+        # Right side pre-collapsed to one row per (user, ts) by max
+        # event_id, mirroring tie_col; epoch_us for integer comparison.
+        "asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            r0 AS (SELECT user_id, ts, event_id, value FROM events
+                   WHERE event_type = 'view' AND ts IS NOT NULL),
+            r AS (SELECT user_id, ts,
+                         arg_max(event_id, event_id) AS event_id,
+                         arg_max(value, event_id) AS value
+                  FROM r0 GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                   epoch_us(r.ts) AS view_ts_us,
+                   r.event_id AS view_event_id,
+                   ROUND(r.value, 6) AS view_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # Churn rollup: same synthesis as crawl_diff but over
         # 'https://<source>/doc/<id>' urls; host = regexp of the url;

@@ -1,0 +1,118 @@
+"""Time-series operators over event streams.
+
+`asof_join` — backward as-of join: attach to every left event the
+right-side row with the greatest timestamp <= the left timestamp for
+the same key ("the latest known state at event time": last page view
+before a click, last price quote before a trade, last sensor reading
+before an alert). The canonical time-series join kv-stores and
+kdb/pandas (`merge_asof`) ship natively and Spark does not.
+
+Spark-first formulation: the naive theta-join (r.ts <= l.ts, then pick
+the max) explodes to |L|x|R| rows per key before pruning. Instead, tag
+both sides, UNION them, and carry the latest right payload forward
+with last(ignorenulls) over ONE (key, time)-ordered window:
+
+    cost  = one hash exchange on the key + one sort   (no join at all)
+    output = exactly |L| rows
+
+Scale notes (100 TB): the window is partitioned by the join key, so
+state per task is one carried payload struct — constant memory, no
+WindowExec buffering beyond the sort. A zipf-hot key concentrates its
+events in one partition's SORT (not a cross product); if one key's
+history exceeds a task, pre-bucket time ranges and seed each bucket
+with the previous bucket's closing state (the standard watermark
+chunking; not needed below ~10^8 events per key). Rows, not vectors,
+ride the shuffle.
+
+Reference parity: the reference has no temporal joins (stateless
+per-document service); this operator is LLM-pipeline/event-analytics
+breadth (SURVEY §2.4 join family), sibling of the zone/band/range
+joins in operators/zones.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    tie_col: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row: the right row with the greatest ts <= left.ts
+    sharing the key(s) `on` (backward-inclusive). Returns all left
+    columns plus `<ts_col><suffix>` and each requested right column as
+    `<col><suffix>` (NULL where no right row precedes).
+
+    ``right_cols`` defaults to every right column except the keys and
+    the timestamp. ``tie_col``: when the right side can hold several
+    rows at the same (key, ts), the one with the maximum tie_col wins
+    deterministically (they are collapsed BEFORE the window — the
+    window ordering alone would pick an arbitrary survivor). Left rows
+    with NULL timestamps match nothing."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, ts_col)]
+    # A NULL-timestamped right row has no position on the timeline —
+    # under nulls-first ordering it would be "carried" into every real
+    # row as the oldest state. Drop it here instead.
+    r = right.select(*keys, ts_col, *right_cols).where(
+        F.col(ts_col).isNotNull()
+    )
+    if tie_col is not None:
+        r = r.groupBy(*keys, ts_col).agg(
+            *[
+                F.expr(f"max_by({c}, {tie_col})").alias(c)
+                for c in right_cols
+            ]
+        )
+    payload = F.struct(
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    r_tagged = r.select(
+        *keys,
+        F.col(ts_col).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns],
+    )
+    l_tagged = left.select(
+        *keys,
+        F.col(ts_col).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_p"].dataType).alias("_p"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    # Equal timestamps: right (_side 0) sorts before left (_side 1), so
+    # a same-instant right row IS visible to the left row — backward-
+    # INCLUSIVE, matching DuckDB/pandas asof semantics.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("_t"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # NULL-ts LEFT rows are preserved with a NULL match (left-join
+    # semantics); the when() guard stops them from reading whatever the
+    # nulls-first sort happened to place before them.
+    carried = F.when(
+        F.col("_t").isNotNull(), F.last("_p", ignorenulls=True).over(w)
+    )
+    out = (
+        r_tagged.unionByName(l_tagged)
+        .withColumn("_carried", carried)
+        .where(F.col("_side") == 1)
+    )
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        F.col(f"_carried.{ts_col}{suffix}").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"_carried.{c}{suffix}").alias(f"{c}{suffix}")
+          for c in right_cols],
+    )

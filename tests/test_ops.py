@@ -1059,3 +1059,35 @@ def test_dsir_empty_target_raises_in_plan(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(Exception, match="target corpus has no n-grams"):
         importance_weights(raw, empty).collect()
+
+
+def test_asof_join_backward_semantics(spark):
+    """Backward-inclusive as-of: latest right row with ts <= left ts per
+    key; same-instant rows match; (key, ts) ties resolved by tie_col;
+    NULL-ts right rows never carried; NULL-ts left rows kept with a
+    NULL match; output is exactly |L| rows."""
+    from ocr_poc_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l10"), (1, 5, "l5"), (1, 2, "l2"), (2, 7, "l7"),
+         (3, 4, "l4"), (1, None, "lnull")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 9, 100, "a"), (1, 2, 101, "b"), (1, 2, 102, "b2"),
+         (2, 8, 103, "c"), (2, None, 104, "never"),],
+        "k long, ts long, rid long, v string",
+    )
+    out = asof_join(left, right, on="k", tie_col="rid")
+    rows = {(r["k"], r["ts"]): (r["ts_asof"], r["rid_asof"], r["v_asof"])
+            for r in out.collect()}
+    assert len(rows) == 6 and out.count() == 6
+    assert rows[(1, 10)] == (9, 100, "a")
+    assert rows[(1, 5)] == (2, 102, "b2")   # tie at ts=2 -> max rid wins
+    assert rows[(1, 2)] == (2, 102, "b2")   # same-instant inclusive
+    assert rows[(2, 7)] == (None, None, None)  # only later/NULL right rows
+    assert rows[(3, 4)] == (None, None, None)  # key absent on right
+    assert rows[(1, None)] == (None, None, None)
+
+    # column subset + all left columns preserved
+    assert set(out.columns) == {"k", "ts", "tag", "ts_asof", "rid_asof", "v_asof"}

@@ -234,3 +234,23 @@ def test_assign_clusters_is_map_side(spark):
     # never hash-shuffle: no hashpartitioning Exchange anywhere.
     assert all("SinglePartition" in ln for ln in non_broadcast), plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_asof_join_has_no_join_node(spark):
+    """The as-of formulation's whole point: union + carry-forward
+    window — ONE hash exchange on the key, ONE partitioned window, and
+    no Join operator anywhere (a theta-join formulation would explode
+    |L|x|R| per key)."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.q_asof_join(spark, "/root/testdata/sf0.001"))
+    assert not re.search(r"Join", plan), plan
+    assert "Window" in plan, plan
+    exchanges = [
+        ln for ln in plan.splitlines() if re.search(r"\bExchange hashpartitioning", ln)
+    ]
+    # tie-col collapse + window may each demand the same user_id
+    # clustering; ENSURE_REQUIREMENTS reuses it — allow at most 2.
+    assert 1 <= len(exchanges) <= 2, plan
