@@ -117,9 +117,16 @@ def main(argv: list[str] | None = None) -> int:
              "and deleted urls are skipped before extraction",
     )
     ap.add_argument(
-        "--dedup-method", choices=["minhash", "simhash"], default="minhash",
-        help="near-dup detector: MinHash+LSH (exact-Jaccard verified) or "
-             "SimHash banding (pigeonhole-exact recall)",
+        "--dedup-method", choices=["minhash", "simhash", "semantic"],
+        default="minhash",
+        help="near-dup detector: MinHash+LSH (exact-Jaccard verified), "
+             "SimHash banding (pigeonhole-exact recall), or semantic "
+             "(SemDeDup: k-means-clustered hashing-trick embeddings, "
+             "in-cluster cosine — catches paraphrase-level dups)",
+    )
+    ap.add_argument(
+        "--semantic-threshold", type=float, default=0.92,
+        help="cosine threshold for --dedup-method semantic",
     )
     ap.add_argument(
         "--dedup-clusters", action="store_true",
@@ -182,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark,
                 args.out,
                 method=args.dedup_method,
+                semantic_threshold=args.semantic_threshold,
                 clusters=args.dedup_clusters,
             )
         )

@@ -673,6 +673,40 @@ def assign_clusters(
     )
 
 
+def semantic_near_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """In-cluster semantic near-dup pairs: (id_a, id_b, cosine) for
+    pairs sharing a nearest centroid with exact cosine >= threshold —
+    the pair stage of SemDeDup, exposed standalone so the CLI dedup
+    stage can write a pair table like the MinHash/SimHash methods.
+    ``assigned``: pass a pre-computed assign_clusters frame to share it
+    with a downstream component join (semantic_dedup does)."""
+    if assigned is None:
+        assigned = assign_clusters(df, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("cluster"),
+        F.col("_v").alias("v_a"), F.col("_norm").alias("n_a"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("cluster"),
+        F.col("_v").alias("v_b"), F.col("_norm").alias("n_b"),
+    )
+    cos = _cosine_or_null(_dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b"))
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],
@@ -683,10 +717,11 @@ def semantic_dedup(
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", 2023 — public): find
     semantic duplicates by comparing embeddings ONLY within k-means
-    clusters, then resolve duplicate groups and mark one keeper each.
-    Returns (id, cluster, component_id, keeper) for every document in
-    at least one near-dup pair; docs with no semantic dup yield no row
-    (callers LEFT-join and treat null as keeper).
+    clusters (semantic_near_pairs), then resolve duplicate groups and
+    mark one keeper each. Returns (id, cluster, component_id, keeper)
+    for every document in at least one near-dup pair; docs with no
+    semantic dup yield no row (callers LEFT-join and treat null as
+    keeper).
 
     Scale shape: the all-pairs cosine is confined to each cluster —
     candidate work is sum over clusters of |c|^2 ~ n^2/k instead of
@@ -704,22 +739,9 @@ def semantic_dedup(
     assigned = assign_clusters(df, centroids, id_col, vec_col).localCheckpoint(
         eager=True
     )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col("cluster"),
-        F.col("_v").alias("v_a"), F.col("_norm").alias("n_a"),
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col("cluster"),
-        F.col("_v").alias("v_b"), F.col("_norm").alias("n_b"),
-    )
-    cos = _cosine_or_null(_dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b"))
-    pairs = (
-        a.join(b, "cluster")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= cosine_threshold)
-        .select("id_a", "id_b")
-    )
+    pairs = semantic_near_pairs(
+        df, centroids, id_col, vec_col, cosine_threshold, assigned=assigned
+    ).select("id_a", "id_b")
     comps = connected_components(pairs)
     return (
         comps.join(

@@ -285,6 +285,7 @@ def run_dedup(
     jaccard_threshold: float = 0.8,
     method: str = "minhash",
     max_hamming: int = 3,
+    semantic_threshold: float = 0.92,
     clusters: bool = False,
 ) -> dict:
     """Post-extraction near-duplicate pass over the extracted corpus
@@ -293,6 +294,10 @@ def run_dedup(
     method='minhash': MinHash+LSH banding verified by exact shingle
     Jaccard >= jaccard_threshold. method='simhash': 60-bit fingerprint
     banding with pigeonhole-exact recall at hamming <= max_hamming.
+    method='semantic': SemDeDup — hashing-trick embeddings, k-means
+    quantizer with k ~ sqrt(n) learned on the corpus, exact cosine
+    pairs within clusters (cosine >= semantic_threshold; catches
+    paraphrase-level duplication the token-overlap methods miss).
 
     clusters=True additionally resolves the pair list into duplicate
     components (transitive closure: "A~B, B~C" collapses even when A~C
@@ -310,6 +315,22 @@ def run_dedup(
         pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
     elif method == "simhash":
         pairs = simhash_near_pairs(docs, max_hamming=max_hamming)
+    elif method == "semantic":
+        from ..operators.similarity import kmeans_centroids, semantic_near_pairs
+        from ..operators.textstats import hash_embedding
+
+        emb = hash_embedding(docs, dim=64).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        n = emb.count()
+        cents = kmeans_centroids(
+            emb, n_centroids=max(8, int(n ** 0.5)), dim=64, n_iter=3
+        )
+        pairs = semantic_near_pairs(
+            emb, cents, cosine_threshold=semantic_threshold
+        ).select(
+            F.col("id_a"), F.col("id_b"), F.round("cosine", 6).alias("cosine")
+        )
     else:
         raise ValueError(method)
     dup_dir = os.path.join(out_dir, "dup_pairs")

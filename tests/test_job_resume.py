@@ -418,3 +418,38 @@ def test_cli_corpus_stats_writes_profile(spark, pages_df, tmp_path):
         assert r["p25"] <= r["p50"] <= r["p90"] <= r["p99"]
         assert r["n"] > 0
     assert sum(r["n"] for r in prof) == res["corpus_stats_rows"]
+
+
+def test_run_dedup_semantic_method(spark, tmp_path, pages_df):
+    """SemDeDup CLI method: mirrored pages (identical bodies -> identical
+    hash embeddings -> cosine 1.0 within the same cluster) must pair up
+    and resolve into components with one keeper each."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_dedup
+
+    base = pages_df.limit(25)
+    dups = base.select(
+        F.concat(F.lit("https://mirror.example/"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    out = str(tmp_path / "dsem")
+    run_job(spark, base.unionByName(dups), out, mode="fused", n_buckets=2)
+    res = run_dedup(spark, out, method="semantic", clusters=True)
+    assert res["dedup_method"] == "semantic" and res["dup_pairs"] > 0
+    pairs = spark.read.parquet(res["dup_dir"]).collect()
+    assert all(r["cosine"] >= 0.92 for r in pairs)
+    mirrors = [
+        r for r in pairs
+        if r["id_a"].replace("https://mirror.example/", "")
+        == r["id_b"].replace("https://mirror.example/", "")
+        or r["id_b"].replace("https://mirror.example/", "") == r["id_a"]
+    ]
+    assert mirrors and all(r["cosine"] == 1.0 for r in mirrors)
+    comp = spark.read.parquet(res["dup_components_dir"]).collect()
+    by_comp: dict = {}
+    for r in comp:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for cid, members in by_comp.items():
+        assert cid == min(m.doc_id for m in members)
+        assert sum(1 for m in members if m.keeper) == 1
