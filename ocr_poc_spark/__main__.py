@@ -181,6 +181,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.diff_against:
         summary["diff_against"] = args.diff_against
+        # Per-host churn rollup of the two snapshots -> <out>/crawl_churn
+        # (the recrawl-scheduling signal; ids+digests only, one small
+        # table per run). Recomputed from the inputs, not the filtered
+        # frame, so it also counts deleted/unchanged urls.
+        import os as _os
+
+        from .operators.crawl import crawl_churn_stats
+
+        churn_dir = _os.path.join(args.out, "crawl_churn")
+        crawl_churn_stats(
+            read_pages(spark, args.diff_against),
+            read_pages(spark, args.input),
+            id_col="url",
+            content_col="html",
+        ).write.mode("overwrite").parquet(churn_dir)
+        summary["crawl_churn_dir"] = churn_dir
+        summary["crawl_churn_hosts"] = spark.read.parquet(churn_dir).count()
     if args.dedup:
         from .plans.job import run_dedup
 
