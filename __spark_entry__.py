@@ -1189,6 +1189,35 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of with tolerance: for every click, the user's NEXT
+    view within one hour — reverse-time carry-forward scan, matches
+    farther than the tolerance nulled (merge_asof semantics, never
+    next-nearest). Oracle = DuckDB ASOF LEFT JOIN with the inequality
+    flipped (l.ts <= r.ts) and a post-join tolerance CASE."""
+    from ocr_poc_spark.operators.timeseries import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, views, on="user_id", ts_col="ts", tie_col="event_id",
+        direction="forward", tolerance=3600.0,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("view_ts_us"),
+        F.col("event_id_asof").alias("view_event_id"),
+        F.round("value_asof", 6).alias("view_value"),
+    )
+
+
 def q_crawl_churn(spark, sf_dir):
     """Per-host churn rollup (crawl.crawl_churn_stats) — the recrawl-
     scheduling signal. Documents become urls 'https://<source>/doc/<id>'
@@ -1375,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
         "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
         "crawl_churn": q_crawl_churn,
         "corpus_quantiles": q_corpus_quantiles,
         "chunk_bpe": q_chunk_bpe,
@@ -2756,6 +2786,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(r.value, 6) AS view_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # Forward-with-tolerance oracle: ASOF with l.ts <= r.ts picks
+        # the nearest later view; the tolerance CASE nulls the whole
+        # match (id, ts, value together) beyond one hour. max_by tie
+        # collapse as in asof_join. epoch() diff is in seconds.
+        "asof_forward": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            r0 AS (SELECT user_id, ts, event_id, value FROM events
+                   WHERE event_type = 'view' AND ts IS NOT NULL),
+            r AS (SELECT user_id, ts,
+                         arg_max(event_id, event_id) AS event_id,
+                         arg_max(value, event_id) AS value
+                  FROM r0 GROUP BY user_id, ts),
+            j AS (
+              SELECT l.event_id, l.user_id, l.ts AS lts, r.ts AS rts,
+                     r.event_id AS rid, r.value AS rv,
+                     (r.ts IS NOT NULL
+                      AND abs(epoch(l.ts) - epoch(r.ts)) <= 3600.0) AS ok
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts <= r.ts)
+            SELECT event_id, user_id, epoch_us(lts) AS ts_us,
+                   CASE WHEN ok THEN epoch_us(rts) END AS view_ts_us,
+                   CASE WHEN ok THEN rid END AS view_event_id,
+                   CASE WHEN ok THEN ROUND(rv, 6) END AS view_value
+            FROM j
         """,
         # Churn rollup: same synthesis as crawl_diff but over
         # 'https://<source>/doc/<id>' urls; host = regexp of the url;

@@ -44,18 +44,32 @@ def asof_join(
     right_cols: list[str] | None = None,
     tie_col: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For each left row: the right row with the greatest ts <= left.ts
-    sharing the key(s) `on` (backward-inclusive). Returns all left
-    columns plus `<ts_col><suffix>` and each requested right column as
-    `<col><suffix>` (NULL where no right row precedes).
+    """For each left row: the nearest right row at-or-before its ts
+    (direction="backward", the default: greatest right ts <= left.ts)
+    or at-or-after it (direction="forward": smallest right ts >=
+    left.ts), sharing the key(s) `on` — both inclusive at equal
+    instants, pandas merge_asof's contract. Returns all left columns
+    plus `<ts_col><suffix>` and each requested right column as
+    `<col><suffix>` (NULL where no right row qualifies).
 
     ``right_cols`` defaults to every right column except the keys and
     the timestamp. ``tie_col``: when the right side can hold several
     rows at the same (key, ts), the one with the maximum tie_col wins
     deterministically (they are collapsed BEFORE the window — the
     window ordering alone would pick an arbitrary survivor). Left rows
-    with NULL timestamps match nothing."""
+    with NULL timestamps match nothing. ``tolerance``: maximum allowed
+    |left.ts - match.ts| — SECONDS for timestamp columns, same units
+    as the column for numerics (both compare via a double cast);
+    matches farther away are nulled, not replaced by the next nearest
+    (merge_asof semantics). The forward window is the same one-
+    exchange carry-forward scan in reverse time order."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("asof_join: tolerance must be non-negative")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*keys, ts_col)]
@@ -94,9 +108,10 @@ def asof_join(
     # Equal timestamps: right (_side 0) sorts before left (_side 1), so
     # a same-instant right row IS visible to the left row — backward-
     # INCLUSIVE, matching DuckDB/pandas asof semantics.
+    t_order = F.asc("_t") if direction == "backward" else F.desc("_t")
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.asc("_t"), F.asc("_side"))
+        .orderBy(t_order, F.asc("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # NULL-ts LEFT rows are preserved with a NULL match (left-join
@@ -105,6 +120,24 @@ def asof_join(
     carried = F.when(
         F.col("_t").isNotNull(), F.last("_p", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        # timestamp columns measure in exact integer microseconds
+        # (TIMESTAMP_NTZ cannot cast to double directly); numerics in
+        # their own units via double.
+        is_ts = r_tagged.schema["_t"].dataType.typeName().startswith("timestamp")
+
+        def _axis(c):
+            return (
+                F.unix_micros(c.cast("timestamp"))
+                if is_ts
+                else c.cast("double")
+            )
+
+        bound = float(tolerance) * (1_000_000 if is_ts else 1)
+        dist = F.abs(
+            _axis(F.col("_t")) - _axis(carried.getField(f"{ts_col}{suffix}"))
+        )
+        carried = F.when(dist <= F.lit(bound), carried)
     out = (
         r_tagged.unionByName(l_tagged)
         .withColumn("_carried", carried)

@@ -1091,3 +1091,47 @@ def test_asof_join_backward_semantics(spark):
 
     # column subset + all left columns preserved
     assert set(out.columns) == {"k", "ts", "tag", "ts_asof", "rid_asof", "v_asof"}
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    """Forward direction picks the earliest right row at-or-after the
+    left ts (inclusive); tolerance nulls matches farther than the
+    bound instead of falling back to the next nearest; backward
+    results unchanged by a generous tolerance."""
+    import pytest
+
+    from ocr_poc_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 5), (1, 2), (2, 7)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 9, "a"), (1, 2, "b"), (2, 1, "c")], "k long, ts long, v string"
+    )
+
+    fwd = {(r["k"], r["ts"]): (r["ts_asof"], r["v_asof"])
+           for r in asof_join(left, right, on="k", direction="forward").collect()}
+    assert fwd == {
+        (1, 10): (None, None),   # nothing at/after 10
+        (1, 5): (9, "a"),
+        (1, 2): (2, "b"),        # same-instant inclusive
+        (2, 7): (None, None),    # only earlier right rows
+    }
+
+    tol = {(r["k"], r["ts"]): (r["ts_asof"], r["v_asof"])
+           for r in asof_join(left, right, on="k", tolerance=2).collect()}
+    assert tol == {
+        (1, 10): (9, "a"),       # |10-9| <= 2
+        (1, 5): (None, None),    # |5-2| = 3 > 2: nulled, NOT next-nearest
+        (1, 2): (2, "b"),
+        (2, 7): (None, None),    # |7-1| = 6 > 2
+    }
+
+    loose = {(r["k"], r["ts"]): r["v_asof"]
+             for r in asof_join(left, right, on="k", tolerance=100).collect()}
+    assert loose == {(1, 10): "a", (1, 5): "b", (1, 2): "b", (2, 7): "c"}
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", direction="nearest")
+    with pytest.raises(ValueError, match="non-negative"):
+        asof_join(left, right, on="k", tolerance=-1)
