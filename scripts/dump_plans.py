@@ -172,6 +172,16 @@ def main() -> None:
             em.queries()["crawl_diff"](spark, sf),
         ),
         (
+            "Backward as-of join (union + carry-forward window)",
+            "No Join node anywhere (plan-guarded): both sides union "
+            "after projecting to (key, ts, payload-struct), one hash "
+            "exchange on the key, one sort, one partitioned WindowExec "
+            "carrying last(payload, ignorenulls) — output is exactly "
+            "|L| rows. The theta-join formulation this replaces would "
+            "explode |L|x|R| per key before pruning.",
+            em.queries()["asof_join"](spark, sf),
+        ),
+        (
             "BM25 serving mode (inverted-file scoring)",
             "The query-term filter prunes the index scan; per-term df "
             "and corpus stats are tiny broadcast aggregates; the top-k "
