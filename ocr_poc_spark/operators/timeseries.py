@@ -75,8 +75,13 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in (*keys, ts_col)]
     # A NULL-timestamped right row has no position on the timeline —
     # under nulls-first ordering it would be "carried" into every real
-    # row as the oldest state. Drop it here instead.
-    r = right.select(*keys, ts_col, *right_cols).where(
+    # row as the oldest state. Drop it here instead. The tie column
+    # must survive this projection even when the caller doesn't want it
+    # in the output (the max_by collapse reads it).
+    proj = list(right_cols)
+    if tie_col is not None and tie_col not in proj and tie_col != ts_col:
+        proj.append(tie_col)
+    r = right.select(*keys, ts_col, *proj).where(
         F.col(ts_col).isNotNull()
     )
     if tie_col is not None:

@@ -1135,3 +1135,20 @@ def test_asof_join_forward_and_tolerance(spark):
         asof_join(left, right, on="k", direction="nearest")
     with pytest.raises(ValueError, match="non-negative"):
         asof_join(left, right, on="k", tolerance=-1)
+
+
+def test_asof_join_tie_col_outside_right_cols(spark):
+    """tie_col may be excluded from the output columns and still drive
+    the (key, ts) collapse."""
+    from ocr_poc_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 2, 101, "old"), (1, 2, 102, "new")],
+        "k long, ts long, rid long, v string",
+    )
+    out = asof_join(
+        left, right, on="k", right_cols=["v"], tie_col="rid"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["v_asof"] == "new" and "rid_asof" not in out[0].asDict()
