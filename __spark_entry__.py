@@ -1101,6 +1101,39 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_cluster_profile(spark, sf_dir):
+    """Corpus cartography: assign every document to its nearest shared
+    centroid (similarity.assign_clusters — map-side broadcast argmin
+    over the hashing-trick embeddings) and profile each cluster with
+    its doc count and top-3 terms by frequency — the unsupervised
+    what-is-in-this-corpus report a curation run starts from. Exact
+    integer counts; (count desc, term) rank ties deterministic."""
+    from ocr_poc_spark.operators.similarity import assign_clusters
+    from ocr_poc_spark.operators.textstats import hash_embedding
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    assigned = assign_clusters(
+        hash_embedding(docs, dim=16), _ivf_lookup_centroids(), id_col="doc_id"
+    ).select("doc_id", "cluster")
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = (
+        words.join(assigned, "doc_id")
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("term_count"), F.asc("term")
+    )
+    top = tf.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+    return top.join(sizes, "cluster").select(
+        "cluster", "n_docs", F.col("rank").cast("int").alias("rank"),
+        "term", "term_count",
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR-style data selection (operators/dsir.py, after Xie et al.
     NeurIPS 2023): hashed unigram+bigram importance weights of every
@@ -1401,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_serve": q_bm25_serve,
         "corpus_split": q_corpus_split,
         "crawl_diff": q_crawl_diff,
+        "cluster_profile": q_cluster_profile,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
         "asof_join": q_asof_join,
@@ -2650,6 +2684,50 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ROUND(s, 4) DESC, doc_id ASC
             LIMIT 20
         """,
+        # Cluster profile: same integer-exact assignment CTE as
+        # semantic_dedup, then per-cluster doc counts and a (count
+        # desc, term) row_number top-3 over exploded words.
+        "cluster_profile": """
+            WITH {_EVS},
+            cent(ci, cv) AS (VALUES {cent_rows}),
+            assign AS (
+              SELECT doc_id, ci FROM (
+                SELECT v.doc_id, t.ci,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY v.doc_id
+                         ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> (v.v[i] - t.cv[i]) * (v.v[i] - t.cv[i]))),
+                           t.ci) AS rn
+                FROM vec v CROSS JOIN cent t)
+              WHERE rn = 1),
+            sizes AS (SELECT ci, COUNT(*) AS n_docs FROM assign GROUP BY ci),
+            words AS (
+              SELECT d.doc_id, u.term
+              FROM documents d,
+                   unnest(string_split_regex(lower(trim(d.text)), '\s+')) AS u(term)
+              WHERE u.term <> ''),
+            tf AS (
+              SELECT a.ci, w.term, COUNT(*) AS term_count
+              FROM words w JOIN assign a ON a.doc_id = w.doc_id
+              GROUP BY a.ci, w.term),
+            top AS (
+              SELECT ci, term, term_count,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY ci ORDER BY term_count DESC, term ASC) AS rank
+              FROM tf)
+            SELECT CAST(t.ci AS INTEGER) AS cluster, s.n_docs,
+                   CAST(t.rank AS INTEGER) AS rank, t.term, t.term_count
+            FROM top t JOIN sizes s ON s.ci = t.ci
+            WHERE t.rank <= 3
+        """.format(
+            _EVS=_EMBED_VEC_SQL,
+            cent_rows=", ".join(
+                "({}, [{}])".format(
+                    i, ", ".join(f"{x:.1f}" for x in c)
+                )
+                for i, c in enumerate(_ivf_lookup_centroids())
+            )
+        ),
         # DSIR: full recompute of the hashed n-gram importance model —
         # unigram+bigram features, md5-hex15 bucket % 4096, add-0.5
         # smoothing, ln log-ratios summed per doc, round 4. The raw
