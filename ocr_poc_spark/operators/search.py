@@ -10,9 +10,15 @@ Scale shape: the query is a handful of terms — it rides as a broadcast
 literal set. One explode + per-(doc, term) count with map-side partial
 aggregation, document frequencies for ONLY the query terms (tiny
 aggregate), one broadcast join back, one TakeOrderedAndProject top-k.
-No inverted index is materialized; for query-many serving you would
-persist the (term, doc, tf) frame the same way minhash_band_index
-persists bands — same index-once/query-many pattern.
+No inverted index is materialized on the direct path; `bm25_index` is
+the persisted query-many form (same index-once/query-many pattern as
+minhash_band_index).
+
+Reference parity: the reference exposes no retrieval endpoint (its
+lookups are per-document field extraction, /root/reference/
+api_server.py); BM25 here is LLM-pipeline breadth — the corpus-audit
+capability the brief's training-data pipeline needs. Okapi BM25 with
+the Lucene (+1-inside-the-log) idf is public textbook material.
 """
 
 from __future__ import annotations
