@@ -680,15 +680,45 @@ def semantic_near_pairs(
     vec_col: str = "embedding",
     cosine_threshold: float = 0.95,
     assigned: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """In-cluster semantic near-dup pairs: (id_a, id_b, cosine) for
     pairs sharing a nearest centroid with exact cosine >= threshold —
     the pair stage of SemDeDup, exposed standalone so the CLI dedup
     stage can write a pair table like the MinHash/SimHash methods.
     ``assigned``: pass a pre-computed assign_clusters frame to share it
-    with a downstream component join (semantic_dedup does)."""
+    with a downstream component join (semantic_dedup does).
+    ``max_cluster_size``: optional honesty guard against a degenerate
+    quantizer — in-cluster work is |c|^2/2, so one giant cluster
+    silently reintroduces the all-pairs blowup the clustering exists
+    to avoid; with the cap set, the job raises at execution time the
+    moment any cluster exceeds it (same in-pipeline window guard as
+    ngram_jaccard_pairs' max_group_rows: the count window keys on the
+    cluster the pair join shuffles on, so the clustering is reused).
+    The fix for a tripped cap is a finer quantizer (k ~ n/target_size;
+    BENCH/SCALE10X.md measures the rule), not waiving the guard."""
     if assigned is None:
         assigned = assign_clusters(df, centroids, id_col, vec_col)
+    if max_cluster_size is not None:
+        from pyspark.sql import Window
+
+        assigned = assigned.withColumn(
+            "_csize", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+        ).where(
+            F.when(
+                F.col("_csize") > F.lit(max_cluster_size),
+                F.raise_error(
+                    F.concat(
+                        F.lit("semantic_near_pairs: cluster "),
+                        F.col("cluster").cast("string"),
+                        F.lit(
+                            f" exceeds max_cluster_size={max_cluster_size}"
+                            " — use a finer quantizer (more centroids)"
+                        ),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        ).drop("_csize")
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("cluster"),
         F.col("_v").alias("v_a"), F.col("_norm").alias("n_a"),

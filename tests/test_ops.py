@@ -1152,3 +1152,30 @@ def test_asof_join_tie_col_outside_right_cols(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["v_asof"] == "new" and "rid_asof" not in out[0].asDict()
+
+
+def test_semantic_near_pairs_cluster_cap(spark):
+    """The honesty guard: a cluster above max_cluster_size fails the
+    job loudly instead of silently running |c|^2 cosines; under the
+    cap the output is unchanged."""
+    import pytest
+
+    from ocr_poc_spark.operators.similarity import semantic_near_pairs
+
+    d = spark.createDataFrame(
+        [(i, [9.0, float(i % 3) / 10]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[10.0, 0.0], [-10.0, 0.0]]  # everything lands in cluster 0
+    ok = semantic_near_pairs(d, cents, cosine_threshold=0.999,
+                             max_cluster_size=50).collect()
+    assert ok == sorted(
+        semantic_near_pairs(d, cents, cosine_threshold=0.999).collect()
+    ) or {tuple(r) for r in ok} == {
+        tuple(r) for r in semantic_near_pairs(d, cents, cosine_threshold=0.999).collect()
+    }
+
+    with pytest.raises(Exception, match="exceeds max_cluster_size"):
+        semantic_near_pairs(
+            d, cents, cosine_threshold=0.999, max_cluster_size=10
+        ).collect()
