@@ -1134,6 +1134,22 @@ def q_cluster_profile(spark, sf_dir):
     )
 
 
+def q_corpus_pipeline_splits(spark, sf_dir):
+    """The production artifact's LAST stage: leakage-safe train/val/
+    test assignment of the corpus_pipeline survivor set (the capped
+    docs), keyed on the language section so near-dup pages within a
+    section never straddle the boundary. One row per surviving doc
+    (url, section, split); oracle extends the whole-chain recompute
+    with the same md5 cumulative-threshold CASE corpus_split proves."""
+    from ocr_poc_spark.operators.curation import split_corpus
+
+    capped = _corpus_chain(spark, sf_dir)["capped"]
+    return split_corpus(
+        capped, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="url",
+        by="section",
+    ).select("url", "section", "split")
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR-style data selection (operators/dsir.py, after Xie et al.
     NeurIPS 2023): hashed unigram+bigram importance weights of every
@@ -1423,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "corpus_pipeline": q_corpus_pipeline,
         "corpus_pipeline_stats": q_corpus_pipeline_stats,
+        "corpus_pipeline_splits": q_corpus_pipeline_splits,
         "normalize_urls": q_normalize_urls,
         "chunk_documents": q_chunk_documents,
         "chunk_subword": q_chunk_subword,
@@ -2252,6 +2269,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT seq_id, tok_start, tok_end, url, chunk_idx,
                    chunk_tok_start, chunk_tok_end
             FROM packed
+        """,
+        # Chain + split: the whole-pipeline recompute up to `capped`,
+        # then the md5 cumulative-threshold CASE on the section
+        # (sorted names: test 500, train 9500, val 10000 of 10000).
+        "corpus_pipeline_splits": f"""
+            WITH RECURSIVE {_CORPUS_CHAIN_SQL}
+            SELECT url, lang AS section,
+                   CASE WHEN b < 500 THEN 'test'
+                        WHEN b < 9500 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM (SELECT url, lang,
+                         ('0x' || substr(md5(lang), 1, 15))::BIGINT % 10000 AS b
+                  FROM capped)
         """,
         "corpus_pipeline_stats": f"""
             WITH RECURSIVE {_CORPUS_CHAIN_SQL}
