@@ -2958,8 +2958,8 @@ def oracle_sql() -> dict[str, str]:
         # is the same rank p*(n-1) rule as Spark's percentile; integer
         # inputs make it bit-equal, round-6 rides any ulp.
         "corpus_quantiles": """
-            SELECT lang, COUNT(*) AS n,
-                   ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 6) AS mean,
+            SELECT lang, COUNT(n_chars) AS n,
+                   ROUND(AVG(n_chars), 6) AS mean,
                    ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
                    ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
                    ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,

@@ -144,6 +144,24 @@ def main(argv: list[str] | None = None) -> int:
         )
     if (args.select_target is None) != (args.select_top is None):
         ap.error("--select-target and --select-top go together")
+    args.split_fracs = None
+    if args.split:
+        # Validate the spec BEFORE the (possibly hours-long) extraction
+        # runs, mirroring split_corpus's own exhaustiveness arithmetic.
+        try:
+            fr = {}
+            for part in args.split.split(","):
+                key, sep, frac = part.partition("=")
+                if not sep or not key.strip():
+                    raise ValueError(f"malformed piece {part!r}")
+                fr[key.strip()] = float(frac)
+            if any(v < 0 for v in fr.values()):
+                raise ValueError("fractions must be non-negative")
+            if sum(int(round(v * 10000)) for v in fr.values()) != 10000:
+                raise ValueError("fractions must sum to 1")
+            args.split_fracs = fr
+        except ValueError as e:
+            ap.error(f"--split: {e}")
     if args.select_top is not None and args.select_top <= 0:
         ap.error("--select-top must be positive")
     if args.dedup_clusters:
@@ -218,15 +236,14 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.job import run_decontaminate
 
         summary.update(run_decontaminate(spark, args.out, args.decontaminate))
-    if args.split:
+    if args.split_fracs:
         from .plans.job import run_split
 
-        splits = {}
-        for part in args.split.split(","):
-            key, _, frac = part.partition("=")
-            splits[key.strip()] = float(frac)
         summary.update(
-            run_split(spark, args.out, splits, by_host=not args.split_by_url)
+            run_split(
+                spark, args.out, args.split_fracs,
+                by_host=not args.split_by_url,
+            )
         )
     if args.sample:
         from .plans.job import run_sample

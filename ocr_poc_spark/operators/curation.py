@@ -232,11 +232,23 @@ def split_corpus(
         raise ValueError(
             f"split_corpus: quantised fractions sum to {cum}/{denom}, not 1"
         )
-    bucket = sample_bucket(by or id_col, denom)
+    key = by or id_col
+    bucket = sample_bucket(key, denom)
     expr = None
     for name, edge in edges:
         cond = bucket < F.lit(edge)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # A NULL key makes the md5 bucket NULL and every threshold test
+    # NULL — the row would silently get split=NULL and vanish from all
+    # three partitions downstream, exactly the silent-row-loss the
+    # exhaustiveness check above exists to prevent. Fail loudly at
+    # execution time instead (in-plan, no extra job).
+    expr = F.when(
+        F.col(key).isNull(),
+        F.raise_error(
+            F.lit(f"split_corpus: NULL {key!r} key cannot be assigned a split")
+        ).cast("string"),
+    ).otherwise(expr)
     return df.withColumn("split", expr)
 
 

@@ -389,9 +389,13 @@ def corpus_quantiles(
         if exact
         else f"approx_percentile({value_col}, {arr}, {accuracy})"
     )
+    # n and mean count the NON-NULL population — the same rows the
+    # percentile aggregates see. count(*)/sum-over-all would silently
+    # treat NULL values as zeros and report an n the pNN columns never
+    # summarized.
     aggs = [
-        F.count(F.lit(1)).alias("n"),
-        (F.sum(F.col(value_col)) / F.count(F.lit(1))).alias("mean"),
+        F.count(F.col(value_col)).alias("n"),
+        F.avg(F.col(value_col)).alias("mean"),
         F.expr(fn).alias("_q"),
     ]
     grouped = df.groupBy(*(keys or [])).agg(*aggs)

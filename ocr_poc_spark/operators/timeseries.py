@@ -75,14 +75,20 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in (*keys, ts_col)]
     # A NULL-timestamped right row has no position on the timeline —
     # under nulls-first ordering it would be "carried" into every real
-    # row as the oldest state. Drop it here instead. The tie column
-    # must survive this projection even when the caller doesn't want it
-    # in the output (the max_by collapse reads it).
+    # row as the oldest state. A NULL-KEY right row must go too: the
+    # window's partitionBy groups NULLs together (unlike an equi-join,
+    # where NULL matches nothing), which would hand NULL-key left rows
+    # a match that merge_asof / ASOF JOIN semantics forbid. The tie
+    # column must survive this projection even when the caller doesn't
+    # want it in the output (the max_by collapse reads it).
     proj = list(right_cols)
     if tie_col is not None and tie_col not in proj and tie_col != ts_col:
         proj.append(tie_col)
+    key_ok = F.lit(True)
+    for k in keys:
+        key_ok = key_ok & F.col(k).isNotNull()
     r = right.select(*keys, ts_col, *proj).where(
-        F.col(ts_col).isNotNull()
+        F.col(ts_col).isNotNull() & key_ok
     )
     if tie_col is not None:
         r = r.groupBy(*keys, ts_col).agg(

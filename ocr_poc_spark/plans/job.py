@@ -319,9 +319,12 @@ def run_dedup(
         from ..operators.similarity import kmeans_centroids, semantic_near_pairs
         from ..operators.textstats import hash_embedding
 
+        # One checkpoint: count, the k-means passes and BOTH sides of
+        # the in-cluster pair self-join otherwise re-run the parquet
+        # scan + tokenization + embedding fold (~4x the dominant cost).
         emb = hash_embedding(docs, dim=64).select(
             F.col("doc_id").alias("vec_id"), "embedding"
-        )
+        ).localCheckpoint(eager=True)
         n = emb.count()
         cents = kmeans_centroids(
             emb, n_centroids=max(8, int(n ** 0.5)), dim=64, n_iter=3
@@ -511,12 +514,16 @@ def run_split(
     (url, host, split). Keyed on the HOST by default (leakage-safe:
     near-dup pages within a site never straddle the train/test
     boundary — curation.split_corpus); by_host=False keys on the url
-    for iid row-level splits. Map-only, reproducible under resume."""
+    for iid row-level splits. Map-only, reproducible under resume.
+    Host = the SAME parse_url+url-fallback definition the --curate
+    host cap uses (_curation_docs with_host) — two host definitions in
+    one pipeline would let a doc be capped under one host and split
+    under another, and the fallback stops every unparseable url from
+    collapsing into a single fictitious '' host/split bucket."""
     from ..operators.curation import split_corpus
-    from ..operators.hoststats import host_of
 
-    docs = _curation_docs(spark, out_dir).select(
-        F.col("doc_id").alias("url"), host_of("doc_id").alias("host")
+    docs = _curation_docs(spark, out_dir, with_host=True).select(
+        F.col("doc_id").alias("url"), "host"
     )
     assigned = split_corpus(
         docs, splits, id_col="url", by="host" if by_host else None
@@ -553,9 +560,9 @@ def run_select(
     docs = _curation_docs(spark, out_dir).select(
         F.col("doc_id"), F.col("text")
     )
-    target = spark.read.parquet(target_path).select(
-        F.monotonically_increasing_id().alias("doc_id"), "text"
-    )
+    # Target identity is irrelevant to the model (only its n-gram
+    # bucket counts are used), so no id column is manufactured.
+    target = spark.read.parquet(target_path).select("text")
     w = importance_weights(docs, target, id_col="doc_id").localCheckpoint(
         eager=True
     )

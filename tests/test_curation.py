@@ -717,3 +717,21 @@ def test_split_corpus_rejects_negative_fractions(spark):
     d = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="non-negative"):
         split_corpus(d, {"train": 1.2, "val": -0.2})
+
+
+def test_split_corpus_null_key_raises(spark):
+    """A NULL split key must fail loudly, never silently yield
+    split=NULL (a row lost from all three partitions)."""
+    import pytest
+
+    from ocr_poc_spark.operators.curation import split_corpus
+
+    d = spark.createDataFrame(
+        [(1, "h1"), (2, None)], "doc_id long, source string"
+    )
+    ok = split_corpus(
+        d.where("source IS NOT NULL"), {"train": 1.0}, by="source"
+    ).collect()
+    assert [r["split"] for r in ok] == ["train"]
+    with pytest.raises(Exception, match="NULL 'source' key"):
+        split_corpus(d, {"train": 1.0}, by="source").collect()

@@ -1179,3 +1179,16 @@ def test_semantic_near_pairs_cluster_cap(spark):
         semantic_near_pairs(
             d, cents, cosine_threshold=0.999, max_cluster_size=10
         ).collect()
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """NULL join keys must behave like an equi-join (match nothing),
+    not like a window partition (match each other)."""
+    from ocr_poc_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(None, 5), (1, 5)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(None, 3, "ghost"), (1, 3, "real")], "k long, ts long, v string"
+    )
+    rows = {r["k"]: r["v_asof"] for r in asof_join(left, right, on="k").collect()}
+    assert rows == {None: None, 1: "real"}
