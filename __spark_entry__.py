@@ -1164,6 +1164,29 @@ def q_dsir_weights(spark, sf_dir):
     return importance_weights(docs, target)
 
 
+def q_url_blocklist(spark, sf_dir):
+    """Domain-blocklist filtering (curation.url_blocklist_filter): the
+    first pass of a web pipeline. Documents become urls under
+    '<source>.example' hosts with a subdomain variant for every 3rd
+    doc; three blocked domains must remove their docs AND their
+    subdomains, and nothing else. Map-only EXISTS over the broadcast
+    blocklist literal."""
+    from ocr_poc_spark.operators.curation import url_blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("https://cdn."))
+            .otherwise(F.lit("https://")),
+            F.col("source"), F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return url_blocklist_filter(
+        docs, ["src3.example", "src7.example", "src12.example"]
+    )
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test assignment keyed on the HOST column
     (curation.split_corpus, by="source") — leakage-safe: every document
@@ -1449,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bm25_search": q_bm25_search,
         "bm25_serve": q_bm25_serve,
+        "url_blocklist": q_url_blocklist,
         "corpus_split": q_corpus_split,
         "crawl_diff": q_crawl_diff,
         "cluster_profile": q_cluster_profile,
@@ -2841,6 +2865,25 @@ def oracle_sql() -> dict[str, str]:
                 for i, c in enumerate(_ivf_lookup_centroids())
             )
         ),
+        # Blocklist: same url synthesis; a doc survives unless its
+        # host equals a blocked domain or ends with '.'+domain.
+        "url_blocklist": """
+            WITH docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'https://cdn.' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                          ELSE 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                     END AS url
+              FROM documents),
+            h AS (SELECT doc_id, url,
+                         lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host
+                  FROM docs)
+            SELECT doc_id, url FROM h
+            WHERE host = '' OR NOT EXISTS (
+              SELECT 1 FROM (VALUES ('src12.example'), ('src3.example'),
+                                    ('src7.example')) b(d)
+              WHERE h.host = b.d OR ends_with(h.host, '.' || b.d))
+        """,
         # Leakage-safe splits: md5-hex15 bucket of the HOST, cumulative
         # thresholds in sorted split-name order (test 1000, train 9000,
         # val 10000 of denom 10000) — exactly split_corpus's arithmetic.

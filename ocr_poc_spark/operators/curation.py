@@ -723,3 +723,40 @@ def bpe_learn(
         merges,
         "rank int, left string, right string, merged string, pair_count long",
     )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    url_col: str = "url",
+    keep: bool = True,
+) -> DataFrame:
+    """Domain-blocklist filtering — the FIRST pass of a web-corpus
+    pipeline (spam/adult/SEO-farm domain lists à la CCNet/RefinedWeb):
+    drop every document whose url host equals a blocked domain or is a
+    subdomain of one ('ads.example' blocks 'ads.example' and
+    'x.ads.example', never 'badads.example'). keep=False inverts the
+    predicate (audit mode: return only the blocked rows).
+
+    Map-only, zero shuffle: real blocklists are 10^4-10^6 domains —
+    kilobytes-to-megabytes — so they ride as an array literal evaluated
+    per row with an EXISTS higher-order function (suffix match, no
+    regex explosion); at the 10^6 scale prefer a broadcast join on the
+    reversed-host prefix, which this deliberately does not build until
+    a corpus needs it. Case-insensitive on the host per DNS rules.
+    Unparseable urls (no host) are never blocked."""
+    if not blocked_domains:
+        raise ValueError("url_blocklist_filter: blocked_domains is empty")
+    norm = sorted({d.strip().lower().lstrip(".") for d in blocked_domains})
+    if any(not d for d in norm):
+        raise ValueError("url_blocklist_filter: empty domain in blocklist")
+    from .hoststats import host_of
+
+    host = F.lower(host_of(url_col))
+    blocked_arr = F.array(*[F.lit(d) for d in norm])
+    hit = F.exists(
+        blocked_arr,
+        lambda d: (host == d) | host.endswith(F.concat(F.lit("."), d)),
+    )
+    blocked = (host != "") & hit
+    return df.where(~blocked if keep else blocked)

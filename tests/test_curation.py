@@ -735,3 +735,34 @@ def test_split_corpus_null_key_raises(spark):
     assert [r["split"] for r in ok] == ["train"]
     with pytest.raises(Exception, match="NULL 'source' key"):
         split_corpus(d, {"train": 1.0}, by="source").collect()
+
+
+def test_url_blocklist_filter_suffix_semantics(spark):
+    """Exact-domain and subdomain matches are blocked; lookalike
+    suffixes are not; case-insensitive; unparseable urls survive;
+    keep=False returns the complement; empty lists raise."""
+    import pytest
+
+    from ocr_poc_spark.operators.curation import url_blocklist_filter
+
+    d = spark.createDataFrame(
+        [
+            (1, "https://ads.example/p"),
+            (2, "https://x.ADS.example/p"),
+            (3, "https://badads.example/p"),
+            (4, "https://ok.example/p"),
+            (5, "not-a-url"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in url_blocklist_filter(d, ["Ads.example"]).collect()}
+    assert kept == {3, 4, 5}
+    blocked = {
+        r["doc_id"]
+        for r in url_blocklist_filter(d, ["ads.example"], keep=False).collect()
+    }
+    assert blocked == {1, 2}
+    with pytest.raises(ValueError, match="empty"):
+        url_blocklist_filter(d, [])
+    with pytest.raises(ValueError, match="empty domain"):
+        url_blocklist_filter(d, ["ok.example", "  "])
