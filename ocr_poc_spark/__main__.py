@@ -110,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
              "(iid row-level splits; near-dups may straddle splits)",
     )
     ap.add_argument(
+        "--blocklist", metavar="DOMAINS_FILE", default=None,
+        help="text file of blocked domains (one per line, # comments); "
+             "pages on those domains or their subdomains are dropped "
+             "BEFORE extraction (map-only, composes with --diff-against "
+             "and resume)",
+    )
+    ap.add_argument(
         "--diff-against", metavar="OLD_PAGES", default=None,
         help="incremental crawl mode: process only pages whose html "
              "bytes are new or changed vs this previous pages snapshot "
@@ -175,6 +182,17 @@ def main(argv: list[str] | None = None) -> int:
     if done:
         print(f"resuming: {len(done)} bucket(s) already committed", file=sys.stderr)
     pages = read_pages(spark, args.input)
+    if args.blocklist:
+        from .operators.curation import url_blocklist_filter
+
+        with open(args.blocklist) as fh:
+            domains = [
+                ln.strip() for ln in fh
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+        if not domains:
+            ap.error(f"--blocklist {args.blocklist}: no domains found")
+        pages = url_blocklist_filter(pages, domains)
     if args.diff_against:
         from .operators.crawl import changed_slice
 
@@ -197,6 +215,8 @@ def main(argv: list[str] | None = None) -> int:
         buckets_per_pass=args.buckets_per_pass,
         repartition=args.repartition,
     )
+    if args.blocklist:
+        summary["blocklist"] = args.blocklist
     if args.diff_against:
         summary["diff_against"] = args.diff_against
         # Per-host churn rollup of the two snapshots -> <out>/crawl_churn
