@@ -1164,6 +1164,19 @@ def q_dsir_weights(spark, sf_dir):
     return importance_weights(docs, target)
 
 
+def q_gopher_rules(spark, sf_dir):
+    """The published Gopher quality rules (textstats.gopher_rules; Rae
+    et al. 2021 Appendix A): per-rule booleans + conjunctive keep over
+    the documents table. Flags compare UNROUNDED ratios of exact
+    integer counts (IEEE division bit-equal cross-engine); the ratio
+    columns are round-6 display values."""
+    from ocr_poc_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(
+        _t(spark, sf_dir, "documents", spread=True), min_words=20
+    )
+
+
 def q_url_blocklist(spark, sf_dir):
     """Domain-blocklist filtering (curation.url_blocklist_filter): the
     first pass of a web pipeline. Documents become urls under
@@ -1472,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bm25_search": q_bm25_search,
         "bm25_serve": q_bm25_serve,
+        "gopher_rules": q_gopher_rules,
         "url_blocklist": q_url_blocklist,
         "corpus_split": q_corpus_split,
         "crawl_diff": q_crawl_diff,
@@ -2865,6 +2879,61 @@ def oracle_sql() -> dict[str, str]:
                 for i, c in enumerate(_ivf_lookup_centroids())
             )
         ),
+        # Gopher rules: full recompute — word/char counts, symbol and
+        # ellipsis counts via replace-length deltas, line filters,
+        # alpha regexp, stopword intersect; flags on UNROUNDED ratios.
+        "gopher_rules": f"""
+            WITH base AS (
+              SELECT doc_id, COALESCE(text, '') AS t,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            m AS (
+              SELECT doc_id, t, w,
+                     len(w) AS n_words,
+                     list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                       / NULLIF(len(w), 0) AS mean_wl,
+                     ((length(t) - length(replace(t, '#', '')))
+                      + (length(t) - length(replace(t, '...', ''))) / 3.0)
+                       / NULLIF(len(w), 0) AS sym_ratio,
+                     len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                       / NULLIF(len(w), 0) AS alpha_ratio,
+                     len(list_intersect(list_distinct(w),
+                         ['the','be','to','of','and','that','have','with'])) AS n_stop,
+                     list_filter(string_split(t, chr(10)),
+                                 ln -> trim(ln) <> '') AS lines
+              FROM base),
+            m2 AS (
+              SELECT *,
+                     len(list_filter(lines, ln ->
+                         starts_with(trim(ln), '-') OR starts_with(trim(ln), '*')
+                         OR starts_with(trim(ln), '•')))::DOUBLE
+                       / NULLIF(len(lines), 0) AS bullet_ratio,
+                     len(list_filter(lines, ln -> ends_with(rtrim(ln), '...')))::DOUBLE
+                       / NULLIF(len(lines), 0) AS ell_ratio
+              FROM m)
+            SELECT doc_id,
+                   n_words::BIGINT AS n_words,
+                   ROUND(mean_wl, 6) AS mean_word_len,
+                   ROUND(sym_ratio, 6) AS symbol_word_ratio,
+                   ROUND(alpha_ratio, 6) AS alpha_word_ratio,
+                   CAST(n_stop AS INTEGER) AS n_stopword_hits,
+                   (n_words >= 20 AND n_words <= 100000) AS ok_words,
+                   COALESCE(n_words > 0 AND mean_wl >= 3.0 AND mean_wl <= 10.0, FALSE) AS ok_word_len,
+                   COALESCE(n_words > 0 AND sym_ratio <= 0.1, FALSE) AS ok_symbols,
+                   COALESCE(bullet_ratio <= 0.9, TRUE) AS ok_bullets,
+                   COALESCE(ell_ratio <= 0.3, TRUE) AS ok_ellipsis,
+                   COALESCE(n_words > 0 AND alpha_ratio >= 0.8, FALSE) AS ok_alpha,
+                   (n_stop >= 2) AS ok_stopwords,
+                   ((n_words >= 20 AND n_words <= 100000)
+                    AND COALESCE(n_words > 0 AND mean_wl >= 3.0 AND mean_wl <= 10.0, FALSE)
+                    AND COALESCE(n_words > 0 AND sym_ratio <= 0.1, FALSE)
+                    AND COALESCE(bullet_ratio <= 0.9, TRUE)
+                    AND COALESCE(ell_ratio <= 0.3, TRUE)
+                    AND COALESCE(n_words > 0 AND alpha_ratio >= 0.8, FALSE)
+                    AND (n_stop >= 2)) AS gopher_keep
+            FROM m2
+        """,
         # Blocklist: same url synthesis; a doc survives unless its
         # host equals a blocked domain or ends with '.'+domain.
         "url_blocklist": """

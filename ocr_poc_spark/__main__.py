@@ -54,6 +54,13 @@ def main(argv: list[str] | None = None) -> int:
         help="curation: keep at most N docs per host (stable hash order)",
     )
     ap.add_argument(
+        "--gopher", action="store_true",
+        help="curation: additionally require the published Gopher "
+             "document-quality rules (word count/shape/symbol/bullet/"
+             "alpha/stopword gates); the gopher_keep flag rides the "
+             "keep-list either way",
+    )
+    ap.add_argument(
         "--max-ppl", type=float, default=None,
         help="curation: drop docs whose self-trained bigram-LM "
              "perplexity exceeds this (CCNet-style fluency gate)",
@@ -280,6 +287,7 @@ def main(argv: list[str] | None = None) -> int:
             run_curate(
                 spark,
                 args.out,
+                gopher=args.gopher,
                 max_boiler_ratio=args.max_boiler_ratio,
                 max_per_host=args.host_cap,
                 max_ppl=args.max_ppl,

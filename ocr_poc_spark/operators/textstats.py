@@ -407,3 +407,102 @@ def corpus_quantiles(
         for i, p in enumerate(ps)
     ]
     return grouped.select(*(keys or []), "n", "mean", *qcols)
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al.,
+    "Scaling Language Models: ... Gopher", 2021, Appendix A — public):
+    per-document booleans for each rule plus the conjunctive
+    ``gopher_keep``, the standard first-cut quality gate of web
+    pretraining pipelines (MassiveWeb/RefinedWeb lineage):
+
+      ok_words     : min_words <= word count <= max_words
+      ok_word_len  : 3 <= mean word length <= 10
+      ok_symbols   : (#{'#'} + #{'...'}) / words <= 0.1
+      ok_bullets   : <= 90% of lines start with a bullet
+      ok_ellipsis  : <= 30% of lines end with '...'
+      ok_alpha     : >= 80% of words contain an alphabetic character
+      ok_stopwords : >= 2 distinct hits among the 8 Gopher stop words
+
+    All native expressions, map-only/zero shuffle. Rule comparisons use
+    the UNROUNDED ratios: the inputs are exact integer counts, so the
+    IEEE divisions (and hence the boolean flags) are bit-identical
+    across engines; the emitted ratio columns are round-6 for display.
+    Documents with no lines (no newline) are one line; NULL text gates
+    as empty (fails ok_words)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    # ANSI mode: a bare /0 fails the job on the first empty doc — all
+    # per-word denominators go through this NULLIF-style guard (the
+    # flags then resolve via the n_words > 0 conjunction below).
+    n_words_nn = F.when(n_words > 0, n_words)
+    chars_in_words = F.aggregate(
+        F.filter(words, lambda w: w != ""),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w),
+    )
+    mean_wl = chars_in_words / n_words_nn
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    sym_ratio = (n_hash + n_ellipsis) / n_words_nn
+    lines = F.filter(
+        F.split(text, "\n"), lambda ln: F.trim(ln) != ""
+    )
+    n_lines = F.size(lines)
+    n_lines_nn = F.when(n_lines > 0, n_lines)
+    bullet_ratio = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).startswith("-")
+            | F.trim(ln).startswith("*")
+            | F.trim(ln).startswith("•"),
+        )
+    ) / n_lines_nn
+    ellipsis_line_ratio = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).endswith("..."))
+    ) / n_lines_nn
+    alpha_ratio = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ) / n_words_nn
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), sw))
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_word_len = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    ok_symbols = sym_ratio <= 0.1
+    ok_bullets = F.coalesce(bullet_ratio <= 0.9, F.lit(True))
+    ok_ellipsis = F.coalesce(ellipsis_line_ratio <= 0.3, F.lit(True))
+    ok_alpha = alpha_ratio >= 0.8
+    ok_stop = n_stop >= 2
+    guard = n_words > 0
+    return df.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        F.round(F.when(guard, mean_wl), 6).alias("mean_word_len"),
+        F.round(F.when(guard, sym_ratio), 6).alias("symbol_word_ratio"),
+        F.round(F.when(guard, alpha_ratio), 6).alias("alpha_word_ratio"),
+        n_stop.cast("int").alias("n_stopword_hits"),
+        ok_words.alias("ok_words"),
+        (guard & ok_word_len).alias("ok_word_len"),
+        (guard & ok_symbols).alias("ok_symbols"),
+        ok_bullets.alias("ok_bullets"),
+        ok_ellipsis.alias("ok_ellipsis"),
+        (guard & ok_alpha).alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            ok_words & (guard & ok_word_len) & (guard & ok_symbols)
+            & ok_bullets & ok_ellipsis & (guard & ok_alpha) & ok_stop
+        ).alias("gopher_keep"),
+    )

@@ -398,6 +398,7 @@ def run_curate(
     max_boiler_ratio: float = 0.5,
     max_per_host: int | None = None,
     max_ppl: float | None = None,
+    gopher: bool = False,
 ) -> dict:
     """Post-extraction keep-list pass (training-data curation): flag
     documents whose extracted body is mostly corpus-duplicated
@@ -418,9 +419,14 @@ def run_curate(
     exceeds the threshold. Docs with no bigrams (< 2 tokens) have no
     defined perplexity and fail the gate when it is on (they carry no
     trainable signal anyway). The ppl column rides the keep-list either
-    way so operators can tune the threshold from one run."""
+    way so operators can tune the threshold from one run.
+
+    ``gopher=True``: also require the published Gopher rules
+    (textstats.gopher_rules — word count/shape/symbol/bullet/alpha/
+    stopword gates); the per-rule flags ride the keep-list as a
+    `gopher_keep` column either way a caller could join on."""
     from ..operators.curation import boilerplate_shingle_stats, host_cap
-    from ..operators.textstats import bigram_lm_scores
+    from ..operators.textstats import bigram_lm_scores, gopher_rules
 
     docs = _curation_docs(spark, out_dir, with_host=True)
     boiler = boilerplate_shingle_stats(docs)
@@ -429,8 +435,13 @@ def run_curate(
         docs.select("doc_id", "host")
         .join(boiler, "doc_id")
         .join(lm, "doc_id", "left")
+        .join(
+            gopher_rules(docs).select("doc_id", "gopher_keep"), "doc_id"
+        )
     )
     quality_ok = F.col("boiler_ratio") <= max_boiler_ratio
+    if gopher:
+        quality_ok = quality_ok & F.col("gopher_keep")
     if max_ppl is not None:
         quality_ok = quality_ok & (F.col("ppl") <= max_ppl)
     passing = cur.where(quality_ok)

@@ -453,3 +453,20 @@ def test_run_dedup_semantic_method(spark, tmp_path, pages_df):
     for cid, members in by_comp.items():
         assert cid == min(m.doc_id for m in members)
         assert sum(1 for m in members if m.keeper) == 1
+
+
+def test_cli_curate_gopher_gate(spark, pages_df, tmp_path):
+    """gopher=True ANDs the published rules into the keep decision; the
+    gopher_keep flag rides the keep-list either way."""
+    from ocr_poc_spark.plans.job import run_curate, run_job
+
+    out = str(tmp_path / "gq")
+    run_job(spark, pages_df, out, mode="fused", n_buckets=2)
+    plain = run_curate(spark, out)
+    plain_rows = spark.read.parquet(plain["curation_dir"]).collect()
+    assert all("gopher_keep" in r.asDict() for r in plain_rows[:1])
+
+    gated = run_curate(spark, out, gopher=True)
+    assert gated["curation_kept"] < plain["curation_kept"]
+    rows = spark.read.parquet(gated["curation_dir"]).collect()
+    assert all((not r["kept"]) or r["gopher_keep"] for r in rows)

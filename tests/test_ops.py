@@ -1192,3 +1192,38 @@ def test_asof_join_null_keys_never_match(spark):
     )
     rows = {r["k"]: r["v_asof"] for r in asof_join(left, right, on="k").collect()}
     assert rows == {None: None, 1: "real"}
+
+
+def test_gopher_rules_thresholds(spark):
+    """Each published rule flips on its published boundary; empty/NULL
+    docs fail the word gate without poisoning the job (ANSI /0)."""
+    from ocr_poc_spark.operators.textstats import gopher_rules
+
+    good = ("the quick brown words flow and that sentence reads well "
+            "have some more prose with normal shape " * 5).strip()
+    rows = [
+        (1, good),                                     # passes everything
+        (2, "word " * 10),                             # too few words
+        (3, ("#" * 30 + " word ") * 60),               # symbol ratio blown
+        (4, "\n".join("- item" for _ in range(10))),   # all bullet lines
+        (5, "12345 67890 " * 60),                      # no alphabetic words
+        (6, ""),                                       # empty
+        (7, None),                                     # NULL
+        (8, ("zz " * 60).strip()),                     # no stopwords
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(d, min_words=20).collect()}
+    assert got[1]["gopher_keep"] is True
+    assert got[2]["ok_words"] is False and got[2]["gopher_keep"] is False
+    assert got[3]["ok_symbols"] is False
+    assert got[4]["ok_bullets"] is False
+    assert got[5]["ok_alpha"] is False
+    for i in (6, 7):
+        assert got[i]["ok_words"] is False and got[i]["gopher_keep"] is False
+        assert got[i]["mean_word_len"] is None
+    assert got[8]["ok_stopwords"] is False
+    # boundary: exactly min_words words passes the gate
+    b = spark.createDataFrame(
+        [(9, "the and " + "word " * 18)], "doc_id long, text string"
+    )
+    assert gopher_rules(b, min_words=20).collect()[0]["ok_words"] is True
