@@ -1164,6 +1164,26 @@ def q_dsir_weights(spark, sf_dir):
     return importance_weights(docs, target)
 
 
+def q_clean_text(spark, sf_dir):
+    """Unicode cleanup pass (textstats.clean_text) over a
+    deterministically dirtied corpus: every doc gets a control char,
+    curly quotes, a zero-width space, doubled spaces and trailing
+    blank-line soup injected identically in both engines; the oracle
+    replays the full normalization with RE2 regexps ('g' flag — DuckDB
+    regexp_replace is first-match-only without it)."""
+    from ocr_poc_spark.operators.textstats import clean_text
+
+    docs = _t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.concat(
+            F.lit("\u0001\u201cdirty\u201d "),
+            F.regexp_replace("text", " ", "  "),
+            F.lit("\u200b line\n\n\n\nend  "),
+        ).alias("text"),
+    )
+    return clean_text(docs)
+
+
 def q_gopher_rules(spark, sf_dir):
     """The published Gopher quality rules (textstats.gopher_rules; Rae
     et al. 2021 Appendix A): per-rule booleans + conjunctive keep over
@@ -1485,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bm25_search": q_bm25_search,
         "bm25_serve": q_bm25_serve,
+        "clean_text": q_clean_text,
         "gopher_rules": q_gopher_rules,
         "url_blocklist": q_url_blocklist,
         "corpus_split": q_corpus_split,
@@ -2879,6 +2900,39 @@ def oracle_sql() -> dict[str, str]:
                 for i, c in enumerate(_ivf_lookup_centroids())
             )
         ),
+        # clean_text: same dirt injection, then the full normalization
+        # chain in RE2 (note the 'g' flags) + translate + trim. The
+        # translate to-chars are built from chr() to dodge quoting.
+        "clean_text": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     chr(1) || chr(8220) || 'dirty' || chr(8221) || ' '
+                       || replace(text, ' ', '  ')
+                       || chr(8203) || ' line' || repeat(chr(10), 4) || 'end  ' AS t
+              FROM documents),
+            cleaned AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]')) AS n_ctrl,
+                     len(regexp_extract_all(t, '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]')) AS n_zw,
+                     trim(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             translate(
+                               regexp_replace(
+                                 regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                                 '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g'),
+                               chr(8216) || chr(8217) || chr(8220) || chr(8221)
+                                 || chr(8211) || chr(8212) || chr(160),
+                               chr(39) || chr(39) || chr(34) || chr(34) || '--' || ' '),
+                             '[ \\t]+', ' ', 'g'),
+                           ' ?\\n ?', chr(10), 'g'),
+                         '\\n{3,}', chr(10) || chr(10), 'g')
+                     ) AS clean
+              FROM dirty)
+            SELECT doc_id, clean, n_ctrl::BIGINT AS n_ctrl, n_zw::BIGINT AS n_zw
+            FROM cleaned
+        """,
         # Gopher rules: full recompute — word/char counts, symbol and
         # ellipsis counts via replace-length deltas, line filters,
         # alpha regexp, stopword intersect; flags on UNROUNDED ratios.

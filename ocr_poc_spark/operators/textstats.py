@@ -506,3 +506,50 @@ def gopher_rules(
             & ok_bullets & ok_ellipsis & (guard & ok_alpha) & ok_stop
         ).alias("gopher_keep"),
     )
+
+
+# Cleanup character classes (shared with the oracle SQL; RE2/Java-common
+# syntax only): C0/C1 controls minus \t\n\r, DEL, zero-widths + BOM.
+CLEAN_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+CLEAN_ZW_RE = "[\\u200b\\u200c\\u200d\\ufeff]"
+
+
+def clean_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4/CCNet-style text normalization — the cleanup pass between
+    extraction and every hash-based operator (dirty controls/zero-
+    widths would make visually-identical documents hash differently
+    and silently defeat dedup):
+
+      - strip C0/C1 control chars (tab/newline/CR survive) and DEL
+      - strip zero-width chars (ZWSP/ZWNJ/ZWJ/BOM)
+      - straighten curly quotes, normalize en/em dashes and NBSP
+      - collapse runs of spaces/tabs to one space, trim line edges
+      - collapse 3+ consecutive newlines to a paragraph break (2)
+
+    Pure native regexp/translate expressions (map-only, zero shuffle,
+    no UDF); idempotent (clean(clean(x)) == clean(x), tested). Returns
+    (id, clean, n_ctrl, n_zw) — the counts flag documents needing the
+    pass (a high control-char count is itself a quality signal).
+    NULL text cleans to NULL."""
+    t = F.col(text_col)
+    n_ctrl = F.regexp_count(t, F.lit(CLEAN_CTRL_RE))
+    n_zw = F.regexp_count(t, F.lit(CLEAN_ZW_RE))
+    s = F.regexp_replace(t, CLEAN_CTRL_RE, "")
+    s = F.regexp_replace(s, CLEAN_ZW_RE, "")
+    s = F.translate(
+        s,
+        "‘’“”–— ",
+        "''\"\"-- ",
+    )
+    s = F.regexp_replace(s, "[ \\t]+", " ")
+    s = F.regexp_replace(s, " ?\\n ?", "\n")
+    s = F.regexp_replace(s, "\\n{3,}", "\n\n")
+    s = F.trim(s)
+    return df.select(
+        id_col,
+        s.alias("clean"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        n_zw.cast("long").alias("n_zw"),
+    )

@@ -1227,3 +1227,29 @@ def test_gopher_rules_thresholds(spark):
         [(9, "the and " + "word " * 18)], "doc_id long, text string"
     )
     assert gopher_rules(b, min_words=20).collect()[0]["ok_words"] is True
+
+
+def test_clean_text_normalization_and_idempotence(spark):
+    from ocr_poc_spark.operators.textstats import clean_text
+
+    rows = [
+        (1, "a\x00b\x07c"),                          # controls stripped
+        (2, "x​y﻿z"),                      # zero-widths stripped
+        (3, "“quoted” ‘q’ – — a b"),
+        (4, "a  \t b\n   line \n\n\n\n end  "),      # whitespace shaping
+        (5, None),
+        (6, "already clean text"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in clean_text(d).collect()}
+    assert got[1]["clean"] == "abc" and got[1]["n_ctrl"] == 2
+    assert got[2]["clean"] == "xyz" and got[2]["n_zw"] == 2
+    assert got[3]["clean"] == "\"quoted\" 'q' - - a b"
+    assert got[4]["clean"] == "a b\nline\n\nend"
+    assert got[5]["clean"] is None
+    assert got[6]["clean"] == "already clean text"
+
+    # idempotence: cleaning the cleaned column changes nothing
+    once = clean_text(d).select("doc_id", F.col("clean").alias("text"))
+    twice = {r["doc_id"]: r["clean"] for r in clean_text(once).collect()}
+    assert twice == {k: v["clean"] for k, v in got.items()}
