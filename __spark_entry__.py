@@ -1164,6 +1164,60 @@ def q_dsir_weights(spark, sf_dir):
     return importance_weights(docs, target)
 
 
+def _link_pages(spark, sf_dir):
+    """Deterministic linked-page synthesis shared by the webgraph
+    queries: each doc's page lives on '<source>.example' and links to
+    hosts derived from its id (absolute, plus a root-relative self link
+    for even ids and a scheme-relative link for ids % 5 == 0) — the
+    same construction the SQL oracles replay arithmetically."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    did = F.col("doc_id")
+    t1 = F.concat(F.lit("src"), ((did * 7) % 20).cast("string"), F.lit(".example"))
+    t2 = F.concat(F.lit("src"), ((did * 3) % 20).cast("string"), F.lit(".example"))
+    html = F.concat(
+        F.lit('<a href="https://'), t1, F.lit('/p">x</a>'),
+        F.when(did % 2 == 0, F.lit('<a href="/self">s</a>')).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit('<a href="//'), t2, F.lit('/q">y</a>'))
+               ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+            did.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level link graph (webgraph.extract_links + host_graph) over
+    deterministically synthesized pages: href regexp extraction,
+    absolute/scheme-relative/root-relative resolution, per-(src, dst)
+    host counts. Map-only until the one uniform-host-key aggregation."""
+    from ocr_poc_spark.operators.webgraph import extract_links, host_graph
+
+    return host_graph(extract_links(_link_pages(spark, sf_dir)))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Fixed-3-iteration weighted PageRank over the host graph (self
+    loops excluded) — the crawl-prioritization score. Deterministic by
+    construction; the oracle replays all three iterations as chained
+    CTEs; round-6 rides cross-engine summation-order ulps."""
+    from ocr_poc_spark.operators.webgraph import (
+        extract_links,
+        host_graph,
+        pagerank,
+    )
+
+    g = host_graph(extract_links(_link_pages(spark, sf_dir))).where(
+        F.col("src_host") != F.col("dst_host")
+    )
+    pr = pagerank(g, n_iter=3, weight="n_links")
+    return pr.select("host", F.round("rank", 6).alias("rank"))
+
+
 def q_clean_text(spark, sf_dir):
     """Unicode cleanup pass (textstats.clean_text) over a
     deterministically dirtied corpus: every doc gets a control char,
@@ -1505,6 +1559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bm25_search": q_bm25_search,
         "bm25_serve": q_bm25_serve,
+        "host_graph": q_host_graph,
+        "host_pagerank": q_host_pagerank,
         "clean_text": q_clean_text,
         "gopher_rules": q_gopher_rules,
         "url_blocklist": q_url_blocklist,
@@ -2900,6 +2956,72 @@ def oracle_sql() -> dict[str, str]:
                 for i, c in enumerate(_ivf_lookup_centroids())
             )
         ),
+        # Webgraph: the synthesis rule replayed arithmetically (the
+        # Spark side actually regex-extracts from the html it built).
+        "host_graph": """
+            WITH links AS (
+              SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS src_host,
+                     'src' || CAST((doc_id * 7) % 20 AS VARCHAR) || '.example' AS dst_host
+              FROM documents
+              UNION ALL
+              SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) || '.example',
+                     'src' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) || '.example',
+                     'src' || CAST((doc_id * 3) % 20 AS VARCHAR) || '.example'
+              FROM documents WHERE doc_id % 5 = 0)
+            SELECT src_host, dst_host, COUNT(*) AS n_links
+            FROM links GROUP BY src_host, dst_host
+        """,
+        # PageRank: three chained iterations, identical arithmetic
+        # (rank*w/outw inflow sums, base + d*inflow), round-6 output.
+        "host_pagerank": """
+            WITH links AS (
+              SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS sh,
+                     'src' || CAST((doc_id * 7) % 20 AS VARCHAR) || '.example' AS dh
+              FROM documents
+              UNION ALL
+              SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) || '.example',
+                     'src' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) || '.example',
+                     'src' || CAST((doc_id * 3) % 20 AS VARCHAR) || '.example'
+              FROM documents WHERE doc_id % 5 = 0),
+            e AS (
+              SELECT sh AS u, dh AS v, COUNT(*)::DOUBLE AS w
+              FROM links WHERE sh <> dh GROUP BY sh, dh),
+            outd AS (SELECT u, SUM(w) AS outw FROM e GROUP BY u),
+            nodes AS (SELECT DISTINCT u FROM (SELECT u FROM e UNION ALL SELECT v FROM e)),
+            nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+            r0 AS (SELECT u, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            i1 AS (
+              SELECT nodes.u,
+                     (0.15 / (SELECT n FROM nn))
+                       + 0.85 * COALESCE(s.infl, 0.0) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.v AS u, SUM(r0.rank * e.w / outd.outw) AS infl
+                FROM e JOIN r0 ON r0.u = e.u JOIN outd ON outd.u = e.u
+                GROUP BY e.v) s ON s.u = nodes.u),
+            i2 AS (
+              SELECT nodes.u,
+                     (0.15 / (SELECT n FROM nn))
+                       + 0.85 * COALESCE(s.infl, 0.0) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.v AS u, SUM(i1.rank * e.w / outd.outw) AS infl
+                FROM e JOIN i1 ON i1.u = e.u JOIN outd ON outd.u = e.u
+                GROUP BY e.v) s ON s.u = nodes.u),
+            i3 AS (
+              SELECT nodes.u,
+                     (0.15 / (SELECT n FROM nn))
+                       + 0.85 * COALESCE(s.infl, 0.0) AS rank
+              FROM nodes LEFT JOIN (
+                SELECT e.v AS u, SUM(i2.rank * e.w / outd.outw) AS infl
+                FROM e JOIN i2 ON i2.u = e.u JOIN outd ON outd.u = e.u
+                GROUP BY e.v) s ON s.u = nodes.u)
+            SELECT u AS host, ROUND(rank, 6) AS rank FROM i3
+        """,
         # clean_text: same dirt injection, then the full normalization
         # chain in RE2 (note the 'g' flags) + translate + trim. The
         # translate to-chars are built from chr() to dodge quoting.

@@ -1,0 +1,135 @@
+"""Web-graph construction from crawled pages: link extraction, the
+host-level link graph, and PageRank over it — the crawl-prioritization
+products a web-scale pipeline derives from the same pages it extracts
+text from (Common Crawl publishes exactly this host-level graph with
+centrality scores; public artifact).
+
+Scale notes (100 TB):
+- extract_links is map-only over the page scan (regexp over the
+  decoded payload; no UDF); only (src_host, dst_host) pairs — never
+  page bytes — reach the host_graph aggregation, whose partial
+  (map-side) combine collapses each page's links before the one
+  shuffle on the uniform host key.
+- pagerank is the same fixed-iteration discipline as
+  dedup.connected_components: per-round localCheckpoint stops lineage
+  growth, every shuffle carries (host, double) rows, and the
+  iteration count is FIXED (deterministic output, no driver-side
+  convergence reads beyond the bounded node count).
+
+Reference parity: the reference is a single-document service with no
+corpus-level products; the link graph is LLM-pipeline/crawl breadth
+(SURVEY §2 beyond-reference suite), sibling of crawl.crawl_churn_stats
+(both feed the recrawl scheduler).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .hoststats import host_of
+
+HREF_RE = 'href="([^"]*)"'
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per href occurrence: (src, href, dst) where dst is the
+    resolved absolute url — absolute http(s) hrefs pass through,
+    scheme-relative (//host/p) get https, root-relative (/p) resolve
+    against the source host; anything else (fragments, mailto:,
+    path-relative) yields dst NULL (counted, never guessed). The html
+    column may be binary (utf-8 cast; href attributes are ASCII in
+    practice — a mojibake href fails the absolute/relative tests and
+    lands in the NULL bucket, never a fabricated host). Double-quoted
+    href attributes only, the overwhelmingly dominant form."""
+    html_str = F.col(html_col).cast("string")
+    base = pages.select(
+        F.col(url_col).alias("src"),
+        host_of(url_col).alias("_src_host"),
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit(HREF_RE), F.lit(1))
+        ).alias("href"),
+    )
+    h = F.col("href")
+    dst = (
+        F.when(h.rlike("^https?://"), h)
+        .when(h.startswith("//"), F.concat(F.lit("https:"), h))
+        .when(
+            h.startswith("/") & (F.col("_src_host") != ""),
+            F.concat(F.lit("https://"), F.col("_src_host"), h),
+        )
+    )
+    return base.select("src", "href", dst.alias("dst"))
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """The host-level link graph: (src_host, dst_host, n_links) over
+    the resolvable links, empty-host rows dropped. Self-loops are kept
+    (intra-site links are most links; callers filter when ranking)."""
+    return (
+        links.where(F.col("dst").isNotNull())
+        .select(
+            host_of("src").alias("src_host"),
+            host_of("dst").alias("dst_host"),
+        )
+        .where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a (src, dst[, weight]) edge list:
+    rank = (1-d)/N + d * sum over in-edges of rank_src * w / outdeg_src
+    (outdeg = sum of outgoing weights). Nodes with no in-edges settle
+    at (1-d)/N; dangling mass is NOT redistributed (the simple variant
+    — deterministic, exactly recomputable in SQL; the redistribution
+    term only shifts all ranks by a common offset sequence and does not
+    change the ordering crawl prioritization consumes). Returns
+    (host, rank) for every node appearing as src or dst.
+
+    Deterministic by construction: fixed n_iter, no sampling, no
+    convergence probe; per-iteration localCheckpoint bounds the plan.
+    Float contract: summation order across engines differs in the last
+    ulps — consumers compare at round-6 like every ratio column."""
+    if n_iter < 1:
+        raise ValueError("pagerank: n_iter must be >= 1")
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w.cast("double").alias("w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    ).localCheckpoint(eager=True)
+    n = nodes.count()  # bounded: one row per HOST, not per page
+    outdeg = e.groupBy("u").agg(F.sum("w").alias("outw"))
+    base = float(1.0 - damping) / n
+    ranks = nodes.select("u", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, "u")
+            .join(outdeg, "u")
+            .select(
+                F.col("v").alias("u"),
+                (F.col("rank") * F.col("w") / F.col("outw")).alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(contrib, "u", "left").select(
+            "u",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
+        ).localCheckpoint(eager=True)
+    return ranks.select(F.col("u").alias("host"), "rank")

@@ -1253,3 +1253,51 @@ def test_clean_text_normalization_and_idempotence(spark):
     once = clean_text(d).select("doc_id", F.col("clean").alias("text"))
     twice = {r["doc_id"]: r["clean"] for r in clean_text(once).collect()}
     assert twice == {k: v["clean"] for k, v in got.items()}
+
+
+def test_webgraph_links_hostgraph_pagerank(spark):
+    """Link extraction resolves absolute/scheme-relative/root-relative
+    hrefs and NULLs the rest; the host graph counts resolvable pairs;
+    PageRank puts the most-linked host first and sums to <= 1."""
+    from ocr_poc_spark.operators.webgraph import (
+        extract_links,
+        host_graph,
+        pagerank,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/p1",
+             b'<a href="https://hub.example/x">1</a>'
+             b'<a href="//hub.example/y">2</a>'
+             b'<a href="/local">3</a>'
+             b'<a href="#frag">4</a><a href="mailto:z@q">5</a>'),
+            ("https://b.example/p1", b'<a href="https://hub.example/z">1</a>'),
+            ("https://hub.example/p1", b'<a href="https://a.example/">1</a>'),
+        ],
+        "url string, html binary",
+    )
+    links = extract_links(pages).collect()
+    assert len(links) == 7
+    by_href = {r["href"]: r["dst"] for r in links}
+    assert by_href["https://hub.example/x"] == "https://hub.example/x"
+    assert by_href["//hub.example/y"] == "https://hub.example/y"
+    assert by_href["/local"] == "https://a.example/local"
+    assert by_href["#frag"] is None and by_href["mailto:z@q"] is None
+
+    g = {(r["src_host"], r["dst_host"]): r["n_links"]
+         for r in host_graph(extract_links(pages)).collect()}
+    assert g[("a.example", "hub.example")] == 2
+    assert g[("a.example", "a.example")] == 1  # the root-relative self link
+    assert g[("b.example", "hub.example")] == 1
+    assert g[("hub.example", "a.example")] == 1
+
+    edges = host_graph(extract_links(pages)).where("src_host != dst_host")
+    pr = {r["host"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+    assert max(pr, key=pr.get) == "hub.example"
+    assert 0 < sum(pr.values()) <= 1.0 + 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(edges, n_iter=0)
