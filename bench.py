@@ -71,7 +71,8 @@ BENCH_QUERIES = [
     "band_join", "corpus_pipeline", "pack_subword",
     "lm_perplexity", "strip_boilerplate",
     "bm25_serve", "dsir_weights", "semantic_dedup", "crawl_diff",
-    "asof_join",
+    "asof_join", "gopher_rules", "clean_text", "host_pagerank",
+    "url_blocklist",
 ]
 # embedding_near_dup is deliberately absent: it is the documented
 # all-pairs EXACT oracle variant (O(n^2)); the benchmarked scale path

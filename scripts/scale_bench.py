@@ -227,6 +227,8 @@ def main() -> None:
         "bm25_serve",
         "crawl_diff",
         "semantic_dedup_sqrtk",
+        "gopher_rules",
+        "clean_text",
     ]
 
     spark = get_spark(
@@ -376,6 +378,11 @@ def main() -> None:
         "(same formula, measured above); the entry query's frozen k=8 "
         "literal centroids are the oracle setting, not the scale "
         "setting (at 10x they imply ~156M in-cluster cosines).",
+        f"- gopher_rules / clean_text: "
+        f"{summary['gopher_rules']['shuffle_ratio']}x / "
+        f"{summary['clean_text']['shuffle_ratio']}x shuffle — both are "
+        "map-only passes (the only shuffle is the test-spread "
+        "repartition), the trivially-linear ideal.",
         "",
         "## Corpus-shape caveat (first-run finding)",
         "",
