@@ -290,7 +290,14 @@ def main() -> None:
     for q in target:
         a, b = results[q][1], results[q][m]
         wr = b["wall_s"] / max(a["wall_s"], 1e-9)
-        sr = b["shuffle_write_mb"] / max(a["shuffle_write_mb"], 1e-9)
+        # Map-only queries shuffle ~0 bytes at BOTH scales (the only
+        # bytes are listener-attributed noise <0.05MB); a ratio of two
+        # near-zeros is meaningless — report 1.0 and let the absolute
+        # columns tell the story.
+        if a["shuffle_write_mb"] < 0.05 and b["shuffle_write_mb"] < 0.05:
+            sr = 1.0
+        else:
+            sr = b["shuffle_write_mb"] / max(a["shuffle_write_mb"], 1e-9)
         lines.append(
             f"| {q} | {a['wall_s']}s | {a['rows']} | "
             f"{a['shuffle_write_mb']} | {b['wall_s']}s | {b['rows']} | "
@@ -378,11 +385,10 @@ def main() -> None:
         "(same formula, measured above); the entry query's frozen k=8 "
         "literal centroids are the oracle setting, not the scale "
         "setting (at 10x they imply ~156M in-cluster cosines).",
-        f"- gopher_rules / clean_text: "
-        f"{summary['gopher_rules']['shuffle_ratio']}x / "
-        f"{summary['clean_text']['shuffle_ratio']}x shuffle — both are "
-        "map-only passes (the only shuffle is the test-spread "
-        "repartition), the trivially-linear ideal.",
+        f"- gopher_rules / clean_text: ~0 MB shuffle at BOTH scales "
+        "(absolute columns) — map-only passes, the trivially-linear "
+        "ideal; the ratio column is pinned to 1.0 for sub-0.05MB "
+        "noise-floor cells.",
         "",
         "## Corpus-shape caveat (first-run finding)",
         "",
