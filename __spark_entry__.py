@@ -1190,6 +1190,16 @@ def _link_pages(spark, sf_dir):
     )
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text corpus (webgraph.extract_anchor_texts): aligned
+    href/inner-text regexp extraction over the synthesized linked
+    pages, resolved like extract_links — the classic target-page
+    relevance signal. Oracle replays the synthesis arithmetically."""
+    from ocr_poc_spark.operators.webgraph import extract_anchor_texts
+
+    return extract_anchor_texts(_link_pages(spark, sf_dir))
+
+
 def q_host_graph(spark, sf_dir):
     """Host-level link graph (webgraph.extract_links + host_graph) over
     deterministically synthesized pages: href regexp extraction,
@@ -1559,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bm25_search": q_bm25_search,
         "bm25_serve": q_bm25_serve,
+        "anchor_texts": q_anchor_texts,
         "host_graph": q_host_graph,
         "host_pagerank": q_host_pagerank,
         "clean_text": q_clean_text,
@@ -2956,6 +2967,28 @@ def oracle_sql() -> dict[str, str]:
                 for i, c in enumerate(_ivf_lookup_centroids())
             )
         ),
+        # Anchor texts: the _link_pages synthesis replayed — absolute
+        # link anchor 'x', root-relative '}s' (the regexp captures up
+        # to the next '<': the '>' that closes the a-tag of the
+        # FOLLOWING match never appears because matches are
+        # non-overlapping left-to-right; here anchors are literal).
+        "anchor_texts": """
+            WITH docs AS (
+              SELECT doc_id,
+                     'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example/doc/' || CAST(doc_id AS VARCHAR) AS src,
+                     'src' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS src_host,
+                     'src' || CAST((doc_id * 7) % 20 AS VARCHAR) || '.example' AS t1,
+                     'src' || CAST((doc_id * 3) % 20 AS VARCHAR) || '.example' AS t2
+              FROM documents)
+            SELECT src, 'https://' || t1 || '/p' AS dst, 'x' AS anchor FROM docs
+            UNION ALL
+            SELECT src, 'https://' || src_host || '/self', 's'
+            FROM docs WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT src, 'https://' || t2 || '/q', 'y'
+            FROM docs WHERE doc_id % 5 = 0
+        """,
         # Webgraph: the synthesis rule replayed arithmetically (the
         # Spark side actually regex-extracts from the html it built).
         "host_graph": """

@@ -133,3 +133,45 @@ def pagerank(
             ).alias("rank"),
         ).localCheckpoint(eager=True)
     return ranks.select(F.col("u").alias("host"), "rank")
+
+
+ANCHOR_RE = 'href="([^"]*)"[^>]*>([^<]*)<'
+
+
+def extract_anchor_texts(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst, anchor) per resolvable link: the anchor-text corpus —
+    the classic relevance-training signal (anchor text describes the
+    TARGET page; public lineage from web-IR literature). Two aligned
+    regexp_extract_all passes (hrefs, inner texts) zip positionally —
+    same match set by construction, no UDF; resolution and host rules
+    are extract_links' (non-resolvable hrefs drop out; empty anchors
+    kept — an image link's empty text is information too)."""
+    html_str = F.col(html_col).cast("string")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), F.lit(1)).alias("href"),
+        F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), F.lit(2)).alias("anchor"),
+    )
+    base = pages.select(
+        F.col(url_col).alias("src"),
+        host_of(url_col).alias("_src_host"),
+        F.explode(pairs).alias("_p"),
+    ).select(
+        "src",
+        "_src_host",
+        F.col("_p.href").alias("href"),
+        F.trim(F.col("_p.anchor")).alias("anchor"),
+    )
+    h = F.col("href")
+    dst = (
+        F.when(h.rlike("^https?://"), h)
+        .when(h.startswith("//"), F.concat(F.lit("https:"), h))
+        .when(
+            h.startswith("/") & (F.col("_src_host") != ""),
+            F.concat(F.lit("https://"), F.col("_src_host"), h),
+        )
+    )
+    return base.select("src", dst.alias("dst"), "anchor").where(
+        F.col("dst").isNotNull()
+    )

@@ -1301,3 +1301,23 @@ def test_webgraph_links_hostgraph_pagerank(spark):
 
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(edges, n_iter=0)
+
+
+def test_extract_anchor_texts(spark):
+    from ocr_poc_spark.operators.webgraph import extract_anchor_texts
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/p",
+             b'<a href="https://b.example/x" class="z"> Target Page </a>'
+             b'<a href="/local">rel</a><a href="#f">skip</a>'
+             b'<a href="https://c.example/y"></a>'),
+        ],
+        "url string, html binary",
+    )
+    got = {(r["dst"]): r["anchor"] for r in extract_anchor_texts(pages).collect()}
+    assert got == {
+        "https://b.example/x": "Target Page",
+        "https://a.example/local": "rel",
+        "https://c.example/y": "",
+    }
