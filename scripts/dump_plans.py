@@ -182,6 +182,23 @@ def main() -> None:
             em.queries()["asof_join"](spark, sf),
         ),
         (
+            "Host graph (link extraction + host aggregation)",
+            "Map-only regexp href extraction and resolution feeding ONE "
+            "hash aggregation on the uniform host-pair key (partial "
+            "combine collapses each page's links map-side); page bytes "
+            "never cross the exchange.",
+            em.queries()["host_graph"](spark, sf),
+        ),
+        (
+            "Host PageRank (final iteration's plan)",
+            "Each fixed iteration reads the previous ranks from a "
+            "localCheckpoint (Scan ExistingRDD), joins the (host, "
+            "double) edge/outdeg frames and aggregates inflow per host "
+            "— no vector or page data anywhere; plan size constant "
+            "across iterations.",
+            em.queries()["host_pagerank"](spark, sf),
+        ),
+        (
             "BM25 serving mode (inverted-file scoring)",
             "The query-term filter prunes the index scan; per-term df "
             "and corpus stats are tiny broadcast aggregates; the top-k "
