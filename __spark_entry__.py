@@ -1508,16 +1508,19 @@ def q_host_cap(spark, sf_dir):  # domain-balance cap, stable hash order
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRY ORDER IS LOAD-BEARING: the driver's correctness gate
+    # verifies the FIRST 50 entries only.  Round-5 rotation (VERDICT r4
+    # item 1): the first block keeps one architecturally load-bearing,
+    # already-driver-green representative per family; the second block
+    # promotes every query that had no driver-verified row in
+    # CORRECTNESS_r01..r04 (the round-4 suite) plus the new round-5
+    # queries.  The tail holds near-duplicate variants of families whose
+    # representative is (or was, in r01-r04) driver-green — they remain
+    # fully oracle-checked by scripts/oracle_check.py and pytest; see
+    # README "Correctness evidence map".
     return {
-        "quality_gate": q_quality_gate,
-        "noise_filter": q_noise_filter,
-        "regex_claims": q_regex_claims,
-        "rank_window": q_rank_window,
-        "elimination_antijoin": q_elimination_antijoin,
-        "pivot_consolidation": q_pivot_consolidation,
-        "fuzzy_anchor_join": q_fuzzy_anchor_join,
-        "proximity_binding": q_proximity_binding,
-        "sessionization": q_sessionization,
+        # -- block 1: driver-green representatives kept in the window --
+        "corpus_pipeline": q_corpus_pipeline,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1526,40 +1529,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_lookup": q_ann_ivf_lookup,
         "ann_ivf_bcast": q_ann_ivf_bcast,
         "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "lang_id": q_lang_id,
-        "token_stats": q_token_stats,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
-        "hash_embed": q_hash_embed,
-        "text_embed_near_dup": q_text_embed_near_dup,
         "text_dedup_e2e": q_text_dedup_e2e,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "lm_perplexity": q_lm_perplexity,
-        "tpch_pricing": q_tpch_pricing,
-        "tpch_part_profit": q_tpch_part_profit,
-        "tpch_top_orders": q_tpch_top_orders,
-        "region_rollup": q_region_rollup,
-        "salted_agg": q_salted_agg,
-        "range_join": q_range_join,
-        "zone_transform": q_zone_transform,
-        "multimodal_decode": q_multimodal_decode,
-        "json_props": q_json_props,
-        "set_ops": q_set_ops,
-        "band_join": q_band_join,
-        "boilerplate_shingles": q_boilerplate_shingles,
         "strip_boilerplate": q_strip_boilerplate,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "host_cap": q_host_cap,
-        "corpus_pipeline": q_corpus_pipeline,
-        "corpus_pipeline_stats": q_corpus_pipeline_stats,
-        "corpus_pipeline_splits": q_corpus_pipeline_splits,
+        "fuzzy_anchor_join": q_fuzzy_anchor_join,
+        "proximity_binding": q_proximity_binding,
+        "band_join": q_band_join,
+        "salted_agg": q_salted_agg,
+        # -- block 2: promoted (no driver row before r5) + new in r5 --
+        "extract_pipeline": q_extract_pipeline,
         "normalize_urls": q_normalize_urls,
         "chunk_documents": q_chunk_documents,
         "chunk_subword": q_chunk_subword,
@@ -1567,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_subword": q_pack_subword,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
+        "chunk_bpe": q_chunk_bpe,
         "bm25_search": q_bm25_search,
         "bm25_serve": q_bm25_serve,
         "anchor_texts": q_anchor_texts,
@@ -1576,16 +1559,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "url_blocklist": q_url_blocklist,
         "corpus_split": q_corpus_split,
+        "corpus_pipeline_splits": q_corpus_pipeline_splits,
         "crawl_diff": q_crawl_diff,
+        "crawl_churn": q_crawl_churn,
         "cluster_profile": q_cluster_profile,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
         "asof_join": q_asof_join,
         "asof_forward": q_asof_forward,
-        "crawl_churn": q_crawl_churn,
         "corpus_quantiles": q_corpus_quantiles,
-        "chunk_bpe": q_chunk_bpe,
-        "extract_pipeline": q_extract_pipeline,
+        # -- tail: demoted variants (driver-green in r01-r04; still
+        #    covered by scripts/oracle_check.py + pytest every round) --
+        "quality_gate": q_quality_gate,
+        "noise_filter": q_noise_filter,
+        "regex_claims": q_regex_claims,
+        "rank_window": q_rank_window,
+        "elimination_antijoin": q_elimination_antijoin,
+        "pivot_consolidation": q_pivot_consolidation,
+        "sessionization": q_sessionization,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_lookup": q_ann_ivf_lookup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "hash_embed": q_hash_embed,
+        "text_embed_near_dup": q_text_embed_near_dup,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "lm_perplexity": q_lm_perplexity,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_part_profit": q_tpch_part_profit,
+        "tpch_top_orders": q_tpch_top_orders,
+        "region_rollup": q_region_rollup,
+        "range_join": q_range_join,
+        "zone_transform": q_zone_transform,
+        "multimodal_decode": q_multimodal_decode,
+        "json_props": q_json_props,
+        "set_ops": q_set_ops,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "corpus_pipeline_stats": q_corpus_pipeline_stats,
     }
 
 
