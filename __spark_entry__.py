@@ -1018,6 +1018,23 @@ def q_strip_boilerplate(spark, sf_dir):
     return strip_boilerplate_lines(pages)
 
 
+def q_span_dedup(spark, sf_dir):
+    """Span-level exact substring dedup (Lee et al. 2022): every
+    8-token span occurring >= 2 times corpus-wide is removed except its
+    globally-first (doc_id, pos) occurrence; overlapping duplicated
+    shingles extend removal to the maximal shared span. The documents
+    fixture's templated vocabulary yields ~1k duplicated 8-grams at
+    sf0.01, so the pass has real work without synthetic pages. Oracle
+    replays the whole pipeline in SQL: same 60-bit shingle hashes, a
+    row_number-over-hash canonical pick, positional coverage join, and
+    an index-ordered string_agg rebuild."""
+    from ocr_poc_spark.operators.curation import dedup_spans
+
+    return dedup_spans(
+        _t(spark, sf_dir, "documents", spread=True), span_tokens=8
+    )
+
+
 def q_chunk_documents(spark, sf_dir):  # training-sequence chunking
     from ocr_poc_spark.operators.curation import chunk_documents
 
@@ -1568,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_forward": q_asof_forward,
         "corpus_quantiles": q_corpus_quantiles,
+        "span_dedup": q_span_dedup,
         # -- tail: demoted variants (driver-green in r01-r04; still
         #    covered by scripts/oracle_check.py + pytest every round) --
         "quality_gate": q_quality_gate,
@@ -2626,6 +2644,51 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.text_clean, '') AS text_clean,
                    CAST(t.n_lines AS BIGINT) AS n_lines,
                    CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        """,
+        # Span-level exact substring dedup: full SQL replay — same
+        # 60-bit shingle hashes, canonical = row_number over (doc_id,
+        # pos), coverage via positional BETWEEN join, index-ordered
+        # string_agg rebuild. Pure string/integer ops — exact.
+        "span_dedup": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     COALESCE(list_filter({_WORDS_SQL}, x -> len(x) > 0),
+                              []) AS t
+              FROM documents),
+            occ AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i+1 : i+8], ' ')), 1, 15))::BIGINT AS h
+              FROM tk, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)),
+            ranked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                     COUNT(*) OVER (PARTITION BY h) AS cnt
+              FROM occ),
+            rem AS (SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn > 1),
+            tokrows AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i+1] AS w
+              FROM tk, unnest(range(0, len(t))) AS u(i)),
+            covered AS (
+              SELECT DISTINCT tr.doc_id, tr.pos
+              FROM tokrows tr JOIN rem r
+                ON r.doc_id = tr.doc_id
+               AND tr.pos BETWEEN r.pos AND r.pos + 7),
+            keptrows AS (
+              SELECT tr.doc_id, tr.pos, tr.w
+              FROM tokrows tr LEFT JOIN covered c
+                ON c.doc_id = tr.doc_id AND c.pos = tr.pos
+              WHERE c.pos IS NULL),
+            rebuilt AS (
+              SELECT doc_id,
+                     COALESCE(string_agg(w, ' ' ORDER BY pos), '') AS text_clean,
+                     COUNT(*) AS n_kept
+              FROM keptrows GROUP BY doc_id),
+            totals AS (SELECT doc_id, len(t) AS n FROM tk)
+            SELECT t.doc_id,
+                   COALESCE(r.text_clean, '') AS text_clean,
+                   CAST(t.n AS BIGINT) AS n_tokens,
+                   CAST(t.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
             FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         """,
         # Bigram-LM perplexity: counts are exact integers; the log2

@@ -87,6 +87,18 @@ def main(argv: list[str] | None = None) -> int:
              "(--pack then packs only those)",
     )
     ap.add_argument(
+        "--span-dedup", action="store_true",
+        help="after extraction, rewrite docs removing non-first "
+             "occurrences of exact >= --span-tokens-token spans "
+             "duplicated across the corpus (Lee et al. 2022); --pack "
+             "then packs the rewritten bodies",
+    )
+    ap.add_argument(
+        "--span-tokens", type=int, default=50,
+        help="minimum duplicated-span length in whitespace tokens "
+             "for --span-dedup",
+    )
+    ap.add_argument(
         "--pack", action="store_true",
         help="after extraction (and any curation/dedup stages), chunk "
              "kept docs and pack fixed-length training sequences",
@@ -178,6 +190,8 @@ def main(argv: list[str] | None = None) -> int:
             ap.error(f"--split: {e}")
     if args.select_top is not None and args.select_top <= 0:
         ap.error("--select-top must be positive")
+    if args.span_dedup and args.span_tokens < 2:
+        ap.error("--span-tokens must be >= 2")
     if args.dedup_clusters:
         # clusters are resolved from the pair stage's output; asking for
         # them implies running it (silently ignoring the flag would
@@ -298,6 +312,12 @@ def main(argv: list[str] | None = None) -> int:
 
         summary.update(
             run_select(spark, args.out, args.select_target, args.select_top)
+        )
+    if args.span_dedup:
+        from .plans.job import run_span_dedup
+
+        summary.update(
+            run_span_dedup(spark, args.out, span_tokens=args.span_tokens)
         )
     if args.pack:
         from .plans.job import run_pack

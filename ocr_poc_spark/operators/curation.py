@@ -760,3 +760,112 @@ def url_blocklist_filter(
     )
     blocked = (host != "") & hit
     return df.where(~blocked if keep else blocked)
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Span-level EXACT substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): remove every >=
+    span_tokens-token span whose exact token sequence occurs at least
+    min_count times across the corpus, keeping only the globally first
+    occurrence. Complements strip_boilerplate_lines (line-level) and
+    MinHash/SimHash/semantic (document-level) — this is the pass that
+    excises a verbatim licence block or syndicated paragraph embedded
+    inside otherwise-unique documents, without dropping the documents.
+
+    Semantics (deterministic, oracle-replayable):
+    - tokens = whitespace-split of lower(trim(text)), empties dropped
+      (the shared norm_words tokenisation); output text is therefore
+      the normalised token stream re-joined by single spaces.
+    - every span_tokens-token window (shingle) is hashed (60-bit
+      md5-hex15); a hash with >= min_count occurrences corpus-wide is
+      duplicated (same-document repeats count).
+    - the canonical occurrence of a duplicated shingle is the minimum
+      (id, pos) pair; every OTHER occurrence marks its window
+      [pos, pos + span_tokens) for removal in its document. Because a
+      duplicated region of length L >= k contributes L-k+1 overlapping
+      duplicated shingles, the union of marked windows covers the
+      maximal duplicated span, not just one window.
+    - edge: a document can own one shingle of an overlapping region
+      while losing a neighbouring one to an earlier document; removal
+      is the union of lost windows — aggressive but deterministic.
+
+    Returns one row per input document (NULL text => '' out):
+      (id, text_clean, n_tokens, n_removed).
+
+    Plan / 100 TB shape: occurrence rows carry ONLY (hash, id, pos) —
+    never text — through two exchanges. Duplicate detection is a
+    groupBy(hash) agg of count + min(struct(id, pos)): both partially
+    aggregable, so a cookie-banner span duplicated in 10^8 documents
+    is collapsed map-side instead of sorting a hot window partition
+    (why this differs from strip_boilerplate_lines's window form,
+    whose per-doc-distinct line rows stay small). The join back to
+    occurrences is an equi-join on the uniform 60-bit hash (AQE skew
+    split handles a residual hot hash). Rebuild joins a per-doc sorted
+    start array (bounded by the doc's own token count) back to the
+    token arrays and filters with one EXISTS higher-order function per
+    token — O(|tokens| * |starts|) per doc, linear for real corpora
+    where duplicated-span density is far below saturation.
+    """
+    if span_tokens < 2:
+        raise ValueError("dedup_spans: span_tokens must be >= 2")
+    if min_count < 2:
+        raise ValueError("dedup_spans: min_count must be >= 2")
+    k = int(span_tokens)
+    toks = F.filter(
+        F.coalesce(
+            _raw_norm_words(text_col), F.expr("CAST(array() AS ARRAY<STRING>)")
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    # struct(pos, h) per shingle; sequence guard per texthash docs.
+    span_structs = F.expr(
+        f"CASE WHEN size(_toks) >= {k} THEN "
+        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"i -> struct(cast(i - 1 as int) as pos, "
+        f"cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 15), 16, 10) as bigint) as h)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>) END"
+    )
+    occ = base.select("_id", F.explode(span_structs).alias("_s")).select(
+        "_id", F.col("_s.pos").alias("_pos"), F.col("_s.h").alias("_h")
+    )
+    dup = (
+        occ.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first"),
+        )
+        .where(F.col("_cnt") >= min_count)
+        .select("_h", "_first")
+    )
+    removals = (
+        occ.join(dup, "_h")
+        .where(
+            ~(
+                (F.col("_id") == F.col("_first._id"))
+                & (F.col("_pos") == F.col("_first._pos"))
+            )
+        )
+        .select("_id", "_pos")
+    )
+    starts = removals.groupBy("_id").agg(
+        F.array_sort(F.collect_list("_pos")).alias("_starts")
+    )
+    joined = base.join(starts, "_id", "left").withColumn(
+        "_st", F.coalesce("_starts", F.expr("CAST(array() AS ARRAY<INT>)"))
+    )
+    kept = F.expr(
+        f"filter(_toks, (t, i) -> NOT exists(_st, p -> p <= i AND i < p + {k}))"
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

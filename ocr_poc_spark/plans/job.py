@@ -287,6 +287,7 @@ def run_dedup(
     max_hamming: int = 3,
     semantic_threshold: float = 0.92,
     clusters: bool = False,
+    semantic_max_cluster: int | None = None,
 ) -> dict:
     """Post-extraction near-duplicate pass over the extracted corpus
     (training-data curation stage) -> <out>/dup_pairs parquet.
@@ -326,11 +327,27 @@ def run_dedup(
             F.col("doc_id").alias("vec_id"), "embedding"
         ).localCheckpoint(eager=True)
         n = emb.count()
+        k = max(8, int(n ** 0.5))
+        # Honesty guard (similarity.py max_cluster_size): in-cluster
+        # pair work is |c|^2/2, so a degenerate quantizer that dumps
+        # the corpus into one cluster silently reintroduces the
+        # all-pairs blowup clustering exists to avoid. Expected cluster
+        # size is n/k; allow 8x that (plus a floor so tiny corpora with
+        # naturally lumpy clusters don't trip) and FAIL the job beyond
+        # it — the fix is a finer quantizer, not waiving the guard.
+        # semantic_max_cluster overrides the formula (tests; operators
+        # who know their corpus is lumpy set it consciously).
+        cap = (
+            semantic_max_cluster
+            if semantic_max_cluster is not None
+            else max(256, (8 * n) // k + 1)
+        )
         cents = kmeans_centroids(
-            emb, n_centroids=max(8, int(n ** 0.5)), dim=64, n_iter=3
+            emb, n_centroids=k, dim=64, n_iter=3
         )
         pairs = semantic_near_pairs(
-            emb, cents, cosine_threshold=semantic_threshold
+            emb, cents, cosine_threshold=semantic_threshold,
+            max_cluster_size=cap,
         ).select(
             F.col("id_a"), F.col("id_b"), F.round("cosine", 6).alias("cosine")
         )
@@ -598,6 +615,44 @@ def run_select(
     }
 
 
+def run_span_dedup(
+    spark: SparkSession,
+    out_dir: str,
+    span_tokens: int = 50,
+    min_count: int = 2,
+) -> dict:
+    """Span-level exact substring dedup stage (Lee et al. 2022; see
+    curation.dedup_spans): rewrite every extracted document with
+    non-first occurrences of corpus-duplicated >= span_tokens-token
+    spans removed -> <out>/span_dedup parquet (doc_id, text_clean,
+    n_tokens, n_removed). Inside the operator only (hash, id, pos)
+    rows cross exchanges; the output parquet carries the rewritten
+    bodies, which a following --pack substitutes for the raw text
+    (see run_pack). Overwrite-idempotent like every post-stage."""
+    from ..operators.curation import dedup_spans
+
+    docs = _curation_docs(spark, out_dir)
+    out = dedup_spans(
+        docs, id_col="doc_id", text_col="text",
+        span_tokens=span_tokens, min_count=min_count,
+    )
+    sd_dir = os.path.join(out_dir, "span_dedup")
+    out.write.mode("overwrite").parquet(sd_dir)
+    res = spark.read.parquet(sd_dir)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("affected"),
+        F.sum("n_removed").alias("removed"),
+    ).first()
+    return {
+        "span_dedup_dir": sd_dir,
+        "span_dedup_docs": agg["n"],
+        "span_dedup_affected": int(agg["affected"] or 0),
+        "span_dedup_removed_tokens": int(agg["removed"] or 0),
+        "span_dedup_tokens": span_tokens,
+    }
+
+
 def run_pack(
     spark: SparkSession,
     out_dir: str,
@@ -623,8 +678,23 @@ def run_pack(
     from ..operators.curation import chunk_documents, pack_sequences
 
     docs = _curation_docs(spark, out_dir)
-    cur_dir = os.path.join(out_dir, "curation")
     filters = []
+    sd_dir = os.path.join(out_dir, "span_dedup")
+    if os.path.isdir(sd_dir):
+        # --span-dedup ran: substitute the span-rewritten bodies for
+        # the raw text so packed sequences never carry a non-first
+        # occurrence of a corpus-duplicated span. Inner join — the
+        # span stage emits one row per curation doc by construction,
+        # and a doc whose text was fully removed still packs its ''
+        # (zero chunks) rather than leaking the raw body.
+        rewritten = spark.read.parquet(sd_dir).select(
+            "doc_id", F.col("text_clean")
+        )
+        docs = docs.join(rewritten, "doc_id").select(
+            "doc_id", F.col("text_clean").alias("text"), "lang_guess"
+        )
+        filters.append("span_dedup")
+    cur_dir = os.path.join(out_dir, "curation")
     if os.path.isdir(cur_dir):
         keep = spark.read.parquet(cur_dir).where("kept").select("doc_id")
         docs = docs.join(keep, "doc_id", "left_semi")

@@ -766,3 +766,74 @@ def test_url_blocklist_filter_suffix_semantics(spark):
         url_blocklist_filter(d, [])
     with pytest.raises(ValueError, match="empty domain"):
         url_blocklist_filter(d, ["ok.example", "  "])
+
+
+def test_dedup_spans_exact_semantics(spark):
+    """Span-level exact dedup (Lee et al. 2022 style): the globally
+    first (doc_id, pos) occurrence of each duplicated k-shingle keeps
+    its window; every other occurrence loses the union of its lost
+    windows, which covers the whole maximal duplicated region."""
+    from ocr_poc_spark.operators.curation import dedup_spans
+
+    shared = "s1 s2 s3 s4 s5 s6"  # 6-token duplicated region, k=4
+    rows = [
+        (1, f"a1 a2 {shared} a3 a4"),
+        (2, f"b1 b2 b3 {shared} b4"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8"),       # unique -> untouched
+        (4, "tiny doc here"),                  # < k tokens -> untouched
+        (5, None),                             # NULL -> '' out
+        (6, f"{shared} d1 d2 {shared}"),       # same-doc repeat
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_spans(d, span_tokens=4).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # doc 1 holds the global first occurrence of every shared shingle
+    # (doc_id 1 < 2 < 6): fully kept.
+    assert out[1]["text_clean"] == f"a1 a2 {shared} a3 a4"
+    assert out[1]["n_removed"] == 0 and out[1]["n_tokens"] == 10
+    # doc 2 loses the whole 6-token region (union of its 3 lost
+    # 4-token windows), keeping its unique frame.
+    assert out[2]["text_clean"] == "b1 b2 b3 b4"
+    assert out[2]["n_removed"] == 6 and out[2]["n_tokens"] == 10
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "tiny doc here"
+    assert out[4]["n_removed"] == 0 and out[4]["n_tokens"] == 3
+    assert out[5]["text_clean"] == "" and out[5]["n_tokens"] == 0
+    # doc 6: both its copies lose to doc 1; everything shared goes,
+    # including the cross-boundary shingles that swallow d1 d2.
+    assert "s1" not in out[6]["text_clean"].split()
+    assert out[6]["n_tokens"] == 14 and out[6]["n_removed"] >= 12
+
+
+def test_dedup_spans_partition_independent(spark):
+    from ocr_poc_spark.operators.curation import dedup_spans
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [(i, f"u{i}a u{i}b {shared} u{i}c") for i in range(1, 9)] + [
+        (9, "lone text with no duplication at all whatsoever")
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        dedup_spans(d.repartition(1), span_tokens=5).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        dedup_spans(d.repartition(7), span_tokens=5).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # only doc 1 (global minimum) keeps the shared region
+    keepers = [r["doc_id"] for r in a if "w0" in r["text_clean"].split()]
+    assert keepers == [1]
+
+
+def test_dedup_spans_validates_params(spark):
+    import pytest
+
+    from ocr_poc_spark.operators.curation import dedup_spans
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup_spans(d, span_tokens=1)
+    with pytest.raises(ValueError):
+        dedup_spans(d, min_count=1)

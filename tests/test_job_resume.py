@@ -470,3 +470,73 @@ def test_cli_curate_gopher_gate(spark, pages_df, tmp_path):
     assert gated["curation_kept"] < plain["curation_kept"]
     rows = spark.read.parquet(gated["curation_dir"]).collect()
     assert all((not r["kept"]) or r["gopher_keep"] for r in rows)
+
+
+def test_run_dedup_semantic_guard_trips_on_degenerate_cluster(
+    spark, tmp_path, pages_df
+):
+    """The CLI semantic path must FAIL (not silently go quadratic) when
+    a cluster exceeds the cap: 50 docs across ~8 centroids with cap=3
+    pigeonholes at least one cluster over the cap."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_dedup, run_job
+
+    base = pages_df.limit(25)
+    dups = base.select(
+        F.concat(F.lit("https://mirror.example/"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    out = str(tmp_path / "dguard")
+    run_job(spark, base.unionByName(dups), out, mode="fused", n_buckets=2)
+    with pytest.raises(Exception, match="exceeds max_cluster_size"):
+        run_dedup(spark, out, method="semantic", semantic_max_cluster=3)
+    # the auto formula (8x expected size, floored) does NOT trip here
+    res = run_dedup(spark, out, method="semantic")
+    assert res["dup_pairs"] > 0
+
+
+def test_run_span_dedup_stage_and_pack_substitution(
+    spark, tmp_path, pages_df
+):
+    """--span-dedup stage: mirrored pages share their whole body, so
+    every mirror doc rewrites to '' (its spans are non-first
+    occurrences) while originals keep theirs; --pack then packs the
+    rewritten bodies (filters records span_dedup, and no mirror text
+    survives into packed pieces)."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_job, run_pack, run_span_dedup
+
+    base = pages_df.limit(12)
+    dups = base.select(
+        F.concat(F.lit("https://mirror.example/"), F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+    out = str(tmp_path / "spans")
+    run_job(spark, base.unionByName(dups), out, mode="fused", n_buckets=2)
+    res = run_span_dedup(spark, out, span_tokens=8)
+    assert res["span_dedup_docs"] > 0
+    assert res["span_dedup_affected"] > 0
+    sd = spark.read.parquet(res["span_dedup_dir"])
+    rows = {r["doc_id"]: r for r in sd.collect()}
+    # one row per curation doc; every (url, mirror) body pair with >= 8
+    # tokens has the mirror fully stripped and the original untouched
+    checked = 0
+    for doc_id, r in rows.items():
+        if doc_id.startswith("https://mirror.example/"):
+            orig = rows.get(doc_id.replace("https://mirror.example/", ""))
+            if orig is not None and r["n_tokens"] >= 8:
+                assert r["text_clean"] == ""
+                assert orig["n_removed"] == 0
+                checked += 1
+    assert checked > 0
+    packed = run_pack(spark, out, seq_len=64, chunk_tokens=16, chunk_stride=16)
+    assert "span_dedup" in packed["packed_filters"]
+    pieces = spark.read.parquet(packed["packed_dir"])
+    mirror_pieces = pieces.where(
+        F.col("doc_id").startswith("https://mirror.example/")
+    ).count()
+    assert mirror_pieces == 0 and packed["packed_pieces"] > 0
