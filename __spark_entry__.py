@@ -3252,7 +3252,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         # Crawl diff: the same deterministic old/new synthesis, sha256
-        # digests (NULL text digests as ''), FULL OUTER on the id, and
+        # digests (NULL text digests to the 'null' sentinel — cannot
+        # collide with 64-hex sha2 output), FULL OUTER on the id, and
         # the same 4-way status CASE.
         "crawl_diff": """
             WITH newsnap AS (
@@ -3261,9 +3262,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id % 7 <> 0
               UNION ALL
               SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
-            o AS (SELECT doc_id, sha256(COALESCE(text, '')) AS old_digest
+            o AS (SELECT doc_id,
+                         CASE WHEN text IS NULL THEN 'null'
+                              ELSE sha256(text) END AS old_digest
                   FROM documents),
-            n AS (SELECT doc_id, sha256(COALESCE(text, '')) AS new_digest
+            n AS (SELECT doc_id,
+                         CASE WHEN text IS NULL THEN 'null'
+                              ELSE sha256(text) END AS new_digest
                   FROM newsnap)
             SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
                    CASE WHEN o.old_digest IS NULL THEN 'added'
@@ -3333,8 +3338,10 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'https://recrawl.example/doc/' || CAST(doc_id AS VARCHAR), text
               FROM docs WHERE doc_id % 11 = 0),
-            o AS (SELECT url, sha256(COALESCE(text, '')) AS od FROM docs),
-            n AS (SELECT url, sha256(COALESCE(text, '')) AS nd FROM newsnap),
+            o AS (SELECT url, CASE WHEN text IS NULL THEN 'null'
+                              ELSE sha256(text) END AS od FROM docs),
+            n AS (SELECT url, CASE WHEN text IS NULL THEN 'null'
+                              ELSE sha256(text) END AS nd FROM newsnap),
             d AS (
               SELECT COALESCE(o.url, n.url) AS url,
                      CASE WHEN o.od IS NULL THEN 'added'

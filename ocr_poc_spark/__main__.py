@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
              "perplexity exceeds this (CCNet-style fluency gate)",
     )
     ap.add_argument(
+        "--with-ppl", action="store_true",
+        help="curation: train the bigram LM and carry per-doc ppl on "
+             "the keep-list even without --max-ppl (threshold tuning); "
+             "off by default — the LM pass is a whole-corpus cost",
+    )
+    ap.add_argument(
         "--sample", metavar="LANG=RATE[,..]", default=None,
         help="after extraction, write a deterministic stratified sample "
              "keep-list by verified language (e.g. en=0.5,fr=0.25)",
@@ -305,6 +311,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_boiler_ratio=args.max_boiler_ratio,
                 max_per_host=args.host_cap,
                 max_ppl=args.max_ppl,
+                with_ppl=True if args.with_ppl else None,
             )
         )
     if args.select_target:

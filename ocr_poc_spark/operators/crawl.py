@@ -41,15 +41,19 @@ def crawl_diff(
     content digests (NULL where the url is absent on that side).
 
     `content_col` may be string (extracted text) or binary (raw html /
-    warc payload) — sha2 accepts both. NULL content is digested as the
-    empty string so presence-with-NULL is distinguishable from absence
-    (the digest column itself is the presence witness)."""
+    warc payload) — sha2 accepts both. NULL content digests to the
+    4-char sentinel 'null' — present-but-NULL is distinguishable from
+    absence (the digest column itself is the presence witness) AND from
+    every real content value including '' (a sha2 digest is always 64
+    hex chars, so the sentinel cannot collide; ADVICE r4 — previously
+    NULL and '' shared sha2('') and a NULL->'' transition read as
+    'unchanged')."""
     def side(df: DataFrame, alias: str) -> DataFrame:
         c = F.col(content_col)
         # digest-of-branches, not branch-of-contents: binary content
         # must reach sha2 raw (a cast to string would mangle non-UTF-8
-        # bytes), and the NULL arm's empty-string digest keeps one type.
-        digest = F.when(c.isNull(), F.sha2(F.lit(""), 256)).otherwise(
+        # bytes), and the NULL arm's sentinel keeps one string type.
+        digest = F.when(c.isNull(), F.lit("null")).otherwise(
             F.sha2(c, 256)
         )
         return df.select(F.col(id_col).alias("_id"), digest.alias(alias))

@@ -29,7 +29,15 @@ from pyspark.sql import DataFrame
 
 from .hoststats import host_of
 
-HREF_RE = 'href="([^"]*)"'
+# Anchored to <a> tags: a bare 'href="..."' would also swallow
+# data-href=/xhref= attributes and href on non-hyperlink tags (<link>,
+# <base>, <area>) plus commented-out markup — counting non-hyperlink
+# references as links. '<a\\s' requires a real anchor tag (and rejects
+# <abbr>/<address>); the (?<=\\s) lookbehind requires an attribute
+# boundary immediately before href so 'data-href' can't sneak in via
+# the lazy [^>]*?. Known residual: quoted '>' inside attribute values
+# and <a href> inside comments/scripts — acceptable for link counting.
+HREF_RE = '(?i)<a\\s[^>]*?(?<=\\s)href="([^"]*)"'
 
 
 def extract_links(
@@ -91,10 +99,14 @@ def pagerank(
     """Fixed-iteration PageRank over a (src, dst[, weight]) edge list:
     rank = (1-d)/N + d * sum over in-edges of rank_src * w / outdeg_src
     (outdeg = sum of outgoing weights). Nodes with no in-edges settle
-    at (1-d)/N; dangling mass is NOT redistributed (the simple variant
-    — deterministic, exactly recomputable in SQL; the redistribution
-    term only shifts all ranks by a common offset sequence and does not
-    change the ordering crawl prioritization consumes). Returns
+    at (1-d)/N; dangling mass is NOT redistributed (the simple,
+    deterministic variant, exactly recomputable in SQL). Note the
+    omission is an approximation, not order-preserving in general: the
+    uniform mass added at iteration k propagates NON-uniformly through
+    the link matrix in later iterations, so rankings can differ from
+    true PageRank — in practice the differences are small on graphs
+    whose dangling mass is a modest fraction, which is the regime a
+    host graph built from its own crawl's edges sits in. Returns
     (host, rank) for every node appearing as src or dst.
 
     Deterministic by construction: fixed n_iter, no sampling, no
@@ -135,7 +147,9 @@ def pagerank(
     return ranks.select(F.col("u").alias("host"), "rank")
 
 
-ANCHOR_RE = 'href="([^"]*)"[^>]*>([^<]*)<'
+# Same <a>-tag anchoring as HREF_RE (see its comment); group 2 is the
+# inner text up to the next tag.
+ANCHOR_RE = '(?i)<a\\s[^>]*?(?<=\\s)href="([^"]*)"[^>]*>([^<]*)<'
 
 
 def extract_anchor_texts(

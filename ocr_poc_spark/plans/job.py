@@ -416,6 +416,7 @@ def run_curate(
     max_per_host: int | None = None,
     max_ppl: float | None = None,
     gopher: bool = False,
+    with_ppl: bool | None = None,
 ) -> dict:
     """Post-extraction keep-list pass (training-data curation): flag
     documents whose extracted body is mostly corpus-duplicated
@@ -435,8 +436,15 @@ def run_curate(
     self-trained bigram-LM perplexity (textstats.bigram_lm_scores)
     exceeds the threshold. Docs with no bigrams (< 2 tokens) have no
     defined perplexity and fail the gate when it is on (they carry no
-    trainable signal anyway). The ppl column rides the keep-list either
-    way so operators can tune the threshold from one run.
+    trainable signal anyway).
+
+    ``with_ppl``: whether the ppl column is computed and carried on the
+    keep-list. Default (None) = only when the gate is on: the bigram LM
+    costs an explode + two corpus-wide aggregations + per-bigram joins,
+    too expensive to run as a fixed display-only cost of every --curate
+    (ADVICE r4). Pass True to train/carry it without gating (threshold
+    tuning from one run); the column rides the schema either way, NULL
+    when not computed.
 
     ``gopher=True``: also require the published Gopher rules
     (textstats.gopher_rules — word count/shape/symbol/bullet/alpha/
@@ -447,15 +455,22 @@ def run_curate(
 
     docs = _curation_docs(spark, out_dir, with_host=True)
     boiler = boilerplate_shingle_stats(docs)
-    lm = bigram_lm_scores(docs).select("doc_id", "ppl")
     cur = (
         docs.select("doc_id", "host")
         .join(boiler, "doc_id")
-        .join(lm, "doc_id", "left")
         .join(
             gopher_rules(docs).select("doc_id", "gopher_keep"), "doc_id"
         )
     )
+    if with_ppl is None:
+        with_ppl = max_ppl is not None
+    if max_ppl is not None and not with_ppl:
+        raise ValueError("run_curate: max_ppl requires the ppl column")
+    if with_ppl:
+        lm = bigram_lm_scores(docs).select("doc_id", "ppl")
+        cur = cur.join(lm, "doc_id", "left")
+    else:
+        cur = cur.withColumn("ppl", F.lit(None).cast("double"))
     quality_ok = F.col("boiler_ratio") <= max_boiler_ratio
     if gopher:
         quality_ok = quality_ok & F.col("gopher_keep")

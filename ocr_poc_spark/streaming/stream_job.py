@@ -342,8 +342,11 @@ def start_crawl_diff_stream(
         from pyspark.errors import AnalysisException
 
         s = bdf.sparkSession
+        # NULL html digests to the same 'null' sentinel as batch
+        # crawl_diff (stream==batch digest parity; see crawl.crawl_diff
+        # on why NULL must not collide with sha2('')).
         digest = F.when(
-            F.col("html").isNull(), F.sha2(F.lit(""), 256)
+            F.col("html").isNull(), F.lit("null")
         ).otherwise(F.sha2(F.col("html"), 256))
         # One digest per url per batch: a url crawled twice inside one
         # micro-batch keeps its latest fetch (deterministic (warc_ts,

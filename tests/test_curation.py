@@ -653,14 +653,20 @@ def test_crawl_diff_statuses_and_changed_slice(spark):
         "u1": "deleted",
         "u2": "unchanged",
         "u3": "changed",
-        "u4": "unchanged",  # NULL content digests as empty string
+        # NULL -> '' IS a content change: NULL digests to the 'null'
+        # sentinel, distinct from sha2('') (ADVICE r4)
+        "u4": "changed",
         "u5": "added",
     }
+    digests = {r["url"]: (r["old_digest"], r["new_digest"])
+               for r in crawl_diff(old, new).collect()}
+    assert digests["u4"][0] == "null" and len(digests["u4"][1]) == 64
 
     sl = changed_slice(old, new)
     assert set(sl.columns) == {"url", "text"}
     assert {(r["url"], r["text"]) for r in sl.collect()} == {
         ("u3", "gamma v2"),
+        ("u4", ""),
         ("u5", "new page"),
     }
 

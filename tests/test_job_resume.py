@@ -280,7 +280,16 @@ def test_cli_curate_max_ppl_gate(spark, pages_df, tmp_path):
 
     out = str(tmp_path / "ppl")
     run_job(spark, pages_df.limit(60), out, mode="fused", n_buckets=2)
-    loose = run_curate(spark, out, max_boiler_ratio=1.1)
+    # without the gate the LM pass is skipped (ADVICE r4): the ppl
+    # column rides the schema but is NULL...
+    run_curate(spark, out, max_boiler_ratio=1.1)
+    assert (
+        spark.read.parquet(f"{out}/curation").where("ppl IS NOT NULL").count()
+        == 0
+    )
+    # ...and with_ppl=True trains/carries it WITHOUT gating — the
+    # threshold-tuning run.
+    loose = run_curate(spark, out, max_boiler_ratio=1.1, with_ppl=True)
     rows = spark.read.parquet(f"{out}/curation").collect()
     assert "ppl" in rows[0].asDict()
     thr = sorted(r["ppl"] for r in rows if r["ppl"] is not None)[len(rows) // 2]

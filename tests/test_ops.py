@@ -1321,3 +1321,42 @@ def test_extract_anchor_texts(spark):
         "https://a.example/local": "rel",
         "https://c.example/y": "",
     }
+
+
+def test_webgraph_href_anchored_to_a_tags(spark):
+    """HREF_RE/ANCHOR_RE must count only real hyperlinks: data-href=
+    and xhref= attributes, href on non-anchor tags (<link>, <base>,
+    <area>), and <abbr ...> lookalikes are NOT links (ADVICE r4)."""
+    from ocr_poc_spark.operators.webgraph import (
+        extract_anchor_texts,
+        extract_links,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/p",
+             b'<link href="https://cdn.example/style.css" rel="stylesheet">'
+             b'<base href="https://base.example/">'
+             b'<area href="https://map.example/z">'
+             b'<div data-href="https://tracker.example/t">x</div>'
+             b'<span xhref="https://fake.example/f">y</span>'
+             b'<abbr title="https://abbr.example/">HTML</abbr>'
+             b'<a data-href="https://tracker.example/u" '
+             b'href="https://real.example/one">real one</a>'
+             b'<A HREF="https://real.example/two">upper</A>'
+             b'<a\nhref="https://real.example/three">newline</a>'),
+        ],
+        "url string, html binary",
+    )
+    links = extract_links(pages).collect()
+    assert sorted(r["dst"] for r in links) == [
+        "https://real.example/one",
+        "https://real.example/three",
+        "https://real.example/two",
+    ]
+    anchors = {r["dst"]: r["anchor"] for r in extract_anchor_texts(pages).collect()}
+    assert anchors == {
+        "https://real.example/one": "real one",
+        "https://real.example/two": "upper",
+        "https://real.example/three": "newline",
+    }

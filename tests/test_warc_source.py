@@ -130,3 +130,38 @@ def test_warc_parser_malformed_records_do_not_drop_followers():
     good2 = _record("response", "https://g2.example/", _http(b"<html>g2</html>"))
     out = list(parse_warc_bytes(good1 + neg + nolen + good2))
     assert [u for u, _, _ in out] == ["https://g1.example/", "https://g2.example/"]
+
+
+def test_warc_bounded_batches_preserve_all_records(spark, tmp_path, monkeypatch):
+    """The streaming reader must flush bounded batches without losing
+    or duplicating records: with WARC_BATCH_RECORDS monkeypatched to 3,
+    10 records arrive intact (order-insensitive byte parity)."""
+    import ocr_poc_spark.sources.warc as warc_mod
+    from ocr_poc_spark.sources.pages import read_pages
+
+    monkeypatch.setattr(warc_mod, "WARC_BATCH_RECORDS", 3)
+    p = str(tmp_path / "seg-batch.warc.gz")
+    pages = _make_warc_gz(p, n=10)
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in read_pages(spark, p).collect()
+    }
+    want = {
+        u: b[b.find(b"\r\n\r\n") + 4:] if b.find(b"\r\n\r\n") >= 0 else b
+        for u, b in {u: _http(v) for u, v in pages.items()}.items()
+    }
+    assert got == want
+
+
+def test_warc_streaming_gzip_matches_whole_buffer_parse(tmp_path):
+    """parse_warc_bytes over the gzip member chain (incremental
+    GzipFile) equals parsing the pre-decompressed buffer."""
+    import gzip as _gz
+
+    from ocr_poc_spark.sources.warc import parse_warc_bytes
+
+    fix = _fixture_pages(4)
+    recs = [_record("response", r["url"], _http(bytes(r["html"]))) for r in fix]
+    gz = b"".join(_gz.compress(r) for r in recs)
+    plain = b"".join(recs)
+    assert list(parse_warc_bytes(gz)) == list(parse_warc_bytes(plain))
