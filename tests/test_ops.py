@@ -1360,3 +1360,51 @@ def test_webgraph_href_anchored_to_a_tags(spark):
         "https://real.example/two": "upper",
         "https://real.example/three": "newline",
     }
+
+
+def test_anchor_profile_topk_ties_and_corpus_join(spark):
+    """Per-dst top-k with (count desc, anchor asc) tie-break, windowed
+    inbound total over ALL phrases (not just top-k), and the host-level
+    in_corpus marker."""
+    import pytest
+
+    from ocr_poc_spark.operators.webgraph import anchor_profile
+
+    anchors = spark.createDataFrame(
+        [
+            # hub.example/p: 'home' x3, 'news' x2, 'a' x1, 'b' x1
+            *[("https://s.example/1", "https://hub.example/p", "home")] * 3,
+            *[("https://s.example/2", "https://hub.example/p", "news")] * 2,
+            ("https://s.example/3", "https://hub.example/p", "a"),
+            ("https://s.example/4", "https://hub.example/p", "b"),
+            # tie.example/q: 'x' and 'y' both once -> anchor asc order
+            ("https://s.example/5", "https://tie.example/q", "y"),
+            ("https://s.example/6", "https://tie.example/q", "x"),
+            # off.example/r: not in the corpus
+            ("https://s.example/7", "https://off.example/r", "z"),
+        ],
+        "src string, dst string, anchor string",
+    )
+    docs = spark.createDataFrame(
+        [("https://hub.example/any",), ("https://tie.example/other",)],
+        "url string",
+    )
+    rows = anchor_profile(anchors, top_k=2, docs=docs).collect()
+    by = {(r["dst"], r["rank"]): r for r in rows}
+    assert len(rows) == 5  # 2 + 2 + 1
+    hub1 = by[("https://hub.example/p", 1)]
+    hub2 = by[("https://hub.example/p", 2)]
+    assert (hub1["anchor"], hub1["n_anchor"]) == ("home", 3)
+    assert (hub2["anchor"], hub2["n_anchor"]) == ("news", 2)
+    assert hub1["n_links"] == 7  # all 4 phrases counted in the total
+    assert by[("https://tie.example/q", 1)]["anchor"] == "x"
+    assert by[("https://tie.example/q", 2)]["anchor"] == "y"
+    assert hub1["in_corpus"] and by[("https://tie.example/q", 1)]["in_corpus"]
+    assert not by[("https://off.example/r", 1)]["in_corpus"]
+
+    # without docs the column is absent
+    cols = anchor_profile(anchors, top_k=1).columns
+    assert "in_corpus" not in cols
+
+    with pytest.raises(ValueError, match="top_k"):
+        anchor_profile(anchors, top_k=0)
