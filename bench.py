@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "bm25_serve", "dsir_weights", "semantic_dedup", "crawl_diff",
     "asof_join", "gopher_rules", "clean_text", "host_pagerank",
     "url_blocklist",
+    # round-4 families previously correctness-only (VERDICT r4 #8):
+    "bm25_search", "anchor_texts", "host_graph", "corpus_split",
+    "crawl_churn", "corpus_quantiles", "chunk_bpe", "asof_forward",
+    # round-5 additions:
+    "span_dedup", "semantic_dedup_bcast", "anchor_profile",
 ]
 # embedding_near_dup is deliberately absent: it is the documented
 # all-pairs EXACT oracle variant (O(n^2)); the benchmarked scale path

@@ -400,3 +400,244 @@ def start_crawl_diff_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_corpus_pipeline_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    checkpoint: str,
+    state_dir: str,
+    gate_quality: float | None = None,
+    jaccard_threshold: float = 0.7,
+    num_hashes: int | None = None,
+    num_bands: int | None = None,
+    max_files: int = 1,
+) -> StreamingQuery:
+    """The INCREMENTAL form of the full corpus pipeline (VERDICT r4 #7):
+    each micro-batch of crawled pages runs
+    digest-diff -> extraction -> quality gate -> incremental MinHash
+    dedup against everything seen so far, composing the two existing
+    streaming state stores (crawl-diff digests + minhash band index)
+    into one chain; ``finalize_corpus_pipeline`` then produces the
+    packed training sequences from the accumulated state, equal to the
+    batch chain (extract -> gate -> pairs -> components -> keeper ->
+    host cap -> chunk -> pack) over the LATEST version of every url
+    (stream==batch parity test on a multi-batch fixture with re-crawls).
+
+    Per batch K (all writes partition-overwrite => replay-idempotent;
+    a fresh checkpoint over stale state is refused loudly, same
+    contract as the component streams):
+      1. collapse the batch to one row per url (latest (warc_ts,
+         digest) fetch) and diff against ``state_dir/digests`` — only
+         ADDED/CHANGED pages go further; unchanged re-crawls cost one
+         digest compare, never extraction.
+      2. extract_fused + gate (success, non-null body, optional
+         quality_score >= gate_quality) -> gated docs
+         (url, text) written to ``state_dir/docs/batch=K``.
+      3. incremental near-dup pairs of the gated docs vs the LIVE
+         corpus (latest version per url among earlier batches,
+         excluding urls this batch replaces) via the persisted band
+         index -> ``out_dir/pairs/batch=K``; the batch's own index
+         rows fold into ``state_dir/index/batch=K``.
+
+    State bound (documented contract): digests are ~80 B/url-crawl;
+    docs hold (url, text) for gated documents only — the SAME store a
+    batch pipeline's extracted output is, not extra streaming state;
+    the index is num_bands fixed-width rows per gated doc. Everything
+    else (components, caps, packing) is computed at finalize time from
+    those stores — no unbounded operator state inside the stream.
+
+    A pair emitted at batch K binds the versions current at K; when an
+    endpoint url is later re-crawled CHANGED, the pair is superseded
+    (the replacing batch re-pairs the new text against the live
+    corpus) — finalize keeps a pair only if neither endpoint has a
+    newer version, which is exactly the pair set the batch chain
+    computes on the latest snapshot."""
+    from ..operators.dedup import (
+        NUM_BANDS,
+        NUM_MINHASHES,
+        minhash_band_index,
+        minhash_lsh_pairs_incremental,
+    )
+    from ..plans.job import extract_fused
+
+    nh = NUM_MINHASHES if num_hashes is None else num_hashes
+    nb = NUM_BANDS if num_bands is None else num_bands
+
+    def _one_batch(bdf: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        s = bdf.sparkSession
+
+        def _state(path: str, schema: str) -> DataFrame:
+            try:
+                return s.read.parquet(path)
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                return s.createDataFrame([], schema)
+
+        digest = F.when(F.col("html").isNull(), F.lit("null")).otherwise(
+            F.sha2(F.col("html"), 256)
+        )
+        latest_fetch = (
+            bdf.withColumn("_d", digest)
+            .select("url", F.struct("warc_ts", F.col("_d").alias("digest"),
+                                    "html").alias("_e"))
+            .groupBy("url")
+            .agg(F.max("_e").alias("_e"))
+            .select("url", F.col("_e.digest").alias("digest"),
+                    F.col("_e.html").alias("html"))
+            .localCheckpoint(eager=True)
+        )
+        hist = _state(
+            f"{state_dir}/digests", "url string, digest string, batch int"
+        )
+        stale = hist.select(F.max("batch").alias("m")).collect()[0]["m"]
+        if stale is not None and stale > batch_id:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds batches up to "
+                f"{stale} but this stream is at batch {batch_id}: resume "
+                "with the original checkpoint, or start with a fresh "
+                "state_dir"
+            )
+        prior = (
+            hist.where(F.col("batch") < batch_id)
+            .groupBy("url")
+            .agg(F.max_by("digest", "batch").alias("prior_digest"))
+        )
+        work = latest_fetch.join(prior, "url", "left").where(
+            F.col("prior_digest").isNull()
+            | (F.col("prior_digest") != F.col("digest"))
+        ).select("url", "html")
+        ext = extract_fused(
+            work.select(
+                "url",
+                F.lit(None).cast("timestamp").alias("warc_ts"),
+                "html",
+                F.lit("").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+            )
+        )
+        gate = F.col("success") & F.col("body_text").isNotNull()
+        if gate_quality is not None:
+            gate = gate & (F.col("quality_score") >= gate_quality)
+        gated = ext.where(gate).select(
+            "url", F.col("body_text").alias("text")
+        ).localCheckpoint(eager=True)
+
+        docs_all = _state(
+            f"{state_dir}/docs", "url string, text string, batch int"
+        )
+        index_all = _state(
+            f"{state_dir}/index", "id string, band int, sig long, batch int"
+        )
+        # LIVE corpus: latest version per url among earlier batches,
+        # minus urls this batch replaces (their new text is in `gated`;
+        # pairing new-vs-stale text of other urls would bind versions
+        # the latest snapshot no longer has).
+        latest = (
+            docs_all.where(F.col("batch") < batch_id)
+            .groupBy("url")
+            .agg(F.max("batch").alias("_lb"))
+            .join(latest_fetch.select("url"), "url", "left_anti")
+        )
+        corpus = docs_all.join(latest, ["url"]).where(
+            F.col("batch") == F.col("_lb")
+        ).select("url", "text")
+        index = index_all.join(
+            latest.withColumnRenamed("url", "id"), ["id"]
+        ).where(F.col("batch") == F.col("_lb")).select("id", "band", "sig")
+        pairs = minhash_lsh_pairs_incremental(
+            gated, corpus, corpus_index=index, id_col="url",
+            text_col="text", num_hashes=nh, num_bands=nb,
+            jaccard_threshold=jaccard_threshold,
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/pairs/batch={batch_id}")
+        gated.write.mode("overwrite").parquet(
+            f"{state_dir}/docs/batch={batch_id}"
+        )
+        minhash_band_index(
+            gated, id_col="url", text_col="text",
+            num_hashes=nh, num_bands=nb,
+        ).write.mode("overwrite").parquet(f"{state_dir}/index/batch={batch_id}")
+        latest_fetch.select("url", "digest").write.mode("overwrite").parquet(
+            f"{state_dir}/digests/batch={batch_id}"
+        )
+
+    pages = read_pages_stream(spark, in_path, max_files=max_files)
+    return (
+        pages.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def finalize_corpus_pipeline(
+    spark: SparkSession,
+    out_dir: str,
+    state_dir: str,
+    max_per_host: int | None = None,
+    chunk_tokens: int = 512,
+    chunk_stride: int | None = None,
+    seq_len: int = 2048,
+) -> dict:
+    """Terminal pass of the streaming corpus pipeline: resolve the
+    accumulated state (gated docs + incremental pair stream) into the
+    packed training sequences — components, keeper filter, optional
+    host cap, chunking, packing, all on the LATEST version of every
+    url. Writes ``out_dir/packed`` and returns stage counts. Equal by
+    construction to the batch chain over the latest snapshot: live
+    docs are last-writer-wins per url; a pair survives only if neither
+    endpoint changed after it was emitted (see
+    start_corpus_pipeline_stream); the downstream operators are the
+    exact batch ones. Cheap relative to the stream: it re-reads only
+    ids/hashes/text already extracted — extraction and shingling are
+    never repeated."""
+    from ..operators.curation import chunk_documents, host_cap, pack_sequences
+    from ..operators.dedup import connected_components
+    from ..operators.hoststats import host_of
+
+    docs_all = spark.read.parquet(f"{state_dir}/docs")
+    live = (
+        docs_all.groupBy("url")
+        .agg(F.max("batch").alias("_lb"))
+    )
+    docs = docs_all.join(live, ["url"]).where(
+        F.col("batch") == F.col("_lb")
+    ).select("url", "text")
+    pairs_all = spark.read.parquet(f"{out_dir}/pairs")
+    lb_a = live.select(F.col("url").alias("id_a"), F.col("_lb").alias("_la"))
+    lb_b = live.select(F.col("url").alias("id_b"), F.col("_lb").alias("_bb"))
+    pairs = (
+        pairs_all.join(lb_a, "id_a").join(lb_b, "id_b")
+        .where((F.col("_la") <= F.col("batch")) & (F.col("_bb") <= F.col("batch")))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    kept = docs.join(comp, docs["url"] == comp["doc_id"], "left").where(
+        F.col("component_id").isNull() | (F.col("component_id") == F.col("url"))
+    ).select("url", "text")
+    if max_per_host is not None:
+        kept = host_cap(
+            kept.withColumn("host", host_of("url")),
+            max_per_host, host_col="host", id_col="url",
+        ).select("url", "text")
+    stride = chunk_tokens if chunk_stride is None else chunk_stride
+    chunks = chunk_documents(
+        kept, id_col="url", text_col="text",
+        chunk_tokens=chunk_tokens, stride=stride,
+    )
+    packed = pack_sequences(chunks, seq_len=seq_len, id_col="url")
+    packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
+    out = spark.read.parquet(f"{out_dir}/packed")
+    n_pieces = out.count()
+    return {
+        "packed_dir": f"{out_dir}/packed",
+        "packed_pieces": n_pieces,
+        "packed_sequences": out.select("seq_id").distinct().count(),
+        "live_docs": docs.count(),
+        "live_pairs": pairs.count(),
+    }

@@ -499,3 +499,128 @@ def test_stream_crawl_diff_statuses_and_state(spark, tmp_path):
     assert sorted(
         r["batch"] for r in hist.select("batch").distinct().collect()
     ) == [0, 1, 2]
+
+
+def test_stream_corpus_pipeline_equals_batch(spark, tmp_path):
+    """Composed incremental corpus pipeline (digest diff -> extract ->
+    gate -> incremental minhash vs the persisted band index) over THREE
+    micro-batches plus finalize must equal the batch chain
+    (extract -> gate -> pairs -> components -> keeper -> host cap ->
+    chunk -> pack) over the LATEST version of every url. The fixture
+    exercises: a cross-batch exact dup (0->1), a changed re-crawl whose
+    old version had a pair (the pair must be superseded), an in-batch
+    dup created by the re-crawl, and an unchanged re-crawl (digest-
+    skipped, no second doc version)."""
+    import os
+
+    from ocr_poc_spark.operators.curation import (
+        chunk_documents,
+        host_cap,
+        pack_sequences,
+    )
+    from ocr_poc_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from ocr_poc_spark.operators.hoststats import host_of
+    from ocr_poc_spark.streaming.stream_job import (
+        finalize_corpus_pipeline,
+        start_corpus_pipeline_stream,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [r for r in gen_pages(60, seed=7)
+            if bytes(r["html"]).lstrip()[:1] == b"<"][:36]
+    assert len(rows) == 36
+    b0, b1, b2 = rows[:12], rows[12:24], rows[24:36]
+    b1[1]["html"] = b0[1]["html"]     # cross-batch dup (different urls)
+    b1[0]["html"] = b0[0]["html"]     # dup of u0's ORIGINAL version
+    # batch 2: u0 re-crawled CHANGED (same body as b2[7] -> in-batch
+    # pair with it), u2 re-crawled UNCHANGED.
+    recrawl_changed = dict(b0[0], html=b2[7]["html"])
+    recrawl_same = dict(b0[2])
+    batch2 = b2 + [recrawl_changed, recrawl_same]
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, chunk in enumerate([b0, b1, batch2]):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r["url"] for r in chunk], pa.string()),
+                    "warc_ts": pa.array([r["warc_ts"] for r in chunk],
+                                        pa.timestamp("us", tz="UTC")),
+                    "html": pa.array([bytes(r["html"]) for r in chunk],
+                                     pa.binary()),
+                    "text": pa.array([r["text"] for r in chunk], pa.string()),
+                    "lang": pa.array([r["lang"] for r in chunk], pa.string()),
+                }
+            ),
+            f"{in_dir}/part-{i}.parquet",
+        )
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    q = start_corpus_pipeline_stream(
+        spark, in_dir, out, str(tmp_path / "ck"), state,
+        jaccard_threshold=0.5, max_files=1,
+    )
+    q.awaitTermination()
+    res = finalize_corpus_pipeline(
+        spark, out, state, max_per_host=6, chunk_tokens=16, seq_len=40,
+    )
+
+    u0, u2, u12 = b0[0]["url"], b0[2]["url"], b1[0]["url"]
+    # unchanged re-crawl skipped: u2 has exactly one doc version
+    docs_state = spark.read.parquet(f"{state}/docs")
+    assert docs_state.where(F.col("url") == u2).count() == 1
+    # changed re-crawl: two versions, live one from batch 2
+    assert docs_state.where(F.col("url") == u0).count() == 2
+    # the stale pair (u0-old ~ u12) WAS emitted at batch 1...
+    emitted = {(r["id_a"], r["id_b"], r["batch"])
+               for r in spark.read.parquet(f"{out}/pairs").collect()}
+    stale_pair = tuple(sorted((u0, u12)))
+    assert any((a, b) == stale_pair and k == 1 for a, b, k in emitted)
+
+    # batch chain over the latest snapshot
+    latest = b0[1:] + b1 + b2 + [recrawl_changed]
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytes(r["html"]), r["text"], r["lang"])
+         for r in latest],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    ext = extract_fused(pages)
+    gated = ext.where(
+        F.col("success") & F.col("body_text").isNotNull()
+    ).select("url", F.col("body_text").alias("text"))
+    pairs = minhash_lsh_pairs(
+        gated, id_col="url", text_col="text", jaccard_threshold=0.5
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    kept = gated.join(comp, gated["url"] == comp["doc_id"], "left").where(
+        F.col("component_id").isNull()
+        | (F.col("component_id") == F.col("url"))
+    ).select("url", "text")
+    capped = host_cap(
+        kept.withColumn("host", host_of("url")), 6,
+        host_col="host", id_col="url",
+    ).select("url", "text")
+    chunks = chunk_documents(
+        capped, id_col="url", text_col="text", chunk_tokens=16, stride=16
+    )
+    batch_packed = pack_sequences(chunks, seq_len=40, id_col="url")
+
+    # live doc count == the batch gate's survivor count (one row per
+    # url; re-crawled versions collapsed to the latest)
+    assert res["live_docs"] == gated.count()
+    cols = ["seq_id", "tok_start", "tok_end", "url", "chunk_idx",
+            "chunk_tok_start", "chunk_tok_end"]
+    got = sorted(tuple(r) for r in
+                 spark.read.parquet(res["packed_dir"]).select(*cols).collect())
+    want = sorted(tuple(r) for r in batch_packed.select(*cols).collect())
+    assert got == want and len(got) > 0
+    # the superseded pair is NOT in the batch pair set; the in-batch
+    # re-crawl pair IS
+    batch_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert stale_pair not in batch_pairs
+    assert tuple(sorted((u0, b2[7]["url"]))) in batch_pairs
