@@ -1035,6 +1035,41 @@ def q_span_dedup(spark, sf_dir):
     )
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Multilingual temperature rebalancing (XLM-R/mT5 p^alpha corpus
+    mixing): per-language sampling rates DERIVED from corpus counts —
+    rate = (n_min/n_lang)^(1-alpha), rarest language kept whole — then
+    the reproducible md5 bucket keeps/drops rows. alpha=0.5 makes the
+    rate an IEEE sqrt (correctly rounded in both engines), so the
+    thresholds are bit-identical cross-engine; floor-quantised to
+    1/10000. Oracle recomputes counts, thresholds, and buckets in SQL
+    with a null-safe stratum join (NULL lang is its own stratum)."""
+    from ocr_poc_spark.operators.curation import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), alpha=0.5, strat_col="lang"
+    ).select("doc_id", "lang", "source")
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle + token-balanced shards:
+    global order = md5('ep0:' || doc_id), greedy cut every 5000 tokens
+    (whole docs, standard sharding rule). The prefix sums run two-phase
+    (range repartition on the uniform 60-bit key + per-partition
+    windows + broadcast offsets — never one global window), and the
+    output is a pure function of the order, so the single-window SQL
+    oracle agrees row-for-row at any parallelism."""
+    from ocr_poc_spark.operators.curation import shuffle_shards
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    n_tokens = F.size(
+        F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+    )
+    return shuffle_shards(
+        d.withColumn("n_tokens", n_tokens), shard_tokens=5000, seed="ep0"
+    )
+
+
 def q_chunk_documents(spark, sf_dir):  # training-sequence chunking
     from ocr_poc_spark.operators.curation import chunk_documents
 
@@ -1669,14 +1704,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_churn": q_crawl_churn,
         "cluster_profile": q_cluster_profile,
         "dsir_weights": q_dsir_weights,
-        "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_bcast": q_semantic_dedup_bcast,
         "asof_join": q_asof_join,
-        "asof_forward": q_asof_forward,
         "corpus_quantiles": q_corpus_quantiles,
         "span_dedup": q_span_dedup,
-        # -- tail: demoted variants (driver-green in r01-r04; still
-        #    covered by scripts/oracle_check.py + pytest every round) --
+        "temperature_sample": q_temperature_sample,
+        "shuffle_shards": q_shuffle_shards,
+        # -- tail: demoted variants (driver-green in r01-r04 or same-
+        #    family siblings of in-window queries; still covered by
+        #    scripts/oracle_check.py + pytest every round) --
+        "semantic_dedup": q_semantic_dedup,
+        "asof_forward": q_asof_forward,
         "quality_gate": q_quality_gate,
         "noise_filter": q_noise_filter,
         "regex_claims": q_regex_claims,
@@ -2732,6 +2770,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
                   < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500
                               WHEN 'de' THEN 1000 ELSE 0 END
+        """,
+        # Temperature rebalancing: counts -> sqrt(n_min/n) rates (IEEE
+        # sqrt, bit-equal cross-engine) -> floor-quantised thresholds
+        # -> md5 bucket filter. Null-safe stratum join: NULL lang is a
+        # stratum, and a plain equi-join would silently drop it.
+        "temperature_sample": """
+            WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            m AS (SELECT MIN(n) AS nmin FROM c),
+            t AS (SELECT lang,
+                         CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0) AS INTEGER) AS thresh
+                  FROM c, m)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < t.thresh
+        """,
+        # Training-order shuffle + shards: the oracle may use ONE global
+        # window (fine at sf0.01); the operator's two-phase prefix sums
+        # must agree with it row-for-row at any parallelism.
+        "shuffle_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k,
+                     CAST(len(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS BIGINT) AS nt
+              FROM documents),
+            o AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS pos,
+                     COALESCE(SUM(nt) OVER (ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+              FROM t)
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST(tok_offset AS BIGINT) AS tok_offset,
+                   CAST(tok_offset // 5000 AS BIGINT) AS shard_id
+            FROM o
         """,
         "chunk_documents": """
             WITH t AS (SELECT doc_id, {words} AS w FROM documents

@@ -77,6 +77,25 @@ def main(argv: list[str] | None = None) -> int:
              "keep-list by verified language (e.g. en=0.5,fr=0.25)",
     )
     ap.add_argument(
+        "--sample-temperature", type=float, default=None, metavar="ALPHA",
+        help="after extraction, write a temperature-rebalanced sample "
+             "keep-list (per-language rates derived from corpus counts, "
+             "p^ALPHA mixing; rarest language kept whole); mutually "
+             "exclusive with --sample",
+    )
+    ap.add_argument(
+        "--shard-tokens", type=int, default=None, metavar="N",
+        help="after extraction (and any curation/dedup/selection "
+             "stages), write a deterministic shuffled training-order "
+             "shard assignment of the kept docs (~N tokens per shard, "
+             "whole docs)",
+    )
+    ap.add_argument(
+        "--shard-seed", default="", metavar="SEED",
+        help="seed for the --shard-tokens shuffle order (a new seed "
+             "re-deals the order: a new training epoch)",
+    )
+    ap.add_argument(
         "--decontaminate", metavar="BENCH_PARQUET", default=None,
         help="after extraction, flag docs sharing 8-grams with the "
              "benchmark corpus (parquet with a text column)",
@@ -198,6 +217,14 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--select-top must be positive")
     if args.span_dedup and args.span_tokens < 2:
         ap.error("--span-tokens must be >= 2")
+    if args.sample and args.sample_temperature is not None:
+        # both write <out>/sample; one silently clobbering the other
+        # would look like a successful run with the wrong keep-list
+        ap.error("--sample and --sample-temperature are mutually exclusive")
+    if args.sample_temperature is not None and not 0.0 <= args.sample_temperature <= 1.0:
+        ap.error("--sample-temperature must be in [0, 1]")
+    if args.shard_tokens is not None and args.shard_tokens <= 0:
+        ap.error("--shard-tokens must be positive")
     if args.dedup_clusters:
         # clusters are resolved from the pair stage's output; asking for
         # them implies running it (silently ignoring the flag would
@@ -300,6 +327,12 @@ def main(argv: list[str] | None = None) -> int:
             key, _, rate = part.partition("=")
             quotas[key.strip()] = float(rate)
         summary.update(run_sample(spark, args.out, quotas))
+    if args.sample_temperature is not None:
+        from .plans.job import run_temperature_sample
+
+        summary.update(
+            run_temperature_sample(spark, args.out, args.sample_temperature)
+        )
     if args.curate:
         from .plans.job import run_curate
 
@@ -338,6 +371,14 @@ def main(argv: list[str] | None = None) -> int:
                 chunk_stride=args.chunk_stride,
                 tokenizer=None if args.pack_tokenizer == "whitespace"
                 else args.pack_tokenizer,
+            )
+        )
+    if args.shard_tokens is not None:
+        from .plans.job import run_shards
+
+        summary.update(
+            run_shards(
+                spark, args.out, args.shard_tokens, seed=args.shard_seed
             )
         )
     print(json.dumps(summary))

@@ -475,6 +475,65 @@ def vocab_topk(
     )
 
 
+def _two_phase_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sums: dict[str, object],
+    n_partitions: int,
+) -> DataFrame:
+    """Global EXCLUSIVE running sums over `order_cols` order without a
+    single-partition window: range-partition by the order key, per-
+    PARTITION running sums (bounded window partitions), then broadcast
+    the per-partition totals back as offsets. The collect is bounded by
+    the partition count — one tiny row per partition — never by data
+    size. `sums` maps output column name -> value column (name or
+    Column); each output is the sum of its value over all rows strictly
+    before the row in the global order.
+
+    The output is a pure function of the global order, never of the
+    physical partitioning (pack_sequences' parallelism-invariance test
+    pins this). repartitionByRange assigns ascending key ranges to
+    ascending partition ids, which is what makes the sorted-pid offset
+    accumulation below correct."""
+    spark = df.sparkSession
+    d = df
+    names = list(sums)
+    for out, c in sums.items():
+        col = F.col(c) if isinstance(c, str) else c
+        d = d.withColumn(f"{out}_v", col)
+    d = d.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Pin the row->partition assignment: the totals collect and the
+    # main pass must see the SAME assignment (deterministic for one
+    # lineage, but pinning is free and local).
+    d = d.localCheckpoint(eager=False)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    for out in names:
+        d = d.withColumn(
+            f"{out}_run", F.sum(f"{out}_v").over(w) - F.col(f"{out}_v")
+        )
+    totals = {
+        r["_pid"]: r
+        for r in d.groupBy("_pid")
+        .agg(*[F.sum(f"{out}_v").alias(f"{out}_tot") for out in names])
+        .collect()
+    }
+    offs, acc = [], {out: 0 for out in names}
+    for pid in sorted(totals):
+        offs.append((pid, *[acc[out] for out in names]))
+        for out in names:
+            acc[out] += totals[pid][f"{out}_tot"] or 0
+    schema = "_pid int, " + ", ".join(f"{out}_off long" for out in names)
+    off_df = spark.createDataFrame(offs or [(0, *[0] * len(names))], schema)
+    d = d.join(F.broadcast(off_df), "_pid")
+    for out in names:
+        d = d.withColumn(
+            out, (F.col(f"{out}_off") + F.col(f"{out}_run")).cast("long")
+        ).drop(f"{out}_v", f"{out}_run", f"{out}_off")
+    return d.drop("_pid")
+
+
 def pack_sequences(
     chunks: DataFrame,
     seq_len: int,
@@ -518,33 +577,12 @@ def pack_sequences(
     items = chunks.select(id_col, chunk_idx_col, n_tokens_col).where(
         F.col(n_tokens_col) > 0
     )
-    d = items.repartitionByRange(n_partitions, id_col, chunk_idx_col).withColumn(
-        "_pid", F.spark_partition_id()
+    d = _two_phase_prefix_sums(
+        items, [id_col, chunk_idx_col], {"_start": n_tokens_col}, n_partitions
     )
-    # Cache the pid-stamped frame: the totals collect and the main pass
-    # must see the SAME row->partition assignment (range boundaries are
-    # deterministic for one lineage, but pinning it is free and local).
-    d = d.localCheckpoint(eager=False)
-    w = Window.partitionBy("_pid").orderBy(id_col, chunk_idx_col)
-    d = d.withColumn(
-        "_run", F.sum(n_tokens_col).over(w) - F.col(n_tokens_col)
-    )
-    totals = {
-        r["_pid"]: r["_tot"]
-        for r in d.groupBy("_pid").agg(F.sum(n_tokens_col).alias("_tot")).collect()
-    }
-    acc = 0
-    offs = []
-    for pid in sorted(totals):
-        offs.append((pid, acc))
-        acc += totals[pid]
-    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
-    d = d.join(F.broadcast(off_df), "_pid")
-
-    start = (F.col("_off") + F.col("_run")).cast("long")
-    end = start + F.col(n_tokens_col).cast("long")
+    end = F.col("_start") + F.col(n_tokens_col).cast("long")
     L = F.lit(seq_len).cast("long")
-    d = d.withColumn("_start", start).withColumn("_end", end)
+    d = d.withColumn("_end", end)
     # Integer div, not floor(double division): token offsets at
     # 10^12-doc scale exceed the 2^53 exact-integer range of doubles.
     seqs = F.sequence(
@@ -937,4 +975,136 @@ def dedup_spans(
         F.array_join(kept, " ").alias("text_clean"),
         F.size("_toks").cast("long").alias("n_tokens"),
         (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    denom: int = 10000,
+) -> DataFrame:
+    """Multilingual temperature rebalancing (the XLM-R / mT5 corpus-
+    mixing rule): resample so stratum probabilities follow p^alpha
+    instead of p — high-resource languages are downsampled toward the
+    low-resource ones as alpha -> 0; alpha = 1 keeps the natural
+    distribution. Unlike stratified_sample (explicit per-stratum
+    quotas), the rates here are DERIVED from the corpus itself:
+
+        rate(s) = (n_min / n_s) ** (1 - alpha)
+
+    so the rarest stratum is kept in full and every other stratum is
+    kept at the rate that makes post-sample counts proportional to
+    n_s^alpha. Rates are quantised to 1/denom via floor (floor, not
+    round: both engines' float rounding of exact .5 products could
+    differ in principle; floor of an identical double cannot) and
+    applied with the reproducible md5 bucket of stratified_sample — no
+    RNG, identical under re-runs, resume, and the SQL oracle.
+
+    Exactness: at the default alpha = 0.5 the rate is sqrt(n_min/n_s) —
+    bigint->double casts are exact for real stratum counts, IEEE
+    division and sqrt are correctly rounded, so Spark and DuckDB agree
+    bit-for-bit. Other alphas go through pow(), which is NOT required
+    to be correctly rounded and may differ between libms in the last
+    ulp; the operator supports them, the oracled config pins 0.5.
+
+    NULL strata are a legitimate state (lang-id abstains) and form
+    their own stratum: the threshold join is null-safe (equi-joins drop
+    NULL keys; window-as-join needs the same care — round-4 review).
+
+    Plan / 100 TB shape: one tiny groupBy(stratum) count (partially
+    aggregated map-side, rows = #strata), a 1-row min roll-up cross-
+    joined back, then ONE broadcast join of the #strata-row threshold
+    table onto the corpus — the corpus itself never shuffles.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("temperature_sample: alpha must be in [0, 1]")
+    counts = df.groupBy(F.col(strat_col).alias("_strat")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    ratio = F.col("_nmin").cast("double") / F.col("_n").cast("double")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    thresholds = (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(
+            "_strat",
+            F.floor(rate * F.lit(float(denom))).cast("int").alias("_thresh"),
+        )
+    )
+    bucket = sample_bucket(id_col, denom)
+    t = F.broadcast(thresholds)
+    joined = df.join(t, df[strat_col].eqNullSafe(t["_strat"]), "inner")
+    return joined.where(bucket < F.col("_thresh")).drop("_strat", "_thresh")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    seed: str = "",
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global TRAINING-ORDER shuffle + token-balanced
+    shard assignment — the last stage before a trainer reads the
+    corpus. Documents are placed in the pseudo-random total order given
+    by the md5 of (seed, id) and cut greedily into shards of ~
+    ``shard_tokens`` tokens each (a document never splits across
+    shards; a shard may overshoot by less than one document — the
+    standard whole-doc sharding rule; pack_sequences is the stage that
+    splits token streams exactly).
+
+    Returns one row per input row:
+        <id>        the document
+        pos         long   0-based position in the global shuffled order
+        tok_offset  long   tokens strictly before this doc in that order
+        shard_id    long   tok_offset div shard_tokens
+
+    Changing ``seed`` yields an unrelated order (new training epoch /
+    re-shuffle); the same seed is stable under re-runs, resume, and any
+    parallelism — the order key is data-derived, never rand() or
+    physical row order. NULL/negative token counts count as 0 (the doc
+    still occupies a position).
+
+    Plan / 100 TB shape: the only wide op is ONE range repartition by
+    the 60-bit order key (uniform by construction — md5 output, so the
+    range partitioner cannot be skewed by hot hosts or doc sizes);
+    prefix sums are the same two-phase per-partition-window + broadcast-
+    offsets scheme as pack_sequences (_two_phase_prefix_sums) — no
+    global window, driver traffic bounded by the partition count. Rows
+    carry (id, key, n_tokens) only, never text.
+    """
+    if shard_tokens <= 0:
+        raise ValueError("shuffle_shards: shard_tokens must be positive")
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = hash60(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    ntok = F.greatest(
+        F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0).cast("long")),
+        F.lit(0).cast("long"),
+    )
+    items = df.select(
+        F.col(id_col), key.alias("_k"), ntok.alias("_nt")
+    )
+    # Tie-break by id: 60-bit collisions are ~never at test scale but
+    # the order must be TOTAL for the output to be well-defined.
+    d = _two_phase_prefix_sums(
+        items,
+        ["_k", id_col],
+        {"tok_offset": "_nt", "pos": F.lit(1)},
+        n_partitions,
+    )
+    return d.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("tok_offset"),
+        (F.expr(f"tok_offset div {int(shard_tokens)}")).alias("shard_id"),
     )

@@ -546,6 +546,30 @@ def run_sample(spark: SparkSession, out_dir: str, quotas: dict[str, float]) -> d
     return {"sample_rows": n, "sample_dir": smp_dir, "sample_quotas": quotas}
 
 
+def run_temperature_sample(
+    spark: SparkSession, out_dir: str, alpha: float = 0.5
+) -> dict:
+    """Corpus-mixing variant of run_sample with DERIVED rates: the
+    XLM-R/mT5 temperature rule resamples so per-language probabilities
+    follow p^alpha — rates come from the corpus's own language counts
+    (rarest kept whole) instead of explicit quotas. Writes the same
+    <out>/sample keep-list (url + lang_guess), so the two samplers are
+    interchangeable downstream; __main__ makes the flags mutually
+    exclusive rather than letting one silently overwrite the other."""
+    from ..operators.curation import temperature_sample
+
+    docs = _curation_docs(spark, out_dir).select(
+        F.col("doc_id").alias("url"), "lang_guess"
+    )
+    kept = temperature_sample(
+        docs, alpha=alpha, strat_col="lang_guess", id_col="url"
+    )
+    smp_dir = os.path.join(out_dir, "sample")
+    kept.write.mode("overwrite").parquet(smp_dir)
+    n = spark.read.parquet(smp_dir).count()
+    return {"sample_rows": n, "sample_dir": smp_dir, "sample_alpha": alpha}
+
+
 def run_split(
     spark: SparkSession,
     out_dir: str,
@@ -668,30 +692,15 @@ def run_span_dedup(
     }
 
 
-def run_pack(
-    spark: SparkSession,
-    out_dir: str,
-    seq_len: int = 2048,
-    chunk_tokens: int = 512,
-    chunk_stride: int = 512,
-    tokenizer: str | None = None,
-) -> dict:
-    """Post-extraction training-sequence pass (the last mile of the
-    training-data pipeline): chunk the curated docs and pack the chunks
-    into fixed-length sequences -> <out>/packed parquet (one row per
-    (sequence, piece) with boundary attribution; see
-    curation.pack_sequences).
-
-    Composes with the sibling stages: if a --curate keep-list exists
-    (<out>/curation) only kept docs are packed; if --dedup-clusters ran
-    (<out>/dup_components) non-keeper duplicates are dropped too. Both
-    filters are LEFT SEMI / LEFT ANTI on the url — ids only, never
-    bodies. ``tokenizer="subword"`` sizes budgets in greedy-subword
-    tokens (functions/subword.py) instead of whitespace words.
-    Overwrites its own output dir, so re-runs on a committed --out are
-    idempotent like every post-stage."""
-    from ..operators.curation import chunk_documents, pack_sequences
-
+def _packable_docs(spark: SparkSession, out_dir: str):
+    """The doc set the training-data stages feed on: _curation_docs
+    composed with every sibling keep-list that ran before — span-
+    rewritten bodies (--span-dedup), the curation keep-list (--curate),
+    duplicate-component losers (--dedup-clusters), and the DSIR
+    selection (--select-target). Shared by run_pack and run_shards so
+    "what gets packed" and "what gets sharded" can never drift apart.
+    All filters are LEFT SEMI / LEFT ANTI on the url — ids only, never
+    bodies. Returns (docs, applied_filter_names)."""
     docs = _curation_docs(spark, out_dir)
     filters = []
     sd_dir = os.path.join(out_dir, "span_dedup")
@@ -728,6 +737,74 @@ def run_pack(
         )
         docs = docs.join(chosen, "doc_id", "left_semi")
         filters.append("dsir_selection")
+    return docs, filters
+
+
+def run_shards(
+    spark: SparkSession,
+    out_dir: str,
+    shard_tokens: int,
+    seed: str = "",
+) -> dict:
+    """Training-order pass: deterministically shuffle the kept docs and
+    cut token-balanced shards -> <out>/shards parquet (url, pos,
+    tok_offset, shard_id; curation.shuffle_shards). Feeds on the SAME
+    filtered doc set as run_pack (_packable_docs), so the shard layout
+    always describes exactly the corpus a trainer would read. Token
+    counts are whitespace-word counts of the (possibly span-rewritten)
+    body. Changing --shard-seed re-deals the order (a new epoch);
+    re-runs with the same seed are idempotent."""
+    from ..operators.curation import shuffle_shards
+
+    docs, filters = _packable_docs(spark, out_dir)
+    n_tokens = F.size(
+        F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+    )
+    shards = shuffle_shards(
+        docs.withColumn("n_tokens", n_tokens),
+        shard_tokens=shard_tokens,
+        seed=seed,
+        id_col="doc_id",
+    ).select(
+        F.col("doc_id").alias("url"), "pos", "tok_offset", "shard_id"
+    )
+    sh_dir = os.path.join(out_dir, "shards")
+    shards.write.mode("overwrite").parquet(sh_dir)
+    out = spark.read.parquet(sh_dir)
+    return {
+        "shard_rows": out.count(),
+        "shard_count": out.select("shard_id").distinct().count(),
+        "shards_dir": sh_dir,
+        "shard_seed": seed,
+        "shard_filters": filters,
+    }
+
+
+def run_pack(
+    spark: SparkSession,
+    out_dir: str,
+    seq_len: int = 2048,
+    chunk_tokens: int = 512,
+    chunk_stride: int = 512,
+    tokenizer: str | None = None,
+) -> dict:
+    """Post-extraction training-sequence pass (the last mile of the
+    training-data pipeline): chunk the curated docs and pack the chunks
+    into fixed-length sequences -> <out>/packed parquet (one row per
+    (sequence, piece) with boundary attribution; see
+    curation.pack_sequences).
+
+    Composes with the sibling stages: if a --curate keep-list exists
+    (<out>/curation) only kept docs are packed; if --dedup-clusters ran
+    (<out>/dup_components) non-keeper duplicates are dropped too. Both
+    filters are LEFT SEMI / LEFT ANTI on the url — ids only, never
+    bodies. ``tokenizer="subword"`` sizes budgets in greedy-subword
+    tokens (functions/subword.py) instead of whitespace words.
+    Overwrites its own output dir, so re-runs on a committed --out are
+    idempotent like every post-stage."""
+    from ..operators.curation import chunk_documents, pack_sequences
+
+    docs, filters = _packable_docs(spark, out_dir)
     chunks = chunk_documents(
         docs, id_col="doc_id", text_col="text",
         chunk_tokens=chunk_tokens, stride=chunk_stride, tokenizer=tokenizer,

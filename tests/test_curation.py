@@ -867,3 +867,101 @@ def test_bpe_learn_batched_equals_sequential(spark):
     assert bat_rounds < seq_rounds
     with __import__("pytest").raises(ValueError, match="batch_merges"):
         bpe_learn(d, batch_merges=0)
+
+
+def test_temperature_sample_rates_and_null_stratum(spark):
+    """Temperature rebalancing: the rarest stratum is kept whole, a
+    bigger stratum is kept at floor(sqrt(n_min/n)*denom)/denom exactly
+    (same md5 bucket rule as stratified_sample), NULL strata survive as
+    their own stratum (the null-safe-join contract), alpha=1 keeps the
+    natural distribution, and bad alphas raise."""
+    import math
+
+    import pytest
+
+    from ocr_poc_spark.operators.curation import sample_bucket, temperature_sample
+
+    rows = (
+        [(i, "x", "en", "s") for i in range(400)]
+        + [(1000 + i, "x", "fr", "s") for i in range(25)]
+        + [(2000 + i, "x", None, "s") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    out = temperature_sample(df, alpha=0.5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # rarest strata (fr and NULL tie at 25): rate 1.0 -> kept whole.
+    assert by_lang.get("fr", set()) == {1000 + i for i in range(25)}
+    assert by_lang.get(None, set()) == {2000 + i for i in range(25)}
+    # en: threshold floor(sqrt(25/400)*10000) = 2500; recompute the
+    # exact kept set from the operator's own bucket rule.
+    thresh = math.floor(math.sqrt(25 / 400) * 10000)
+    assert thresh == 2500
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", sample_bucket().alias("b")).collect()
+    }
+    expect = {i for i in range(400) if buckets[i] < thresh}
+    assert by_lang.get("en", set()) == expect
+    # alpha=1: natural distribution — every row kept (all rates 1).
+    assert len(temperature_sample(df, alpha=1.0).collect()) == len(rows)
+    # output schema is the input schema (helper columns dropped).
+    assert temperature_sample(df).columns == df.columns
+    for bad in (-0.1, 1.5):
+        with pytest.raises(ValueError):
+            temperature_sample(df, alpha=bad)
+
+
+def test_shuffle_shards_order_shards_and_invariance(spark):
+    """Training-order shuffle: positions are a permutation, token
+    offsets are the exclusive prefix sums in position order, shards cut
+    greedily at the budget without splitting docs, NULL/negative token
+    counts occupy a position with 0 tokens, a different seed yields a
+    different order, and output is identical at any parallelism."""
+    import pytest
+
+    from ocr_poc_spark.operators.curation import shuffle_shards
+
+    rows = [(i, (i * 17) % 50 + 1) for i in range(300)]
+    rows += [(900, None), (901, -3)]  # NULL / negative -> 0 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+
+    out = sorted(
+        (r["pos"], r["tok_offset"], r["shard_id"], r["doc_id"])
+        for r in shuffle_shards(df, shard_tokens=500, seed="ep0").collect()
+    )
+    assert [p for p, *_ in out] == list(range(len(rows)))
+    ntok = dict(rows)
+    run = 0
+    for pos, off, shard, doc in out:
+        assert off == run, f"offset mismatch at pos {pos}"
+        assert shard == off // 500
+        run += max(ntok[doc] or 0, 0)
+    # shard sizes: assignment is by START offset, so a doc straddling a
+    # boundary tips its whole length into the earlier shard — non-last
+    # shard token sums land within one max-doc-length of the budget on
+    # either side (the whole-doc sharding tolerance), never further.
+    sizes = {}
+    for pos, off, shard, doc in out:
+        sizes[shard] = sizes.get(shard, 0) + max(ntok[doc] or 0, 0)
+    last = max(sizes)
+    assert all(500 - 50 < s < 500 + 51 for sh, s in sizes.items() if sh != last)
+    # shard ids are contiguous from 0.
+    assert sorted(sizes) == list(range(len(sizes)))
+
+    # parallelism invariance + seed sensitivity.
+    def rows_of(res):
+        return sorted(
+            (r["pos"], r["tok_offset"], r["shard_id"], r["doc_id"])
+            for r in res.collect()
+        )
+
+    a = rows_of(shuffle_shards(df.repartition(1), 500, seed="ep0", n_partitions=1))
+    b = rows_of(shuffle_shards(df.repartition(13), 500, seed="ep0", n_partitions=13))
+    assert a == out == b
+    c = rows_of(shuffle_shards(df, 500, seed="ep1"))
+    assert c != a
+    with pytest.raises(ValueError):
+        shuffle_shards(df, shard_tokens=0)

@@ -549,3 +549,55 @@ def test_run_span_dedup_stage_and_pack_substitution(
         F.col("doc_id").startswith("https://mirror.example/")
     ).count()
     assert mirror_pieces == 0 and packed["packed_pieces"] > 0
+
+
+def test_cli_temperature_sample_and_shards_stages(spark, pages_df, tmp_path):
+    """--sample-temperature writes a derived-rate keep-list (rarest
+    language kept whole, alpha=1 keeps everything); --shard-tokens
+    writes a deterministic shuffled shard assignment over the SAME doc
+    set --pack feeds on, idempotent per seed and re-dealt by a new
+    seed."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import (
+        run_job,
+        run_shards,
+        run_temperature_sample,
+    )
+
+    out = str(tmp_path / "ts")
+    run_job(spark, pages_df, out, mode="fused", n_buckets=2)
+
+    res = run_temperature_sample(spark, out, alpha=0.5)
+    smp = spark.read.parquet(res["sample_dir"])
+    kept = smp.groupBy("lang_guess").count().collect()
+    assert res["sample_rows"] == smp.count() > 0
+    # the rarest language is kept whole
+    from ocr_poc_spark.plans.job import _curation_docs
+
+    full = {
+        r["lang_guess"]: r["count"]
+        for r in _curation_docs(spark, out)
+        .groupBy("lang_guess").count().collect()
+    }
+    rare = min(full, key=lambda k: full[k])
+    kept_by = {r["lang_guess"]: r["count"] for r in kept}
+    assert kept_by.get(rare) == full[rare]
+    # alpha=1: natural distribution, everything kept
+    res1 = run_temperature_sample(spark, out, alpha=1.0)
+    assert res1["sample_rows"] == sum(full.values())
+
+    sh = run_shards(spark, out, shard_tokens=500, seed="ep0")
+    shards = spark.read.parquet(sh["shards_dir"])
+    assert sh["shard_rows"] == shards.count() == sum(full.values())
+    assert sh["shard_count"] == shards.agg(F.countDistinct("shard_id")).first()[0]
+    # positions are a permutation of 0..n-1
+    n = sh["shard_rows"]
+    assert shards.agg(F.min("pos"), F.max("pos"), F.countDistinct("pos")).first() == (0, n - 1, n)
+    # idempotent re-run; new seed re-deals the order (collect BEFORE
+    # the overwrite — the lazy frame reads the dir the re-run rewrites)
+    a = sorted(map(tuple, shards.collect()))
+    again = run_shards(spark, out, shard_tokens=500, seed="ep0")
+    assert sorted(map(tuple, spark.read.parquet(again["shards_dir"]).collect())) == a
+    other = run_shards(spark, out, shard_tokens=500, seed="ep1")
+    assert sorted(map(tuple, spark.read.parquet(other["shards_dir"]).collect())) != a
