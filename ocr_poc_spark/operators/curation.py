@@ -480,34 +480,48 @@ def _two_phase_prefix_sums(
     order_cols: list[str],
     sums: dict[str, object],
     n_partitions: int,
+    bucket=None,
 ) -> DataFrame:
     """Global EXCLUSIVE running sums over `order_cols` order without a
-    single-partition window: range-partition by the order key, per-
-    PARTITION running sums (bounded window partitions), then broadcast
-    the per-partition totals back as offsets. The collect is bounded by
-    the partition count — one tiny row per partition — never by data
-    size. `sums` maps output column name -> value column (name or
+    single-partition window: split the order into n_partitions ordered
+    buckets, per-BUCKET running sums (bounded window partitions), then
+    broadcast the per-bucket totals back as offsets. The collect is
+    bounded by the bucket count — one tiny row per bucket — never by
+    data size. `sums` maps output column name -> value column (name or
     Column); each output is the sum of its value over all rows strictly
     before the row in the global order.
 
     The output is a pure function of the global order, never of the
-    physical partitioning (pack_sequences' parallelism-invariance test
-    pins this). repartitionByRange assigns ascending key ranges to
-    ascending partition ids, which is what makes the sorted-pid offset
-    accumulation below correct."""
+    physical partitioning (parallelism-invariance tests pin this).
+
+    Bucketing strategy — two paths, same semantics:
+    - bucket=None: repartitionByRange on the order key (works for ANY
+      key distribution; range boundaries come from Spark's sampling).
+      The row->bucket map is then a property of the physical lineage,
+      so it is pinned with a localCheckpoint — which ERASES the range
+      partitioner at the SQL layer and costs the window's ENSURE_
+      REQUIREMENTS a second (pid-keyed, ids-only) exchange.
+    - bucket=<Column>: a caller-supplied DETERMINISTIC bucket id that
+      must be monotone in the order key (e.g. key div step for a
+      uniform hash key). No repartition, no checkpoint, and the window
+      demands exactly ONE exchange — the plan a 100 TB run wants when
+      the order key is uniform by construction."""
     spark = df.sparkSession
     d = df
     names = list(sums)
     for out, c in sums.items():
         col = F.col(c) if isinstance(c, str) else c
         d = d.withColumn(f"{out}_v", col)
-    d = d.repartitionByRange(n_partitions, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # Pin the row->partition assignment: the totals collect and the
-    # main pass must see the SAME assignment (deterministic for one
-    # lineage, but pinning is free and local).
-    d = d.localCheckpoint(eager=False)
+    if bucket is not None:
+        d = d.withColumn("_pid", bucket.cast("int"))
+    else:
+        d = d.repartitionByRange(n_partitions, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        # Pin the row->partition assignment: the totals collect and the
+        # main pass must see the SAME assignment (deterministic for one
+        # lineage, but pinning is free and local).
+        d = d.localCheckpoint(eager=False)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     for out in names:
         d = d.withColumn(
@@ -1096,11 +1110,17 @@ def shuffle_shards(
     )
     # Tie-break by id: 60-bit collisions are ~never at test scale but
     # the order must be TOTAL for the output to be well-defined.
+    # The order key is a uniform 60-bit hash BY CONSTRUCTION, so the
+    # prefix-sum buckets are a deterministic equal-width slice of the
+    # key space (monotone in _k, balanced without sampling): the
+    # one-exchange path of _two_phase_prefix_sums.
+    step = (1 << 60) // int(n_partitions)
     d = _two_phase_prefix_sums(
         items,
         ["_k", id_col],
         {"tok_offset": "_nt", "pos": F.lit(1)},
         n_partitions,
+        bucket=F.expr(f"_k div {step}"),
     )
     return d.select(
         F.col(id_col),

@@ -254,3 +254,56 @@ def test_asof_join_has_no_join_node(spark):
     # tie-col collapse + window may each demand the same user_id
     # clustering; ENSURE_REQUIREMENTS reuses it — allow at most 2.
     assert 1 <= len(exchanges) <= 2, plan
+
+
+def test_temperature_sample_corpus_never_hash_shuffles(spark):
+    """The rebalancing filter's scale claim: the corpus side is map-only
+    — the only Exchanges are the tiny stratum-count roll-ups
+    (SinglePartition / the #strata-row agg) and the BroadcastExchange
+    of the threshold table. The corpus itself must never ride a
+    hashpartitioning Exchange."""
+    import re
+
+    from ocr_poc_spark.operators.curation import temperature_sample
+
+    d = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    plan = _plan(temperature_sample(d, alpha=0.5))
+    for ln in plan.splitlines():
+        if re.search(r"\bExchange hashpartitioning", ln):
+            # the only hash exchanges allowed are the stratum-count
+            # groupBys — keyed on the stratum column, already collapsed
+            # to #strata rows by the map-side partial agg. A doc_id-
+            # keyed exchange would mean the corpus itself shuffled.
+            assert "lang" in ln and "doc_id" not in ln, plan
+    # the filter applies as a broadcast join against the corpus scan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_shuffle_shards_single_exchange_ids_only(spark):
+    """The shard assigner's scale claim: exactly ONE wide op — the
+    window's bucket exchange on the deterministic key-space slice of
+    the uniform 60-bit order key (no range repartition, no checkpoint)
+    — plus the broadcast of the per-bucket offset rows; the window is
+    partitioned (never global), and no document text rides the
+    exchange."""
+    import re
+
+    from ocr_poc_spark.operators.curation import shuffle_shards
+
+    d = spark.createDataFrame(
+        [(i, "body " * 20, (i * 7) % 40 + 1) for i in range(200)],
+        "doc_id long, text string, n_tokens int",
+    )
+    plan = _plan(shuffle_shards(d, shard_tokens=500, seed="s"))
+    wide = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange\b", ln) and "BroadcastExchange" not in ln
+    ]
+    assert len(wide) == 1 and "_pid" in wide[0], plan
+    # the exchanged stream carries (id, key, counts) — never text
+    assert not re.search(r"Exchange hashpartitioning.*\btext\b", plan), plan
+    # the prefix-sum window is partitioned by _pid, not global
+    assert "Window" in plan and "SinglePartition" not in plan, plan
