@@ -1070,6 +1070,25 @@ def q_shuffle_shards(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Supervised quality-classifier filtering (operators/classifier.py,
+    the GPT-3/LLaMA quality-gate recipe): a hashed-n-gram Naive Bayes
+    model trained on the en-language docs as the positive class vs the
+    rest as negative, then every doc scored with its log-odds and kept
+    above 0 — plus the deterministic md5-uniform soft acceptance
+    (probability e^score) that admits a calibrated sliver of
+    below-threshold docs, the role GPT-3's Pareto draw plays. Counts
+    are exact integers; the ln-sum rides the 4-decimal rounding margin
+    (the dsir contract); the model is a full 4096-bucket spine,
+    broadcast into scoring."""
+    from ocr_poc_spark.operators.classifier import nb_score, nb_train
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    pos = d.where(F.col("lang") == "en")
+    neg = d.where((F.col("lang") != "en") | F.col("lang").isNull())
+    return nb_score(d, nb_train(pos, neg))
+
+
 def q_chunk_documents(spark, sf_dir):  # training-sequence chunking
     from ocr_poc_spark.operators.curation import chunk_documents
 
@@ -1669,7 +1688,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf_bcast": q_ann_ivf_bcast,
-        "embedding_near_dup": q_embedding_near_dup,
         "text_dedup_e2e": q_text_dedup_e2e,
         "strip_boilerplate": q_strip_boilerplate,
         "decontaminate": q_decontaminate,
@@ -1710,11 +1728,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "temperature_sample": q_temperature_sample,
         "shuffle_shards": q_shuffle_shards,
+        "quality_classifier": q_quality_classifier,
         # -- tail: demoted variants (driver-green in r01-r04 or same-
         #    family siblings of in-window queries; still covered by
         #    scripts/oracle_check.py + pytest every round) --
         "semantic_dedup": q_semantic_dedup,
         "asof_forward": q_asof_forward,
+        "embedding_near_dup": q_embedding_near_dup,
         "quality_gate": q_quality_gate,
         "noise_filter": q_noise_filter,
         "regex_claims": q_regex_claims,
@@ -2784,6 +2804,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source
             FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < t.thresh
+        """,
+        # Naive Bayes quality classifier: full recompute — hashed
+        # n-gram class counts, add-alpha llr over the 4096-bucket
+        # spine, per-doc log-odds (4dp margin for the ln sums), the
+        # md5-uniform soft-acceptance arm (floor-quantised e^score).
+        "quality_classifier": f"""
+            WITH ws AS (SELECT doc_id, lang, {_WORDS_SQL} AS w FROM documents),
+            grams AS (
+              SELECT doc_id, lang, u.g FROM ws, unnest(w) AS u(g) WHERE u.g <> ''
+              UNION ALL
+              SELECT doc_id, lang, w[i.i - 1] || ' ' || w[i.i] AS g
+              FROM ws, unnest(range(2, len(w)::BIGINT + 1)) AS i(i)),
+            bk AS (SELECT doc_id, lang,
+                          ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS b
+                   FROM grams),
+            cp AS (SELECT b, COUNT(*) AS c_pos FROM bk WHERE lang = 'en' GROUP BY b),
+            cn AS (SELECT b, COUNT(*) AS c_neg FROM bk
+                   WHERE lang <> 'en' OR lang IS NULL GROUP BY b),
+            tot AS (SELECT (SELECT SUM(c_pos) FROM cp)::DOUBLE AS t_pos,
+                           (SELECT SUM(c_neg) FROM cn)::DOUBLE AS t_neg,
+                           (SELECT COUNT(*) FROM documents WHERE lang = 'en')::DOUBLE AS n_pos,
+                           (SELECT COUNT(*) FROM documents
+                            WHERE lang <> 'en' OR lang IS NULL)::DOUBLE AS n_neg),
+            spine AS (SELECT i::INT AS b FROM range(0, 4096) t(i)),
+            model AS (SELECT spine.b,
+                   ln(COALESCE(c_pos, 0) + 0.5) - ln(t_pos + 0.5 * 4096)
+                   - ln(COALESCE(c_neg, 0) + 0.5) + ln(t_neg + 0.5 * 4096) AS llr,
+                   ln(n_pos) - ln(n_neg) AS prior
+               FROM spine LEFT JOIN cp ON spine.b = cp.b
+               LEFT JOIN cn ON spine.b = cn.b CROSS JOIN tot),
+            per_doc AS (SELECT doc_id, b, COUNT(*) AS c_doc FROM bk GROUP BY doc_id, b),
+            scored AS (
+              SELECT doc_id, SUM(c_doc)::BIGINT AS n_terms,
+                     ROUND(ANY_VALUE(prior) + SUM(c_doc * llr), 4) AS score
+              FROM per_doc JOIN model USING (b) GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, 0::BIGINT,
+                     ROUND((SELECT ANY_VALUE(prior) FROM model), 4)
+              FROM documents WHERE trim(coalesce(text, '')) = '')
+            SELECT doc_id, n_terms, score,
+                   (score > 0 OR ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+                    < floor(exp(least(score, 0.0)) * 10000.0)) AS keep
+            FROM scored
         """,
         # Training-order shuffle + shards: the oracle may use ONE global
         # window (fine at sf0.01); the operator's two-phase prefix sums

@@ -78,7 +78,7 @@ BENCH_QUERIES = [
     "crawl_churn", "corpus_quantiles", "chunk_bpe", "asof_forward",
     # round-5 additions:
     "span_dedup", "semantic_dedup_bcast", "anchor_profile",
-    "temperature_sample", "shuffle_shards",
+    "temperature_sample", "shuffle_shards", "quality_classifier",
 ]
 # embedding_near_dup is deliberately absent: it is the documented
 # all-pairs EXACT oracle variant (O(n^2)); the benchmarked scale path

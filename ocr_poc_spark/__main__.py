@@ -112,6 +112,13 @@ def main(argv: list[str] | None = None) -> int:
              "(--pack then packs only those)",
     )
     ap.add_argument(
+        "--quality-target", metavar="TARGET_PARQUET", default=None,
+        help="after extraction, train a Naive Bayes quality classifier "
+             "(positive = this curated exemplar parquet's text column, "
+             "negative = the extracted corpus itself) and write a "
+             "scored keep-list + the persisted model; --pack honors it",
+    )
+    ap.add_argument(
         "--span-dedup", action="store_true",
         help="after extraction, rewrite docs removing non-first "
              "occurrences of exact >= --span-tokens-token spans "
@@ -353,6 +360,10 @@ def main(argv: list[str] | None = None) -> int:
         summary.update(
             run_select(spark, args.out, args.select_target, args.select_top)
         )
+    if args.quality_target:
+        from .plans.job import run_quality
+
+        summary.update(run_quality(spark, args.out, args.quality_target))
     if args.span_dedup:
         from .plans.job import run_span_dedup
 

@@ -654,6 +654,47 @@ def run_select(
     }
 
 
+def run_quality(
+    spark: SparkSession,
+    out_dir: str,
+    target_path: str,
+) -> dict:
+    """Post-extraction quality-classifier pass (operators/classifier.py,
+    the GPT-3 recipe): train a hashed Naive Bayes model with the TARGET
+    exemplar corpus (parquet with a text column — curated text worth
+    imitating) as the positive class and the extracted corpus itself as
+    the negative class, then score every extracted doc and keep
+    positives plus the deterministic soft-acceptance sliver ->
+    <out>/quality parquet (url, n_terms, score, keep). The model is
+    persisted too (<out>/quality_model, one row per bucket) so a later
+    crawl can be scored without retraining. --pack honors the keep flag
+    via LEFT SEMI (_packable_docs). Idempotent overwrite."""
+    from ..operators.classifier import nb_score, nb_train
+
+    docs = _curation_docs(spark, out_dir).select(
+        F.col("doc_id"), F.col("text")
+    )
+    # nb_train never touches an id column (class counts only), so the
+    # id-less target frame is fine as-is.
+    target = spark.read.parquet(target_path).select("text")
+    model = nb_train(target, docs)
+    model_dir = os.path.join(out_dir, "quality_model")
+    model.write.mode("overwrite").parquet(model_dir)
+    model = spark.read.parquet(model_dir)
+    scored = nb_score(docs, model).select(
+        F.col("doc_id").alias("url"), "n_terms", "score", "keep"
+    )
+    q_dir = os.path.join(out_dir, "quality")
+    scored.write.mode("overwrite").parquet(q_dir)
+    out = spark.read.parquet(q_dir)
+    return {
+        "quality_dir": q_dir,
+        "quality_model_dir": model_dir,
+        "quality_rows": out.count(),
+        "quality_kept": out.where("keep").count(),
+    }
+
+
 def run_span_dedup(
     spark: SparkSession,
     out_dir: str,
@@ -737,6 +778,13 @@ def _packable_docs(spark: SparkSession, out_dir: str):
         )
         docs = docs.join(chosen, "doc_id", "left_semi")
         filters.append("dsir_selection")
+    q_dir = os.path.join(out_dir, "quality")
+    if os.path.isdir(q_dir):
+        good = spark.read.parquet(q_dir).where("keep").select(
+            F.col("url").alias("doc_id")
+        )
+        docs = docs.join(good, "doc_id", "left_semi")
+        filters.append("quality_classifier")
     return docs, filters
 
 

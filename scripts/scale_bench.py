@@ -229,6 +229,11 @@ def main() -> None:
         "semantic_dedup_sqrtk",
         "gopher_rules",
         "clean_text",
+        # round 5: span dedup + training-order + classifier stages
+        "span_dedup",
+        "shuffle_shards",
+        "temperature_sample",
+        "quality_classifier",
     ]
 
     spark = get_spark(
@@ -389,6 +394,24 @@ def main() -> None:
         "(absolute columns) — map-only passes, the trivially-linear "
         "ideal; the ratio column is pinned to 1.0 for sub-0.05MB "
         "noise-floor cells.",
+        f"- span_dedup: {summary['span_dedup']['shuffle_ratio']}x "
+        f"shuffle for {m}x rows — occurrence rows are (hash, id, pos) "
+        "per token-window, so shuffle volume tracks total corpus "
+        "tokens (linear); the groupBy(hash) canonical pick partially "
+        "aggregates map-side, so a span duplicated across 10^8 docs "
+        "collapses before the exchange.",
+        f"- shuffle_shards / temperature_sample: "
+        f"{summary['shuffle_shards']['shuffle_ratio']}x / "
+        f"{summary['temperature_sample']['shuffle_ratio']}x shuffle — "
+        "the shard assigner's single exchange carries (id, key, two "
+        "longs) rows (linear); the rebalancer shuffles only the "
+        "#strata-row count aggregates (map-side-collapsed, ~0 MB — the "
+        "corpus side is a broadcast-join filter).",
+        f"- quality_classifier: "
+        f"{summary['quality_classifier']['shuffle_ratio']}x shuffle — "
+        "train + score in one plan; class counts collapse to <= "
+        "n_buckets rows map-side, the model is broadcast, and scoring "
+        "ships (id, bucket, count) rows only — the dsir shape, linear.",
         "",
         "## Corpus-shape caveat (first-run finding)",
         "",

@@ -601,3 +601,48 @@ def test_cli_temperature_sample_and_shards_stages(spark, pages_df, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(again["shards_dir"]).collect())) == a
     other = run_shards(spark, out, shard_tokens=500, seed="ep1")
     assert sorted(map(tuple, spark.read.parquet(other["shards_dir"]).collect())) != a
+
+
+def test_cli_quality_stage_composes_with_pack(spark, pages_df, tmp_path):
+    """--quality-target trains positive=exemplars vs negative=corpus,
+    writes a scored keep-list + persisted model, and --pack then packs
+    only kept docs."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_job, run_pack, run_quality
+
+    out = str(tmp_path / "qual")
+    run_job(spark, pages_df, out, mode="fused", n_buckets=2)
+
+    bodies = (
+        spark.read.parquet(out + "/extracted")
+        .where("success AND body_text IS NOT NULL")
+        .select("url", "body_text")
+        .orderBy("url")
+        .limit(8)
+    )
+    target_path = str(tmp_path / "target.parquet")
+    bodies.select(F.col("body_text").alias("text")).write.parquet(target_path)
+    target_urls = {r["url"] for r in bodies.collect()}
+
+    res = run_quality(spark, out, target_path)
+    q = spark.read.parquet(res["quality_dir"])
+    assert res["quality_rows"] == q.count() > 0
+    assert 0 < res["quality_kept"] == q.where("keep").count()
+    # the persisted model is the full bucket spine
+    assert spark.read.parquet(res["quality_model_dir"]).count() == 4096
+    # exemplars score in the top half of the corpus (their own n-grams
+    # define the positive class)
+    med = q.agg(F.expr("percentile(score, 0.5)")).collect()[0][0]
+    ex = {r["url"]: r["score"] for r in q.collect() if r["url"] in target_urls}
+    assert len(ex) == len(target_urls)
+    assert all(v > med for v in ex.values())
+
+    packed = run_pack(spark, out, seq_len=64, chunk_tokens=32, chunk_stride=32)
+    assert "quality_classifier" in packed["packed_filters"]
+    kept = {r["url"] for r in q.where("keep").collect()}
+    packed_urls = {
+        r["doc_id"]
+        for r in spark.read.parquet(packed["packed_dir"]).select("doc_id").distinct().collect()
+    }
+    assert packed_urls <= kept

@@ -1408,3 +1408,44 @@ def test_anchor_profile_topk_ties_and_corpus_join(spark):
 
     with pytest.raises(ValueError, match="top_k"):
         anchor_profile(anchors, top_k=0)
+
+
+def test_nb_classifier_separates_and_guards(spark):
+    """Quality classifier: docs drawn from the positive vocabulary
+    outscore docs from the negative vocabulary; every input doc gets a
+    row (empty text scores at the bare prior); high scorers are kept,
+    deep negatives dropped; empty corpora and a train/serve n_buckets
+    mismatch fail loudly instead of silently mis-scoring."""
+    import pytest
+
+    from ocr_poc_spark.operators.classifier import nb_score, nb_train
+
+    posv = "curated encyclopedia article with citations and prose"
+    negv = "click here buy now free casino winner jackpot spam"
+    rows = (
+        [(i, f"{posv} item {i % 7}", "pos") for i in range(40)]
+        + [(100 + i, f"{negv} offer {i % 5}", "neg") for i in range(40)]
+        + [(999, "   ", "empty")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, cls string")
+    model = nb_train(
+        df.where("cls = 'pos'"), df.where("cls = 'neg'"), n_buckets=512
+    )
+    assert model.count() == 512  # full spine
+    out = {r["doc_id"]: r for r in nb_score(df, model, n_buckets=512).collect()}
+    assert len(out) == len(rows)  # one row per doc, incl. empty text
+    assert out[999]["n_terms"] == 0
+    pos_scores = [out[i]["score"] for i in range(40)]
+    neg_scores = [out[100 + i]["score"] for i in range(40)]
+    assert min(pos_scores) > 0 > max(neg_scores)
+    assert all(out[i]["keep"] for i in range(40))
+    # deep-negative docs are overwhelmingly dropped (the acceptance
+    # arm admits at probability e^score ~ 0 here)
+    assert sum(out[100 + i]["keep"] for i in range(40)) <= 2
+
+    with pytest.raises(Exception, match="no n-grams"):
+        nb_train(df.where("cls = 'empty'"), df, n_buckets=512).collect()
+    with pytest.raises(Exception, match="n_buckets mismatch"):
+        nb_score(df, model, n_buckets=1024).collect()
+    with pytest.raises(ValueError):
+        nb_train(df, df, alpha=0.0)
