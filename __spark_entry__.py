@@ -1062,8 +1062,13 @@ def q_shuffle_shards(spark, sf_dir):
     from ocr_poc_spark.operators.curation import shuffle_shards
 
     d = _t(spark, sf_dir, "documents", spread=True)
+    # Empty words filtered: split('') = [''] would count a phantom
+    # token for empty docs (run_shards uses the same rule).
     n_tokens = F.size(
-        F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+        F.filter(
+            F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
     )
     return shuffle_shards(
         d.withColumn("n_tokens", n_tokens), shard_tokens=5000, seed="ep0"
@@ -2799,7 +2804,7 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
             m AS (SELECT MIN(n) AS nmin FROM c),
             t AS (SELECT lang,
-                         CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0) AS INTEGER) AS thresh
+                         CAST(greatest(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0), 1) AS INTEGER) AS thresh
                   FROM c, m)
             SELECT d.doc_id, d.lang, d.source
             FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
@@ -2855,7 +2860,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id,
                      ('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k,
-                     CAST(len(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS BIGINT) AS nt
+                     CAST(len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), w -> w <> '')) AS BIGINT) AS nt
               FROM documents),
             o AS (
               SELECT doc_id,

@@ -693,6 +693,7 @@ def bpe_learn(
     n_merges: int = 30,
     min_pair_count: int = 2,
     batch_merges: int = 1,
+    diag: dict | None = None,
 ) -> DataFrame:
     """Learn byte-pair-encoding merges from the corpus — tokenizer
     vocabulary induction (Sennrich et al.), the training half of the
@@ -740,8 +741,10 @@ def bpe_learn(
     greedy approximation, never an invalid merge table. Driver cost
     drops from n_merges corpus passes to ~n_merges/batch_merges.
 
-    Diagnostics: the function attribute ``bpe_learn.last_rounds`` holds
-    the number of corpus passes the most recent call used."""
+    Diagnostics: pass ``diag={}`` and the call records the number of
+    corpus passes it used under ``diag['rounds']`` (an out-param rather
+    than mutable function state, so concurrent callers cannot clobber
+    each other's readings)."""
     words = (
         df.select(F.explode(_norm_words(text_col)).alias("w"))
         .where(F.col("w") != "")
@@ -838,7 +841,8 @@ def bpe_learn(
         words = words.select(merge_expr.alias("syms"), "freq").localCheckpoint(
             eager=True
         )
-    bpe_learn.last_rounds = rounds
+    if diag is not None:
+        diag["rounds"] = rounds
     spark = df.sparkSession
     return spark.createDataFrame(
         merges,
@@ -1012,7 +1016,9 @@ def temperature_sample(
     kept at the rate that makes post-sample counts proportional to
     n_s^alpha. Rates are quantised to 1/denom via floor (floor, not
     round: both engines' float rounding of exact .5 products could
-    differ in principle; floor of an identical double cannot) and
+    differ in principle; floor of an identical double cannot),
+    clamped to at least one bucket so extreme skew cannot zero a
+    stratum out entirely, and
     applied with the reproducible md5 bucket of stratified_sample — no
     RNG, identical under re-runs, resume, and the SQL oracle.
 
@@ -1043,11 +1049,19 @@ def temperature_sample(
         rate = F.sqrt(ratio)
     else:
         rate = F.pow(ratio, F.lit(1.0 - alpha))
+    # Clamp to >= 1 bucket: real web-crawl skew can push a huge
+    # stratum's rate below 1/denom (e.g. n_min=3 vs n_en=1e9 at
+    # alpha=0.5 -> rate ~5e-5), and floor alone would zero its
+    # threshold and silently drop the ENTIRE stratum — the opposite of
+    # rebalancing. The clamp keeps >= ~n/denom of it, deterministic
+    # and oracle-replayable (greatest(floor(...), 1) in SQL).
     thresholds = (
         counts.crossJoin(F.broadcast(nmin))
         .select(
             "_strat",
-            F.floor(rate * F.lit(float(denom))).cast("int").alias("_thresh"),
+            F.greatest(F.floor(rate * F.lit(float(denom))), F.lit(1))
+            .cast("int")
+            .alias("_thresh"),
         )
     )
     bucket = sample_bucket(id_col, denom)

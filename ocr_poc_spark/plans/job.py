@@ -805,8 +805,14 @@ def run_shards(
     from ..operators.curation import shuffle_shards
 
     docs, filters = _packable_docs(spark, out_dir)
+    # Empty-word filter matters: split('') yields [''] (1 phantom
+    # token), so a fully span-deduped doc would otherwise shift every
+    # later tok_offset — diverging from chunk/pack, which count it 0.
     n_tokens = F.size(
-        F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+")
+        F.filter(
+            F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
     )
     shards = shuffle_shards(
         docs.withColumn("n_tokens", n_tokens),

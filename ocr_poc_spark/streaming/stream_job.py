@@ -534,17 +534,22 @@ def start_corpus_pipeline_stream(
             f"{state_dir}/index", "id string, band int, sig long, batch int"
         )
         # LIVE corpus: latest version per url among earlier batches,
-        # minus urls this batch replaces (their new text is in `gated`;
+        # minus urls this batch REPLACES (their new text is in `gated`;
         # pairing new-vs-stale text of other urls would bind versions
-        # the latest snapshot no longer has).
+        # the latest snapshot no longer has). Replaced = in `work`
+        # (changed/added), NOT every url fetched this batch — a
+        # digest-UNCHANGED re-crawl is still live with its old text,
+        # and anti-joining it out would silently skip pairs between it
+        # and this batch's new docs (stream==batch parity hole; caught
+        # in round-5 review, regression-tested).
         latest = (
             docs_all.where(F.col("batch") < batch_id)
             .groupBy("url")
             .agg(F.max("batch").alias("_lb"))
-            .join(latest_fetch.select("url"), "url", "left_anti")
+            .join(work.select("url"), "url", "left_anti")
         )
         corpus = docs_all.join(latest, ["url"]).where(
-            F.col("batch") == F.col("_lb")
+            (F.col("batch") == F.col("_lb")) & F.col("text").isNotNull()
         ).select("url", "text")
         index = index_all.join(
             latest.withColumnRenamed("url", "id"), ["id"]
@@ -555,7 +560,18 @@ def start_corpus_pipeline_stream(
             jaccard_threshold=jaccard_threshold,
         )
         pairs.write.mode("overwrite").parquet(f"{out_dir}/pairs/batch={batch_id}")
-        gated.write.mode("overwrite").parquet(
+        # TOMBSTONES: a changed/added url whose latest crawl FAILS the
+        # gate must supersede any older gated version, or finalize's
+        # last-writer-wins would resurrect stale text the batch chain
+        # over the latest snapshot excludes (round-5 review catch).
+        # A NULL-text row per gate-failing work url records the death;
+        # corpus/finalize readers filter text IS NOT NULL.
+        dead = (
+            work.select("url")
+            .join(gated.select("url"), "url", "left_anti")
+            .select("url", F.lit(None).cast("string").alias("text"))
+        )
+        gated.unionByName(dead).write.mode("overwrite").parquet(
             f"{state_dir}/docs/batch={batch_id}"
         )
         minhash_band_index(
@@ -605,8 +621,11 @@ def finalize_corpus_pipeline(
         docs_all.groupBy("url")
         .agg(F.max("batch").alias("_lb"))
     )
+    # NULL-text rows are tombstones (latest crawl failed the gate):
+    # they win last-writer-wins so the url contributes no document and
+    # its older pairs are superseded, matching the batch chain.
     docs = docs_all.join(live, ["url"]).where(
-        F.col("batch") == F.col("_lb")
+        (F.col("batch") == F.col("_lb")) & F.col("text").isNotNull()
     ).select("url", "text")
     pairs_all = spark.read.parquet(f"{out_dir}/pairs")
     lb_a = live.select(F.col("url").alias("id_a"), F.col("_lb").alias("_la"))

@@ -854,10 +854,11 @@ def test_bpe_learn_batched_equals_sequential(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text"
     )
-    seq = bpe_learn(d, n_merges=24, batch_merges=1).collect()
-    seq_rounds = bpe_learn.last_rounds
-    bat = bpe_learn(d, n_merges=24, batch_merges=8).collect()
-    bat_rounds = bpe_learn.last_rounds
+    dg_seq, dg_bat = {}, {}
+    seq = bpe_learn(d, n_merges=24, batch_merges=1, diag=dg_seq).collect()
+    seq_rounds = dg_seq["rounds"]
+    bat = bpe_learn(d, n_merges=24, batch_merges=8, diag=dg_bat).collect()
+    bat_rounds = dg_bat["rounds"]
     assert [tuple(r) for r in seq] == [tuple(r) for r in bat]
     assert seq_rounds == 24
     # Measured corpus passes: 15 vs 24 here — this fixture's vocab is
@@ -907,6 +908,20 @@ def test_temperature_sample_rates_and_null_stratum(spark):
     assert by_lang.get("en", set()) == expect
     # alpha=1: natural distribution — every row kept (all rates 1).
     assert len(temperature_sample(df, alpha=1.0).collect()) == len(rows)
+    # extreme-skew clamp: with denom=10 and rates sqrt(25/400)=0.25 the
+    # en threshold floors to 2; shrink further (denom=10, alpha -> rate
+    # 1/16 at alpha=0.5 needs n=6400) — use alpha=0 (rate n_min/n =
+    # 1/16 -> floor(0.625) would be 0) and check the stratum SURVIVES.
+    skew = spark.createDataFrame(
+        [(i, "x", "en" if i < 1600 else "fr", "s") for i in range(1700)],
+        "doc_id long, text string, lang string, source string",
+    )
+    kept_en = (
+        temperature_sample(skew, alpha=0.0, denom=10)
+        .where("lang = 'en'")
+        .count()
+    )
+    assert kept_en > 0  # clamped to 1 bucket, never zeroed out
     # output schema is the input schema (helper columns dropped).
     assert temperature_sample(df).columns == df.columns
     for bad in (-0.1, 1.5):

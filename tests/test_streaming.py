@@ -509,8 +509,12 @@ def test_stream_corpus_pipeline_equals_batch(spark, tmp_path):
     chunk -> pack) over the LATEST version of every url. The fixture
     exercises: a cross-batch exact dup (0->1), a changed re-crawl whose
     old version had a pair (the pair must be superseded), an in-batch
-    dup created by the re-crawl, and an unchanged re-crawl (digest-
-    skipped, no second doc version)."""
+    dup created by the re-crawl, an unchanged re-crawl (digest-skipped,
+    no second doc version) whose text near-dups a NEW same-batch doc
+    (the unchanged url must stay in the live pairing corpus — round-5
+    review regression), and a changed re-crawl that FAILS the gate
+    (must tombstone the url, not resurrect its older gated version —
+    round-5 review regression)."""
     import os
 
     from ocr_poc_spark.operators.curation import (
@@ -539,7 +543,17 @@ def test_stream_corpus_pipeline_equals_batch(spark, tmp_path):
     # pair with it), u2 re-crawled UNCHANGED.
     recrawl_changed = dict(b0[0], html=b2[7]["html"])
     recrawl_same = dict(b0[2])
-    batch2 = b2 + [recrawl_changed, recrawl_same]
+    # NEW url whose body duplicates the UNCHANGED re-crawl's: the pair
+    # (u2, dup_of_unchanged) only exists if u2 stays in the live
+    # pairing corpus despite being fetched (unchanged) this batch.
+    dup_of_unchanged = dict(
+        b0[2], url="https://mirror-u2.example/copy"
+    )
+    # u3 re-crawled with a payload that FAILS extraction: the batch
+    # chain drops u3 entirely; the stream must tombstone it.
+    recrawl_failed = dict(b0[3], html=b"%RAISE-TEST% changed payload")
+    batch2 = b2 + [recrawl_changed, recrawl_same, dup_of_unchanged,
+                   recrawl_failed]
 
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
@@ -571,19 +585,33 @@ def test_stream_corpus_pipeline_equals_batch(spark, tmp_path):
     )
 
     u0, u2, u12 = b0[0]["url"], b0[2]["url"], b1[0]["url"]
+    u3 = b0[3]["url"]
     # unchanged re-crawl skipped: u2 has exactly one doc version
     docs_state = spark.read.parquet(f"{state}/docs")
     assert docs_state.where(F.col("url") == u2).count() == 1
     # changed re-crawl: two versions, live one from batch 2
     assert docs_state.where(F.col("url") == u0).count() == 2
+    # gate-failing re-crawl: the batch-2 row is a NULL-text tombstone
+    u3_rows = docs_state.where(F.col("url") == u3).collect()
+    assert {r["batch"] for r in u3_rows} == {0, 2}
+    assert [r["text"] for r in u3_rows if r["batch"] == 2] == [None]
     # the stale pair (u0-old ~ u12) WAS emitted at batch 1...
     emitted = {(r["id_a"], r["id_b"], r["batch"])
                for r in spark.read.parquet(f"{out}/pairs").collect()}
     stale_pair = tuple(sorted((u0, u12)))
     assert any((a, b) == stale_pair and k == 1 for a, b, k in emitted)
+    # ...and the unchanged-re-crawl pair (u2 ~ its new mirror) was
+    # emitted at batch 2: u2 stayed in the live pairing corpus.
+    unchanged_pair = tuple(sorted((u2, dup_of_unchanged["url"])))
+    assert any((a, b) == unchanged_pair and k == 2 for a, b, k in emitted)
 
-    # batch chain over the latest snapshot
-    latest = b0[1:] + b1 + b2 + [recrawl_changed]
+    # batch chain over the latest snapshot (u3's latest version is the
+    # failing payload — include it; the gate drops it there)
+    latest = (
+        [r for r in b0[1:] if r["url"] != u3]
+        + b1 + b2
+        + [recrawl_changed, dup_of_unchanged, recrawl_failed]
+    )
     pages = spark.createDataFrame(
         [(r["url"], r["warc_ts"], bytes(r["html"]), r["text"], r["lang"])
          for r in latest],
