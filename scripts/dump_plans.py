@@ -206,6 +206,33 @@ def main() -> None:
             "global window.",
             em.queries()["bm25_serve"](spark, sf),
         ),
+        (
+            "Training-order shuffle + shards (two-phase prefix sums)",
+            "Exactly ONE non-broadcast Exchange: the prefix-sum window's "
+            "bucket exchange on the deterministic key-space slice of the "
+            "uniform 60-bit order key (no range repartition, no "
+            "checkpoint). The exchanged projection carries (id, key, "
+            "counts) only — never text; the offset table joins back as a "
+            "BroadcastExchange.",
+            em.queries()["shuffle_shards"](spark, sf),
+        ),
+        (
+            "Temperature corpus rebalancing (derived-rate sampler)",
+            "The corpus side never hash-shuffles: the only hash "
+            "Exchanges are the stratum-count groupBys (collapsed to "
+            "#strata rows by map-side partial aggregation); the "
+            "threshold table applies as a null-safe BroadcastHashJoin "
+            "filter over the corpus scan.",
+            em.queries()["temperature_sample"](spark, sf),
+        ),
+        (
+            "Quality classifier (train + score, one plan)",
+            "Class counts collapse to <= n_buckets rows map-side; the "
+            "model spine joins back as BroadcastExchanges; scoring "
+            "shuffles (id, bucket, count) rows once on the uniform "
+            "bucket key and once on the doc id — the dsir shape.",
+            em.queries()["quality_classifier"](spark, sf),
+        ),
     ]
 
     out = ["# PLANS — physical plans of headline operators\n"]

@@ -203,6 +203,25 @@ def main() -> None:
         )
         return semantic_dedup(emb, cents, cosine_threshold=0.99)
 
+    # span_dedup ends in a LEFT join whose right side (removal starts
+    # per doc) is unique per key, so a bare .count() lets Catalyst
+    # ELIMINATE the join and with it the whole dup-detection subtree —
+    # the first round-5 run reported a phantom 0.0 MB / 0.3 s "map-only"
+    # row. Wrap it in an aggregate that consumes the rewritten text, so
+    # the bench measures what a parquet write would.
+    base_span = qs["span_dedup"]
+
+    def q_span_dedup_full(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        return base_span(spark, sf_dir).agg(
+            F.sum("n_removed").alias("tot_removed"),
+            F.sum(F.length("text_clean")).alias("tot_chars"),
+            F.count(F.lit(1)).alias("docs"),
+        )
+
+    qs["span_dedup"] = q_span_dedup_full
+
     qs["ann_lsh_p12"] = q_ann_lsh_p12
     qs["dedup_simhash_h3"] = q_dedup_simhash_h3
     qs["ann_ivf_sqrtk"] = q_ann_ivf_sqrtk
