@@ -1094,6 +1094,33 @@ def q_quality_classifier(spark, sf_dir):
     return nb_score(d, nb_train(pos, neg))
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based parallel-document mining (similarity.bitext_mine,
+    after Artetxe & Schwenk 2019 / the CCMatrix recipe): en docs as the
+    source side, fr docs as the target side, hashing-trick INTEGER
+    embeddings (dim 16) so every cosine is bit-exact cross-engine, k=3
+    neighbor averages summed by an explicit sorted left-to-right chain
+    (fixed operand order — an unordered SUM() would differ in ulps),
+    mutual-best intersection at margin > 1. The exact all-pairs config
+    is the oracle path; production mines from ANN candidates
+    (candidates=)."""
+    from ocr_poc_spark.operators.similarity import bitext_mine
+    from ocr_poc_spark.operators.textstats import hash_embedding
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    emb = hash_embedding(d, dim=16)
+    src = emb.join(d.where(F.col("lang") == "en").select("doc_id"), "doc_id")
+    tgt = emb.join(d.where(F.col("lang") == "fr").select("doc_id"), "doc_id")
+    out = bitext_mine(
+        src.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        tgt.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        k=3, margin_threshold=1.0, strategy="intersect",
+    )
+    return out.select(
+        "src_id", "tgt_id", F.round("cosine", 6).alias("cosine"), "margin"
+    )
+
+
 def q_chunk_documents(spark, sf_dir):  # training-sequence chunking
     from ocr_poc_spark.operators.curation import chunk_documents
 
@@ -1690,7 +1717,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
-        "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf_bcast": q_ann_ivf_bcast,
         "text_dedup_e2e": q_text_dedup_e2e,
@@ -1734,12 +1760,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "shuffle_shards": q_shuffle_shards,
         "quality_classifier": q_quality_classifier,
+        "bitext_mine": q_bitext_mine,
         # -- tail: demoted variants (driver-green in r01-r04 or same-
         #    family siblings of in-window queries; still covered by
         #    scripts/oracle_check.py + pytest every round) --
         "semantic_dedup": q_semantic_dedup,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_topk": q_embedding_topk,
         "quality_gate": q_quality_gate,
         "noise_filter": q_noise_filter,
         "regex_claims": q_regex_claims,
@@ -2809,6 +2837,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source
             FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < t.thresh
+        """,
+        # Bitext mining: exact recompute — integer hash embeddings
+        # (order-independent integer dots), explicit sorted chained
+        # additions for the k-NN averages (the ONLY float sums, fixed
+        # operand order in both engines), identical margin expression,
+        # mutual-best windows with the same tie-break.
+        "bitext_mine": f"""
+            WITH {_EMBED_VEC_SQL},
+            sv AS (SELECT v.doc_id AS id, v.v FROM vec v
+                   JOIN documents d ON d.doc_id = v.doc_id AND d.lang = 'en'),
+            tv AS (SELECT v.doc_id AS id, v.v FROM vec v
+                   JOIN documents d ON d.doc_id = v.doc_id AND d.lang = 'fr'),
+            p AS (
+              SELECT s.id AS src_id, t.id AS tgt_id,
+                     list_sum(list_transform(range(1, 17), i -> s.v[i] * t.v[i]))
+                       / NULLIF(
+                           sqrt(list_sum(list_transform(range(1, 17), i -> s.v[i] * s.v[i])))
+                           * sqrt(list_sum(list_transform(range(1, 17), i -> t.v[i] * t.v[i]))),
+                           0) AS cosine
+              FROM sv s CROSS JOIN tv t),
+            pc AS (SELECT * FROM p WHERE cosine IS NOT NULL),
+            sk AS (
+              SELECT src_id, (l[1] + l[2]) + l[3] AS ssum FROM (
+                SELECT src_id, list(cosine ORDER BY cosine, tgt_id) AS l FROM (
+                  SELECT src_id, tgt_id, cosine,
+                         ROW_NUMBER() OVER (PARTITION BY src_id
+                           ORDER BY cosine DESC, tgt_id) AS rn
+                  FROM pc) WHERE rn <= 3 GROUP BY src_id)),
+            tk AS (
+              SELECT tgt_id, (l[1] + l[2]) + l[3] AS tsum FROM (
+                SELECT tgt_id, list(cosine ORDER BY cosine, src_id) AS l FROM (
+                  SELECT src_id, tgt_id, cosine,
+                         ROW_NUMBER() OVER (PARTITION BY tgt_id
+                           ORDER BY cosine DESC, src_id) AS rn
+                  FROM pc) WHERE rn <= 3 GROUP BY tgt_id)),
+            m AS (
+              SELECT pc.src_id, pc.tgt_id, pc.cosine,
+                     pc.cosine / (((sk.ssum / 3.0) + (tk.tsum / 3.0)) / 2.0) AS margin
+              FROM pc JOIN sk USING (src_id) JOIN tk USING (tgt_id)),
+            mf AS (SELECT * FROM m WHERE margin > 1.0),
+            fwd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                      ORDER BY margin DESC, cosine DESC, tgt_id) AS r FROM mf),
+            bwd AS (SELECT src_id, tgt_id, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                      ORDER BY margin DESC, cosine DESC, src_id) AS r FROM mf)
+            SELECT f.src_id, f.tgt_id, ROUND(f.cosine, 6) AS cosine,
+                   ROUND(f.margin, 6) AS margin
+            FROM fwd f JOIN bwd b
+              ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id AND b.r = 1
+            WHERE f.r = 1
         """,
         # Naive Bayes quality classifier: full recompute — hashed
         # n-gram class counts, add-alpha llr over the 4096-bucket

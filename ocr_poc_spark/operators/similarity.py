@@ -784,3 +784,143 @@ def semantic_dedup(
             (F.col("doc_id") == F.col("component_id")).alias("keeper"),
         )
     )
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    margin_threshold: float = 1.0,
+    strategy: str = "forward",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based parallel-document mining (Artetxe & Schwenk 2019,
+    the LASER/CCMatrix recipe): align documents across two corpora
+    (source/target language sides) by RELATIVE similarity — a pair
+    scores by its cosine divided by the average cosine of each
+    endpoint's k nearest neighbors, which suppresses hub vectors that
+    are close to everything:
+
+        margin(x, y) = cos(x, y) /
+                       ((avg cos(x, NN_k(x)) + avg cos(y, NN_k(y))) / 2)
+
+    Returns mined pairs (src_id, tgt_id, cosine, margin), margin >
+    margin_threshold, one per source (its best-margin target);
+    strategy="intersect" keeps only MUTUAL best pairs (higher
+    precision, the CCMatrix setting). margin is rounded to 6 decimals
+    in the output; ranking uses the unrounded value.
+
+    Cross-engine exactness (the hash-embedding discipline): with
+    integer-valued vectors every cosine is bit-exact, and the k-NN
+    average is summed by an EXPLICIT left-to-right chain over the
+    (cos, id)-sorted neighbor list — a fixed operand order both
+    engines reproduce, unlike an unordered SUM(). Both sides must have
+    at least k vectors with defined cosines; fewer fails loudly
+    in-plan rather than silently averaging a shorter list.
+
+    Plan / 100 TB shape: with ``candidates=None`` the pair set is the
+    full src x tgt cross join — the documented EXACT configuration
+    (the oracle/eval path, like embedding_near_dup). Production mines
+    from ``candidates`` — an ids-only (src_id, tgt_id) frame from the
+    ANN machinery (lsh_ann_topk / ivf_ann_topk output), so the heavy
+    stage is the bucketed ANN and this operator only re-ranks; k-NN
+    margins are then computed WITHIN the candidate set (the standard
+    approximate-margin trade every FAISS-based pipeline makes).
+    Vectors join onto ids-only pairs once per side; the k-NN windows
+    partition by one endpoint id (bounded by each vector's candidate
+    count, never global)."""
+    if strategy not in ("forward", "intersect"):
+        raise ValueError("bitext_mine: strategy must be forward|intersect")
+    if k < 1:
+        raise ValueError("bitext_mine: k must be >= 1")
+    from pyspark.sql import Window
+
+    s = with_norm(src.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("src_id"),
+        F.col("_v").alias("s_v"),
+        F.col("_norm").alias("s_norm"),
+    )
+    t = with_norm(tgt.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("tgt_id"),
+        F.col("_v").alias("t_v"),
+        F.col("_norm").alias("t_norm"),
+    )
+    if candidates is None:
+        pairs = s.crossJoin(t)
+    else:
+        pairs = candidates.select("src_id", "tgt_id").join(s, "src_id").join(
+            t, "tgt_id"
+        )
+    cos = _cosine_or_null(
+        _dot(F.col("s_v"), F.col("t_v")), F.col("s_norm"), F.col("t_norm")
+    )
+    scored = (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine").isNotNull())
+        .select("src_id", "tgt_id", "cosine")
+        .localCheckpoint(eager=False)
+    )
+
+    def knn_avg(part_col: str, other_col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(part_col).orderBy(
+            F.desc("cosine"), F.asc(other_col)
+        )
+        nn = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .groupBy(part_col)
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(cosine, "
+                    f"{other_col}))), s -> s.cosine)"
+                ).alias("_nn")
+            )
+        )
+        total = F.col("_nn")[0]
+        for i in range(1, k):
+            total = total + F.col("_nn")[i]
+        guarded = F.when(
+            F.size("_nn") < k,
+            F.raise_error(
+                F.lit(
+                    f"bitext_mine: fewer than k={k} neighbors for a "
+                    f"{part_col} vector (corpus side too small or "
+                    "all-zero vectors)"
+                )
+            ).cast("double"),
+        ).otherwise(total / F.lit(float(k)))
+        return nn.select(part_col, guarded.alias(out))
+
+    s_avg = knn_avg("src_id", "tgt_id", "_s_avg")
+    t_avg = knn_avg("tgt_id", "src_id", "_t_avg")
+    m = (
+        scored.join(s_avg, "src_id")
+        .join(t_avg, "tgt_id")
+        .withColumn(
+            "margin",
+            F.col("cosine") / ((F.col("_s_avg") + F.col("_t_avg")) / F.lit(2.0)),
+        )
+        .where(F.col("margin") > F.lit(float(margin_threshold)))
+    )
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.desc("cosine"), F.asc("tgt_id")
+    )
+    fwd = m.withColumn("_r", F.row_number().over(w_fwd)).where(F.col("_r") == 1)
+    if strategy == "intersect":
+        w_bwd = Window.partitionBy("tgt_id").orderBy(
+            F.desc("margin"), F.desc("cosine"), F.asc("src_id")
+        )
+        bwd = (
+            m.withColumn("_rb", F.row_number().over(w_bwd))
+            .where(F.col("_rb") == 1)
+            .select("src_id", "tgt_id")
+        )
+        fwd = fwd.join(bwd, ["src_id", "tgt_id"], "left_semi")
+    return fwd.select(
+        "src_id",
+        "tgt_id",
+        "cosine",
+        F.round("margin", 6).alias("margin"),
+    )

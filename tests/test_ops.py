@@ -1449,3 +1449,61 @@ def test_nb_classifier_separates_and_guards(spark):
         nb_score(df, model, n_buckets=1024).collect()
     with pytest.raises(ValueError):
         nb_train(df, df, alpha=0.0)
+
+
+def test_bitext_mine_margin_semantics(spark):
+    """Margin mining: a planted translation pair (same direction,
+    small noise) is mined mutually; a HUB vector that is moderately
+    close to everything is suppressed by the margin denominator even
+    though its raw cosine clears the bar; too-small corpora and bad
+    params fail loudly."""
+    import pytest
+
+    from ocr_poc_spark.operators.similarity import bitext_mine
+
+    def v(*xs):
+        return [float(x) for x in xs]
+
+    # 6-dim toy space: src 0 and tgt 100 are near-identical (the true
+    # pair); tgt 103 is a hub ~equally close to every src vector.
+    src = spark.createDataFrame(
+        [
+            (0, v(10, 0, 0, 1, 0, 0)),
+            (1, v(0, 10, 0, 0, 1, 0)),
+            (2, v(0, 0, 10, 0, 0, 1)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (100, v(10, 0, 1, 1, 0, 0)),   # ~= src 0
+            (101, v(0, 9, 1, 0, 1, 0)),    # ~= src 1
+            (102, v(1, 0, 9, 0, 0, 1)),    # ~= src 2
+            (103, v(5, 5, 5, 1, 1, 1)),    # hub: close to everyone
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        (r["src_id"], r["tgt_id"]): r
+        for r in bitext_mine(
+            src, tgt, k=2, margin_threshold=1.0, strategy="intersect"
+        ).collect()
+    }
+    assert (0, 100) in out and (1, 101) in out and (2, 102) in out
+    # every mined pair clears the margin bar and carries a cosine
+    assert all(r["margin"] > 1.0 and r["cosine"] is not None for r in out.values())
+    # the hub is nobody's mined partner: its neighbor average is high,
+    # so no pair involving it survives the mutual-best margin cut
+    assert not any(t == 103 for _, t in out)
+
+    # forward mode yields one row per surviving source, a superset
+    fwd = bitext_mine(src, tgt, k=2, margin_threshold=1.0).collect()
+    assert len({r["src_id"] for r in fwd}) == len(fwd)
+    assert set(out) <= {(r["src_id"], r["tgt_id"]) for r in fwd}
+
+    with pytest.raises(ValueError, match="strategy"):
+        bitext_mine(src, tgt, strategy="union")
+    with pytest.raises(ValueError, match="k must be"):
+        bitext_mine(src, tgt, k=0)
+    with pytest.raises(Exception, match="fewer than k"):
+        bitext_mine(src, tgt.limit(2), k=3).collect()
