@@ -1094,6 +1094,51 @@ def q_quality_classifier(spark, sf_dir):
     return nb_score(d, nb_train(pos, neg))
 
 
+def q_robots_filter(spark, sf_dir):
+    """Robots-policy gate (crawl.robots_filter, RFC 9309 longest-match
+    subset): per-host directive table applied before extraction.
+    Synthesis: doc urls at '<source>.example/sec<id%5>/doc/<id>'; every
+    host except src7's carries the same directives — disallow /sec0
+    with a LONGER allow /sec0/doc (longest match wins -> allowed),
+    disallow /sec2 (blocked), equal-length allow+disallow /sec4/ (allow
+    wins ties). The oracle replays the longest-match rank in SQL rather
+    than hard-coding outcomes."""
+    from ocr_poc_spark.operators.crawl import robots_filter
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/sec"),
+            (F.col("doc_id") % 5).cast("string"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    directives = [
+        ("disallow", "/sec0"),
+        ("allow", "/sec0/doc"),
+        ("disallow", "/sec2"),
+        ("disallow", "/sec4/"),
+        ("allow", "/sec4/"),
+    ]
+    rules = (
+        d.where(F.col("source") != "src7")
+        .select(F.concat(F.col("source"), F.lit(".example")).alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(r).alias("rule"), F.lit(p).alias("path_prefix"))
+                    for r, p in directives
+                ])
+            ).alias("_d"),
+        )
+        .select("host", "_d.rule", "_d.path_prefix")
+    )
+    return robots_filter(docs, rules)
+
+
 def q_bitext_mine(spark, sf_dir):
     """Margin-based parallel-document mining (similarity.bitext_mine,
     after Artetxe & Schwenk 2019 / the CCMatrix recipe): en docs as the
@@ -1712,7 +1757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 1: driver-green representatives kept in the window --
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_incremental": q_dedup_incremental,
         "dedup_components": q_dedup_components,
@@ -1761,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "quality_classifier": q_quality_classifier,
         "bitext_mine": q_bitext_mine,
+        "robots_filter": q_robots_filter,
         # -- tail: demoted variants (driver-green in r01-r04 or same-
         #    family siblings of in-window queries; still covered by
         #    scripts/oracle_check.py + pytest every round) --
@@ -1768,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "quality_gate": q_quality_gate,
         "noise_filter": q_noise_filter,
         "regex_claims": q_regex_claims,
@@ -2837,6 +2883,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source
             FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < t.thresh
+        """,
+        # Robots gate: full longest-match replay — same synthesized
+        # urls + directive table, rank matching prefixes by (length
+        # desc, allow-first) per url, allowed = no match or top allow.
+        "robots_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '.example/sec'
+                       || CAST(doc_id % 5 AS VARCHAR) || '/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     source || '.example' AS host,
+                     '/sec' || CAST(doc_id % 5 AS VARCHAR) || '/doc/'
+                       || CAST(doc_id AS VARCHAR) AS path
+              FROM documents),
+            hosts AS (SELECT DISTINCT source || '.example' AS host
+                      FROM documents WHERE source <> 'src7'),
+            rules AS (
+              SELECT h.host, r.rule, r.p FROM hosts h CROSS JOIN (VALUES
+                ('disallow', '/sec0'), ('allow', '/sec0/doc'),
+                ('disallow', '/sec2'),
+                ('disallow', '/sec4/'), ('allow', '/sec4/')) AS r(rule, p)),
+            m AS (
+              SELECT u.doc_id, r.rule,
+                     ROW_NUMBER() OVER (PARTITION BY u.doc_id
+                       ORDER BY len(r.p) DESC, (r.rule = 'allow') DESC) AS rn
+              FROM u JOIN rules r
+                ON r.host = u.host AND starts_with(u.path, r.p))
+            SELECT u.doc_id, u.url
+            FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
+            WHERE m.rule IS NULL OR m.rule = 'allow'
         """,
         # Bitext mining: exact recompute — integer hash embeddings
         # (order-independent integer dots), explicit sorted chained

@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     # round-5 additions:
     "span_dedup", "semantic_dedup_bcast", "anchor_profile",
     "temperature_sample", "shuffle_shards", "quality_classifier",
-    "bitext_mine",
+    "bitext_mine", "robots_filter",
 ]
 # embedding_near_dup is deliberately absent: it is the documented
 # all-pairs EXACT oracle variant (O(n^2)); the benchmarked scale path

@@ -168,6 +168,13 @@ def main(argv: list[str] | None = None) -> int:
              "and resume)",
     )
     ap.add_argument(
+        "--robots", metavar="RULES_TSV", default=None,
+        help="tab-separated per-host robots policy (host<TAB>allow|"
+             "disallow<TAB>path_prefix, # comments); urls a host's "
+             "rules disallow (RFC 9309 longest-match, allow wins ties) "
+             "are dropped BEFORE extraction",
+    )
+    ap.add_argument(
         "--diff-against", metavar="OLD_PAGES", default=None,
         help="incremental crawl mode: process only pages whose html "
              "bytes are new or changed vs this previous pages snapshot "
@@ -254,6 +261,25 @@ def main(argv: list[str] | None = None) -> int:
         if not domains:
             ap.error(f"--blocklist {args.blocklist}: no domains found")
         pages = url_blocklist_filter(pages, domains)
+    if args.robots:
+        from .operators.crawl import robots_filter
+
+        rows = []
+        with open(args.robots) as fh:
+            for ln in fh:
+                ln = ln.strip()
+                if not ln or ln.startswith("#"):
+                    continue
+                parts = ln.split("\t")
+                if len(parts) != 3 or parts[1] not in ("allow", "disallow"):
+                    ap.error(f"--robots {args.robots}: malformed line {ln!r}")
+                rows.append(tuple(parts))
+        if not rows:
+            ap.error(f"--robots {args.robots}: no rules found")
+        rules = spark.createDataFrame(
+            rows, "host string, rule string, path_prefix string"
+        )
+        pages = robots_filter(pages, rules)
     if args.diff_against:
         from .operators.crawl import changed_slice
 

@@ -138,3 +138,70 @@ def crawl_churn_stats(
             ),
         )
     )
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    keep: bool = True,
+) -> DataFrame:
+    """Robots-policy filtering (the crawl-politeness gate a web-corpus
+    pipeline applies before extraction): drop every url a site's
+    robots rules disallow. ``rules`` is the pre-parsed per-host policy
+    table (host string, rule 'allow'|'disallow', path_prefix string) —
+    one row per directive, the shape a robots.txt fetch pipeline
+    produces for the crawler's own user-agent.
+
+    Semantics (the REP longest-match subset, RFC 9309): directives
+    apply to EXACT hosts only (robots.txt is per-origin — subdomains
+    have their own file, unlike domain blocklists); among directives
+    whose path_prefix literally prefixes the url path, the LONGEST
+    prefix wins and 'allow' beats 'disallow' on equal length; a url
+    with no matching directive (or a host with no rules at all) is
+    allowed. Wildcards (*, $) are NOT implemented — a rules producer
+    expands or drops them upstream; implementing a partial regex
+    translation here would silently mis-enforce real files.
+
+    keep=False inverts the predicate (audit mode: the blocked rows).
+
+    Plan / 100 TB shape: directives are grouped to ONE array row per
+    host first (rules tables are bounded by #hosts x a few directives),
+    then joined onto the corpus by host — broadcastable for real rule
+    sets, an equi-join on the uniform host key otherwise; the
+    allow/deny decision is a per-row higher-order fold over that
+    host's directive array, so the corpus never shuffles on anything
+    but the (optional) host join and no directive row ever multiplies
+    a url row."""
+    from .hoststats import host_of
+
+    per_host = rules.groupBy(F.lower(F.col("host")).alias("_rh")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("path_prefix").alias("p"),
+                (F.lower(F.col("rule")) == "allow").alias("a"),
+            )
+        ).alias("_rules")
+    )
+    host = F.lower(host_of(url_col))
+    path_raw = F.regexp_replace(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    # Derive host+path BEFORE the join: adding them after it makes
+    # Catalyst try to bind the url reference on the broadcast side
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on Spark 4.1).
+    base = df.withColumn("_h", host).withColumn("_p", path)
+    joined = base.join(
+        F.broadcast(per_host), F.col("_h") == F.col("_rh"), "left"
+    )
+    # Longest-match fold: carry (best_len, allow); allow wins length
+    # ties. startswith on the literal prefix — no wildcard semantics.
+    verdict = F.expr(
+        "aggregate(filter(_rules, r -> startswith(_p, r.p)), "
+        "named_struct('len', -1, 'a', true), "
+        "(acc, r) -> CASE WHEN length(r.p) > acc.len "
+        "OR (length(r.p) = acc.len AND r.a) "
+        "THEN named_struct('len', length(r.p), 'a', r.a) ELSE acc END)"
+    )
+    allowed = F.col("_rules").isNull() | F.coalesce(verdict["a"], F.lit(True))
+    out = joined.where(allowed if keep else ~allowed)
+    return out.drop("_h", "_rh", "_rules", "_p")

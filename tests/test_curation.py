@@ -980,3 +980,38 @@ def test_shuffle_shards_order_shards_and_invariance(spark):
     assert c != a
     with pytest.raises(ValueError):
         shuffle_shards(df, shard_tokens=0)
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    """REP longest-match subset: longer allow overrides shorter
+    disallow, allow wins equal-length ties, unmatched paths and
+    rule-less hosts pass, subdomains do NOT inherit a parent host's
+    rules (robots.txt is per-origin), keep=False returns the audit
+    complement."""
+    from ocr_poc_spark.operators.crawl import robots_filter
+
+    urls = [
+        (0, "https://a.example/private/doc/1"),   # allow /private/doc wins
+        (1, "https://a.example/private/img/2"),   # disallow /private
+        (2, "https://a.example/public/3"),        # no matching directive
+        (3, "https://a.example/tmp/4"),           # equal-length tie -> allow
+        (4, "https://sub.a.example/private/5"),   # subdomain: no rules
+        (5, "https://b.example/anything/6"),      # rule-less host
+        (6, "https://a.example/"),                # root; disallow '/' blocks? no '/' rule
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "disallow", "/private"),
+            ("a.example", "allow", "/private/doc"),
+            ("a.example", "disallow", "/tmp/"),
+            ("a.example", "allow", "/tmp/"),
+        ],
+        "host string, rule string, path_prefix string",
+    )
+    kept = {r["doc_id"] for r in robots_filter(df, rules).collect()}
+    assert kept == {0, 2, 3, 4, 5, 6}
+    blocked = {r["doc_id"] for r in robots_filter(df, rules, keep=False).collect()}
+    assert blocked == {1}
+    # output schema is the input schema (helper columns dropped)
+    assert robots_filter(df, rules).columns == df.columns
