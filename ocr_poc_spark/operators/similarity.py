@@ -795,6 +795,7 @@ def bitext_mine(
     margin_threshold: float = 1.0,
     strategy: str = "forward",
     candidates: DataFrame | None = None,
+    on_short: str = "raise",
 ) -> DataFrame:
     """Margin-based parallel-document mining (Artetxe & Schwenk 2019,
     the LASER/CCMatrix recipe): align documents across two corpora
@@ -835,6 +836,8 @@ def bitext_mine(
         raise ValueError("bitext_mine: strategy must be forward|intersect")
     if k < 1:
         raise ValueError("bitext_mine: k must be >= 1")
+    if on_short not in ("raise", "skip"):
+        raise ValueError("bitext_mine: on_short must be raise|skip")
     from pyspark.sql import Window
 
     s = with_norm(src.select(id_col, vec_col), vec_col).select(
@@ -881,6 +884,10 @@ def bitext_mine(
         total = F.col("_nn")[0]
         for i in range(1, k):
             total = total + F.col("_nn")[i]
+        if on_short == "skip":
+            return nn.where(F.size("_nn") >= k).select(
+                part_col, (total / F.lit(float(k))).alias(out)
+            )
         guarded = F.when(
             F.size("_nn") < k,
             F.raise_error(

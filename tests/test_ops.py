@@ -1507,3 +1507,47 @@ def test_bitext_mine_margin_semantics(spark):
         bitext_mine(src, tgt, k=0)
     with pytest.raises(Exception, match="fewer than k"):
         bitext_mine(src, tgt.limit(2), k=3).collect()
+
+
+def test_bitext_mine_ann_candidates_and_skip(spark):
+    """Production path: mining restricted to an ids-only candidate
+    frame equals the exact path when the candidates cover the true
+    k-NN sets; on_short='skip' drops under-connected vectors instead
+    of raising."""
+    import pytest
+
+    from ocr_poc_spark.operators.similarity import bitext_mine
+
+    src = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(6)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, [float((i * 7 + j * 3) % 11 - 5 + (1 if j == 0 else 0))
+                    for j in range(6)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = sorted(
+        map(tuple, bitext_mine(src, tgt, k=3, margin_threshold=1.0).collect())
+    )
+    # full candidate cover == exact
+    cands = src.select(F.col("vec_id").alias("src_id")).crossJoin(
+        tgt.select(F.col("vec_id").alias("tgt_id"))
+    )
+    got = sorted(
+        map(tuple, bitext_mine(
+            src, tgt, k=3, margin_threshold=1.0, candidates=cands
+        ).collect())
+    )
+    assert got == exact and len(exact) > 0
+    # sparse candidates: one src has only 2 candidates -> raise mode
+    # fails loudly, skip mode drops just that src
+    sparse = cands.where(~((F.col("src_id") == 0) & (F.col("tgt_id") > 101)))
+    with pytest.raises(Exception, match="fewer than k"):
+        bitext_mine(src, tgt, k=3, candidates=sparse).collect()
+    skipped = bitext_mine(
+        src, tgt, k=3, margin_threshold=0.0, candidates=sparse, on_short="skip"
+    ).collect()
+    assert skipped and not any(r["src_id"] == 0 for r in skipped)
+    with pytest.raises(ValueError, match="on_short"):
+        bitext_mine(src, tgt, on_short="maybe")

@@ -307,3 +307,31 @@ def test_shuffle_shards_single_exchange_ids_only(spark):
     assert not re.search(r"Exchange hashpartitioning.*\btext\b", plan), plan
     # the prefix-sum window is partitioned by _pid, not global
     assert "Window" in plan and "SinglePartition" not in plan, plan
+
+
+def test_robots_filter_corpus_joins_broadcast_rules(spark):
+    """The robots gate's scale claim: the corpus side never hash-
+    shuffles — the only hash Exchange is the per-host directive
+    roll-up (bounded by #hosts x directives), which reaches the corpus
+    as a BroadcastHashJoin; the decision is a per-row fold, so no
+    directive row multiplies a url row (no explode after the join)."""
+    import re
+
+    from ocr_poc_spark.operators.crawl import robots_filter
+
+    d = spark.createDataFrame(
+        [(i, f"https://h{i % 5}.example/p{i % 7}/doc/{i}") for i in range(200)],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [(f"h{i}.example", "disallow", "/p1") for i in range(5)],
+        "host string, rule string, path_prefix string",
+    )
+    plan = _plan(robots_filter(d, rules))
+    assert "BroadcastHashJoin" in plan, plan
+    for ln in plan.splitlines():
+        if re.search(r"\bExchange hashpartitioning", ln):
+            # the rules roll-up keys on (lowered) host — shown as a
+            # grouping expression; the corpus ids/urls never shuffle.
+            assert "doc_id" not in ln and "url" not in ln, plan
+    assert "Generate" not in plan.split("BroadcastHashJoin")[0], plan
