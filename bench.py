@@ -79,11 +79,12 @@ BENCH_QUERIES = [
     # round-5 additions:
     "span_dedup", "semantic_dedup_bcast", "anchor_profile",
     "temperature_sample", "shuffle_shards", "quality_classifier",
-    "bitext_mine", "robots_filter",
+    "robots_filter",
 ]
-# embedding_near_dup is deliberately absent: it is the documented
-# all-pairs EXACT oracle variant (O(n^2)); the benchmarked scale path
-# for that capability is ann_lsh / the LSH near-dup bucketing.
+# embedding_near_dup and bitext_mine are deliberately absent: both are
+# documented all-pairs EXACT oracle variants (O(n^2) cross joins); the
+# benchmarked scale paths for those capabilities are ann_lsh / the LSH
+# near-dup bucketing and scale_bench's bitext_ann (ANN candidates).
 
 
 def main() -> None:

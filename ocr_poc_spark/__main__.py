@@ -273,6 +273,14 @@ def main(argv: list[str] | None = None) -> int:
                 parts = ln.split("\t")
                 if len(parts) != 3 or parts[1] not in ("allow", "disallow"):
                     ap.error(f"--robots {args.robots}: malformed line {ln!r}")
+                if not parts[2].startswith("/"):
+                    # a prefix without the leading slash can never match
+                    # a derived path — a silently dead rule (fail-open),
+                    # the opposite of this file's loud-rejection posture
+                    ap.error(
+                        f"--robots {args.robots}: path_prefix must start "
+                        f"with '/' in line {ln!r}"
+                    )
                 rows.append(tuple(parts))
         if not rows:
             ap.error(f"--robots {args.robots}: no rules found")

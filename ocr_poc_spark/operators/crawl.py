@@ -165,6 +165,14 @@ def robots_filter(
 
     keep=False inverts the predicate (audit mode: the blocked rows).
 
+    Host matching is deliberately more liberal than hoststats.host_of:
+    scheme case-insensitive, userinfo and port stripped, authority cut
+    at [/?#] — 'HTTPS://user@A.example:8443/x' matches rules for
+    'a.example'. A compliance gate that failed OPEN on those spellings
+    would quietly crawl forbidden paths (round-5 review catch). Urls
+    with no extractable host at all are kept (nothing to match rules
+    against — the url_blocklist_filter posture, documented).
+
     Plan / 100 TB shape: directives are grouped to ONE array row per
     host first (rules tables are bounded by #hosts x a few directives),
     then joined onto the corpus by host — broadcastable for real rule
@@ -173,8 +181,6 @@ def robots_filter(
     host's directive array, so the corpus never shuffles on anything
     but the (optional) host join and no directive row ever multiplies
     a url row."""
-    from .hoststats import host_of
-
     per_host = rules.groupBy(F.lower(F.col("host")).alias("_rh")).agg(
         F.collect_list(
             F.struct(
@@ -183,9 +189,18 @@ def robots_filter(
             )
         ).alias("_rules")
     )
-    host = F.lower(host_of(url_col))
-    path_raw = F.regexp_replace(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
-    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"(?i)^https?://(?:[^/@?#]*@)?([^/:?#]+)", 1
+        )
+    )
+    path_raw = F.regexp_replace(F.col(url_col), r"(?i)^https?://[^/?#]*", "")
+    # REP matches against path (+query); a query-only url's path is '/'
+    path = (
+        F.when(path_raw == "", F.lit("/"))
+        .when(~path_raw.startswith("/"), F.concat(F.lit("/"), path_raw))
+        .otherwise(path_raw)
+    )
     # Derive host+path BEFORE the join: adding them after it makes
     # Catalyst try to bind the url reference on the broadcast side
     # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on Spark 4.1).

@@ -853,8 +853,15 @@ def bitext_mine(
     if candidates is None:
         pairs = s.crossJoin(t)
     else:
-        pairs = candidates.select("src_id", "tgt_id").join(s, "src_id").join(
-            t, "tgt_id"
+        # dropDuplicates: a candidate producer that unions ANN tables
+        # can emit the same pair twice, and a duplicate would count one
+        # neighbor twice in the k-NN average (corrupting every margin
+        # of that endpoint) — round-5 review catch.
+        pairs = (
+            candidates.select("src_id", "tgt_id")
+            .dropDuplicates(["src_id", "tgt_id"])
+            .join(s, "src_id")
+            .join(t, "tgt_id")
         )
     cos = _cosine_or_null(
         _dot(F.col("s_v"), F.col("t_v")), F.col("s_norm"), F.col("t_norm")
@@ -902,6 +909,32 @@ def bitext_mine(
 
     s_avg = knn_avg("src_id", "tgt_id", "_s_avg")
     t_avg = knn_avg("tgt_id", "src_id", "_t_avg")
+    if on_short == "raise":
+        # A vector with ZERO candidates (ANN bucket miss, filter typo)
+        # or no defined cosines never reaches knn_avg's size guard —
+        # it would vanish SILENTLY in the mode whose contract is loud
+        # failure (round-5 review catch). Anti-join each side against
+        # its average table; any survivor poisons the plan via a
+        # raise_error branch unioned into the output (ids only, cheap).
+        def missing_guard(side: DataFrame, key: str, avg: DataFrame):
+            return (
+                side.select(key)
+                .join(avg.select(key), key, "left_anti")
+                .select(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"bitext_mine: no usable candidates for {key}="
+                            ),
+                            F.col(key).cast("string"),
+                        )
+                    ).alias("_err")
+                )
+            )
+
+        poison = missing_guard(s, "src_id", s_avg).unionByName(
+            missing_guard(t, "tgt_id", t_avg)
+        )
     m = (
         scored.join(s_avg, "src_id")
         .join(t_avg, "tgt_id")
@@ -925,9 +958,21 @@ def bitext_mine(
             .select("src_id", "tgt_id")
         )
         fwd = fwd.join(bwd, ["src_id", "tgt_id"], "left_semi")
-    return fwd.select(
+    out = fwd.select(
         "src_id",
         "tgt_id",
         "cosine",
         F.round("margin", 6).alias("margin"),
     )
+    if on_short == "raise":
+        # Bind the guard into the output plan: the poison branch scans
+        # only ids and yields zero rows when every vector is covered;
+        # any uncovered vector raises when the query materializes.
+        # Column types mirror the real output (ids may be strings).
+        fields = out.schema.fields
+        guard = poison.select(
+            F.col("_err").cast(fields[0].dataType).alias(fields[0].name),
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in fields[1:]],
+        )
+        out = out.unionByName(guard)
+    return out

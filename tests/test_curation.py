@@ -1015,3 +1015,27 @@ def test_robots_filter_longest_match_semantics(spark):
     assert blocked == {1}
     # output schema is the input schema (helper columns dropped)
     assert robots_filter(df, rules).columns == df.columns
+
+
+def test_robots_filter_host_normalization_fail_closed(spark):
+    """Compliance regression (round-5 review): uppercase schemes,
+    userinfo, explicit ports and query-only urls must still match their
+    host's rules — a gate that fails OPEN on those spellings quietly
+    crawls forbidden paths."""
+    from ocr_poc_spark.operators.crawl import robots_filter
+
+    urls = [
+        (0, "HTTPS://a.example/private/1"),
+        (1, "https://user:pw@a.example/private/2"),
+        (2, "https://a.example:8443/private/3"),
+        (3, "https://a.example?private=1"),        # query-only path -> '/'
+        (4, "https://a.example/ok/5"),
+        (5, "not a url at all"),                   # no host: kept, documented
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [("a.example", "disallow", "/private")],
+        "host string, rule string, path_prefix string",
+    )
+    kept = {r["doc_id"] for r in robots_filter(df, rules).collect()}
+    assert kept == {3, 4, 5}

@@ -1551,3 +1551,43 @@ def test_bitext_mine_ann_candidates_and_skip(spark):
     assert skipped and not any(r["src_id"] == 0 for r in skipped)
     with pytest.raises(ValueError, match="on_short"):
         bitext_mine(src, tgt, on_short="maybe")
+
+
+def test_bitext_mine_duplicate_candidates_and_zero_candidate_raise(spark):
+    """Round-5 review regressions: duplicate candidate pairs must not
+    double-count a neighbor in the k-NN averages (margins identical to
+    the deduped frame); a vector with ZERO candidates fails loudly in
+    raise mode instead of silently vanishing."""
+    import pytest
+
+    from ocr_poc_spark.operators.similarity import bitext_mine
+
+    src = spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 7 + 1) for j in range(4)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, [float((i * 5 + j) % 7 + 2) for j in range(4)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    cands = src.select(F.col("vec_id").alias("src_id")).crossJoin(
+        tgt.select(F.col("vec_id").alias("tgt_id"))
+    )
+    clean = sorted(map(tuple, bitext_mine(
+        src, tgt, k=2, margin_threshold=0.0, candidates=cands
+    ).collect()))
+    doubled = sorted(map(tuple, bitext_mine(
+        src, tgt, k=2, margin_threshold=0.0,
+        candidates=cands.unionByName(cands),
+    ).collect()))
+    assert doubled == clean and len(clean) > 0
+
+    # src 0 entirely absent from candidates: loud in raise mode,
+    # dropped in skip mode
+    no0 = cands.where("src_id <> 0")
+    with pytest.raises(Exception, match="no usable candidates"):
+        bitext_mine(src, tgt, k=2, candidates=no0).collect()
+    skipped = bitext_mine(
+        src, tgt, k=2, margin_threshold=0.0, candidates=no0, on_short="skip"
+    ).collect()
+    assert skipped and not any(r["src_id"] == 0 for r in skipped)
