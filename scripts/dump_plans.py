@@ -226,6 +226,24 @@ def main() -> None:
             em.queries()["temperature_sample"](spark, sf),
         ),
         (
+            "Robots-policy gate (per-host directive fold)",
+            "Directives roll up to ONE array row per host (the only "
+            "hash exchange, keyed on the host grouping expression) and "
+            "reach the corpus as a BroadcastHashJoin; the allow/deny "
+            "decision is a per-row fold — no Generate/explode, so no "
+            "directive row ever multiplies a url row.",
+            em.queries()["robots_filter"](spark, sf),
+        ),
+        (
+            "Bitext margin mining (exact oracle config)",
+            "The all-pairs cross join is the documented EXACT config; "
+            "the k-NN windows partition by one endpoint id, and the "
+            "margin join carries (ids, cosine, avg) rows only. "
+            "Production replaces the cross join with an ids-only ANN "
+            "candidate frame (scale_bench bitext_ann).",
+            em.queries()["bitext_mine"](spark, sf),
+        ),
+        (
             "Quality classifier (train + score, one plan)",
             "Class counts collapse to <= n_buckets rows map-side; the "
             "model spine joins back as BroadcastExchanges; scoring "

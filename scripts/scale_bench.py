@@ -207,18 +207,14 @@ def main() -> None:
     # per doc) is unique per key, so a bare .count() lets Catalyst
     # ELIMINATE the join and with it the whole dup-detection subtree —
     # the first round-5 run reported a phantom 0.0 MB / 0.3 s "map-only"
-    # row. Wrap it in an aggregate that consumes the rewritten text, so
-    # the bench measures what a parquet write would.
+    # row. (An agg wrapper does NOT help: count() over a grouping-less
+    # aggregate is statically one row and short-circuits too.) A filter
+    # on the join-derived n_removed column forces full evaluation while
+    # keeping the row count comparable.
     base_span = qs["span_dedup"]
 
     def q_span_dedup_full(spark, sf_dir):
-        import pyspark.sql.functions as F
-
-        return base_span(spark, sf_dir).agg(
-            F.sum("n_removed").alias("tot_removed"),
-            F.sum(F.length("text_clean")).alias("tot_chars"),
-            F.count(F.lit(1)).alias("docs"),
-        )
+        return base_span(spark, sf_dir).where("n_removed >= 0")
 
     qs["span_dedup"] = q_span_dedup_full
 
