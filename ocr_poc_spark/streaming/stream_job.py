@@ -660,3 +660,54 @@ def finalize_corpus_pipeline(
         "live_docs": docs.count(),
         "live_pairs": pairs.count(),
     }
+
+
+def start_quality_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    model_path: str,
+    n_buckets: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Model SERVING on the crawl stream: extract each micro-batch and
+    score it under a PERSISTED quality-classifier model (the
+    <out>/quality_model parquet run_quality writes) — the streaming
+    half of the classifier's train/serve split. Training stays a batch
+    job (class counts need the whole corpus); serving is embarrassingly
+    per-document, so the stream scores pages as they arrive and appends
+    (url, n_terms, score, keep) rows exactly-once via the checkpoint.
+
+    The model is read ONCE at stream start and broadcast into every
+    micro-batch (it is <= n_buckets rows by construction); a model
+    refresh is a stream restart — the honest contract, since silently
+    hot-swapping scoring mid-stream would make batch boundaries change
+    semantics. n_buckets defaults to the model's own row count (the
+    spine is complete by construction), so a serving mismatch cannot
+    be configured accidentally; passing an explicit value keeps the
+    in-plan mismatch guard armed."""
+    from ..operators.classifier import nb_score
+    from ..plans.job import extract_fused
+
+    model = spark.read.parquet(model_path)
+    nb = model.count() if n_buckets is None else n_buckets
+    pages = read_pages_stream(spark, in_path)
+
+    def _one_batch(bdf: DataFrame, batch_id: int) -> None:
+        ext = extract_fused(bdf)
+        docs = ext.where(
+            F.col("success") & F.col("body_text").isNotNull()
+        ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+        scored = nb_score(docs, model, n_buckets=nb).select(
+            F.col("doc_id").alias("url"), "n_terms", "score", "keep"
+        )
+        scored.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    writer = (
+        pages.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -652,3 +652,55 @@ def test_stream_corpus_pipeline_equals_batch(spark, tmp_path):
     batch_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert stale_pair not in batch_pairs
     assert tuple(sorted((u0, b2[7]["url"]))) in batch_pairs
+
+
+def test_stream_quality_serving_equals_batch(spark, tmp_path):
+    """Classifier SERVING on the stream: scores under a persisted model
+    must equal the batch nb_score over the union of all micro-batches
+    (training is batch-only; serving is per-document, so streaming it
+    changes nothing) — and the model's n_buckets is self-derived from
+    the persisted spine, so a serving mismatch cannot be configured by
+    default."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.operators.classifier import nb_score, nb_train
+    from ocr_poc_spark.streaming.stream_job import start_quality_stream
+
+    rows = gen_pages(60, seed=11)
+    in_dir = str(tmp_path / "pages")
+    _write_pages_dir(rows, in_dir)
+
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytes(r["html"]), r["text"], r["lang"])
+         for r in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    docs = extract_fused(pages).where(
+        F.col("success") & F.col("body_text").isNotNull()
+    ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+    # train on a deterministic slice as the positive class
+    pos = docs.where(F.crc32("doc_id") % 3 == 0)
+    neg = docs.where(F.crc32("doc_id") % 3 != 0)
+    model_path = str(tmp_path / "model")
+    nb_train(pos, neg, n_buckets=1024).write.parquet(model_path)
+
+    q = start_quality_stream(
+        spark, in_dir, str(tmp_path / "scored"), str(tmp_path / "ck"),
+        model_path,
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "scored")).select(
+            "url", "n_terms", "score", "keep"
+        ).collect()
+    )
+    model = spark.read.parquet(model_path)
+    want = sorted(
+        tuple(r)
+        for r in nb_score(docs, model, n_buckets=1024).select(
+            F.col("doc_id").alias("url"), "n_terms", "score", "keep"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
