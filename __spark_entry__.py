@@ -949,6 +949,22 @@ def q_decontaminate(spark, sf_dir):  # benchmark n-gram overlap (eval decontamin
     return decontaminate(corpus, bench, n=8, min_overlap=1)
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Surgical benchmark decontamination (span excision): rewrite each
+    corpus document with every 8-token window that appears verbatim in
+    the benchmark slice removed — the span-level counterpart of
+    q_decontaminate's doc-level flags (and the zero-surviving-copy
+    counterpart of q_span_dedup). Benchmark = every 23rd doc, broadcast
+    as a distinct shingle-hash set; the oracle replays tokenisation,
+    hashes, coverage union, and the index-ordered rebuild in SQL."""
+    from ocr_poc_spark.operators.curation import decontaminate_spans
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    bench = d.where(F.col("doc_id") % 23 == 0)
+    corpus = d.where(F.col("doc_id") % 23 != 0)
+    return decontaminate_spans(corpus, bench, span_tokens=8)
+
+
 def q_stratified_sample(spark, sf_dir):  # deterministic corpus-mixing sampler
     from ocr_poc_spark.operators.curation import stratified_sample
 
@@ -1766,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dedup_e2e": q_text_dedup_e2e,
         "strip_boilerplate": q_strip_boilerplate,
         "decontaminate": q_decontaminate,
+        "decontaminate_spans": q_decontaminate_spans,
         "stratified_sample": q_stratified_sample,
         "host_cap": q_host_cap,
         "fuzzy_anchor_join": q_fuzzy_anchor_join,
@@ -1792,7 +1809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "url_blocklist": q_url_blocklist,
         "corpus_split": q_corpus_split,
-        "corpus_pipeline_splits": q_corpus_pipeline_splits,
         "crawl_diff": q_crawl_diff,
         "crawl_churn": q_crawl_churn,
         "cluster_profile": q_cluster_profile,
@@ -1810,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    family siblings of in-window queries; still covered by
         #    scripts/oracle_check.py + pytest every round) --
         "semantic_dedup": q_semantic_dedup,
+        "corpus_pipeline_splits": q_corpus_pipeline_splits,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -2864,6 +2881,50 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(per.n_overlap, 0) >= 1 AS contaminated
             FROM corpus c LEFT JOIN per USING (doc_id)
         """.format(words=_WORDS_SQL),
+        "decontaminate_spans": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     COALESCE(list_filter({_WORDS_SQL}, x -> len(x) > 0),
+                              []) AS t
+              FROM documents),
+            bench AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(array_to_string(t[i+1 : i+8], ' ')), 1, 15))::BIGINT AS h
+              FROM tk, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+              WHERE doc_id % 23 = 0),
+            corp AS (SELECT doc_id, t FROM tk WHERE doc_id % 23 <> 0),
+            occ AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i+1 : i+8], ' ')), 1, 15))::BIGINT AS h
+              FROM corp, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)),
+            rem AS (
+              SELECT DISTINCT occ.doc_id, occ.pos
+              FROM occ JOIN bench ON occ.h = bench.h),
+            tokrows AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i+1] AS w
+              FROM corp, unnest(range(0, len(t))) AS u(i)),
+            covered AS (
+              SELECT DISTINCT tr.doc_id, tr.pos
+              FROM tokrows tr JOIN rem r
+                ON r.doc_id = tr.doc_id
+               AND tr.pos BETWEEN r.pos AND r.pos + 7),
+            keptrows AS (
+              SELECT tr.doc_id, tr.pos, tr.w
+              FROM tokrows tr LEFT JOIN covered c
+                ON c.doc_id = tr.doc_id AND c.pos = tr.pos
+              WHERE c.pos IS NULL),
+            rebuilt AS (
+              SELECT doc_id,
+                     COALESCE(string_agg(w, ' ' ORDER BY pos), '') AS text_clean,
+                     COUNT(*) AS n_kept
+              FROM keptrows GROUP BY doc_id),
+            totals AS (SELECT doc_id, len(t) AS n FROM corp)
+            SELECT t.doc_id,
+                   COALESCE(r.text_clean, '') AS text_clean,
+                   CAST(t.n AS BIGINT) AS n_tokens,
+                   CAST(t.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        """,
         "stratified_sample": """
             SELECT doc_id, lang, source FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000

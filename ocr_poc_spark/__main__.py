@@ -101,6 +101,18 @@ def main(argv: list[str] | None = None) -> int:
              "benchmark corpus (parquet with a text column)",
     )
     ap.add_argument(
+        "--decontaminate-spans", action="store_true",
+        help="with --decontaminate: also REWRITE docs excising every "
+             "benchmark-verbatim >= --decon-span-tokens-token window "
+             "(surgical decontamination); --pack then packs the "
+             "rewritten bodies",
+    )
+    ap.add_argument(
+        "--decon-span-tokens", type=int, default=8,
+        help="window length in whitespace tokens for "
+             "--decontaminate-spans",
+    )
+    ap.add_argument(
         "--select-target", metavar="TARGET_PARQUET", default=None,
         help="after extraction, DSIR-score every doc against this "
              "target exemplar corpus (parquet with a text column) and "
@@ -229,6 +241,10 @@ def main(argv: list[str] | None = None) -> int:
             ap.error(f"--split: {e}")
     if args.select_top is not None and args.select_top <= 0:
         ap.error("--select-top must be positive")
+    if args.decontaminate_spans and not args.decontaminate:
+        ap.error("--decontaminate-spans requires --decontaminate BENCH")
+    if args.decontaminate_spans and args.decon_span_tokens < 2:
+        ap.error("--decon-span-tokens must be >= 2")
     if args.span_dedup and args.span_tokens < 2:
         ap.error("--span-tokens must be >= 2")
     if args.sample and args.sample_temperature is not None:
@@ -403,6 +419,15 @@ def main(argv: list[str] | None = None) -> int:
 
         summary.update(
             run_span_dedup(spark, args.out, span_tokens=args.span_tokens)
+        )
+    if args.decontaminate_spans:
+        from .plans.job import run_decontaminate_spans
+
+        summary.update(
+            run_decontaminate_spans(
+                spark, args.out, args.decontaminate,
+                span_tokens=args.decon_span_tokens,
+            )
         )
     if args.pack:
         from .plans.job import run_pack

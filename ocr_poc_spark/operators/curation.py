@@ -1142,3 +1142,86 @@ def shuffle_shards(
         F.col("tok_offset"),
         (F.expr(f"tok_offset div {int(shard_tokens)}")).alias("shard_id"),
     )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Surgical benchmark decontamination: REWRITE each document with
+    every >= span_tokens-token window that appears verbatim in the
+    benchmark corpus excised, instead of dropping the whole document
+    (`decontaminate` flags docs; this removes just the leaked spans —
+    the "surgical" variant real pipelines run when a one-line benchmark
+    quote would otherwise cost an entire long document).
+
+    Same deterministic token/shingle semantics as dedup_spans (shared
+    norm_words tokenisation, 60-bit md5-hex15 shingle hashes, union of
+    overlapping matched windows covers the maximal leaked span) with
+    one intentional difference: there is NO canonical first occurrence
+    — every occurrence of a benchmark shingle is removed, because the
+    goal is zero eval-set overlap, not one surviving copy.
+
+    Returns one row per input document (NULL text => '' out):
+      (id, text_clean, n_tokens, n_removed).
+
+    Plan / 100 TB shape: the benchmark collapses to its DISTINCT
+    shingle hashes and is broadcast (eval suites are orders of
+    magnitude smaller than the corpus — same rationale as
+    decontaminate), so matching is a map-side LEFT SEMI: corpus
+    occurrence rows (id, pos) only ever shuffle once, into the per-doc
+    start-array groupBy. One exchange on the occurrence side plus the
+    id-equi-join back to the token arrays — strictly fewer exchanges
+    than dedup_spans (no corpus-wide hash groupBy, no hash join-back).
+    """
+    if span_tokens < 2:
+        raise ValueError("decontaminate_spans: span_tokens must be >= 2")
+    k = int(span_tokens)
+    toks = F.filter(
+        F.coalesce(
+            _raw_norm_words(text_col), F.expr("CAST(array() AS ARRAY<STRING>)")
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    span_structs = F.expr(
+        f"CASE WHEN size(_toks) >= {k} THEN "
+        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"i -> struct(cast(i - 1 as int) as pos, "
+        f"cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 15), 16, 10) as bigint) as h)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>) END"
+    )
+    occ = base.select("_id", F.explode(span_structs).alias("_s")).select(
+        "_id", F.col("_s.pos").alias("_pos"), F.col("_s.h").alias("_h")
+    )
+    bench_toks = F.filter(
+        F.coalesce(
+            _raw_norm_words(text_col), F.expr("CAST(array() AS ARRAY<STRING>)")
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    bench = (
+        bench_df.select(bench_toks.alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .select(F.explode(F.array_distinct(_shingle_hashes("_toks", k))).alias("_h"))
+        .distinct()
+    )
+    removals = occ.join(F.broadcast(bench), "_h", "left_semi").select("_id", "_pos")
+    starts = removals.groupBy("_id").agg(
+        F.array_sort(F.collect_list("_pos")).alias("_starts")
+    )
+    joined = base.join(starts, "_id", "left").withColumn(
+        "_st", F.coalesce("_starts", F.expr("CAST(array() AS ARRAY<INT>)"))
+    )
+    kept = F.expr(
+        f"filter(_toks, (t, i) -> NOT exists(_st, p -> p <= i AND i < p + {k}))"
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -733,6 +733,52 @@ def run_span_dedup(
     }
 
 
+def run_decontaminate_spans(
+    spark: SparkSession,
+    out_dir: str,
+    bench_path: str,
+    span_tokens: int = 8,
+) -> dict:
+    """Surgical decontamination stage: rewrite every extracted doc with
+    benchmark-verbatim >= span_tokens-token windows excised ->
+    <out>/decon_spans parquet (doc_id, text_clean, n_tokens,
+    n_removed); see curation.decontaminate_spans. Feeds on the
+    span-rewritten bodies when --span-dedup already ran (same
+    substitution rule as _packable_docs), so the two rewrites compose
+    in a fixed order: corpus dedup first, benchmark excision second.
+    A following --pack substitutes text_clean for the raw body.
+    Overwrite-idempotent like every post-stage."""
+    from ..operators.curation import decontaminate_spans
+
+    docs = _curation_docs(spark, out_dir)
+    sd_dir = os.path.join(out_dir, "span_dedup")
+    if os.path.isdir(sd_dir):
+        rewritten = spark.read.parquet(sd_dir).select("doc_id", "text_clean")
+        docs = docs.join(rewritten, "doc_id").select(
+            "doc_id", F.col("text_clean").alias("text"), "lang_guess"
+        )
+    bench = spark.read.parquet(bench_path).select("text")
+    out = decontaminate_spans(
+        docs, bench, id_col="doc_id", text_col="text",
+        span_tokens=span_tokens,
+    )
+    ds_dir = os.path.join(out_dir, "decon_spans")
+    out.write.mode("overwrite").parquet(ds_dir)
+    res = spark.read.parquet(ds_dir)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("affected"),
+        F.sum("n_removed").alias("removed"),
+    ).first()
+    return {
+        "decon_spans_dir": ds_dir,
+        "decon_spans_docs": agg["n"],
+        "decon_spans_affected": int(agg["affected"] or 0),
+        "decon_spans_removed_tokens": int(agg["removed"] or 0),
+        "decon_spans_tokens": span_tokens,
+    }
+
+
 def _packable_docs(spark: SparkSession, out_dir: str):
     """The doc set the training-data stages feed on: _curation_docs
     composed with every sibling keep-list that ran before — span-
@@ -759,6 +805,19 @@ def _packable_docs(spark: SparkSession, out_dir: str):
             "doc_id", F.col("text_clean").alias("text"), "lang_guess"
         )
         filters.append("span_dedup")
+    ds_dir = os.path.join(out_dir, "decon_spans")
+    if os.path.isdir(ds_dir):
+        # --decontaminate-spans ran: its text_clean was computed FROM
+        # the span-rewritten bodies when both stages ran (see
+        # run_decontaminate_spans), so substituting it here subsumes
+        # the span_dedup substitution above.
+        rewritten = spark.read.parquet(ds_dir).select(
+            "doc_id", F.col("text_clean")
+        )
+        docs = docs.join(rewritten, "doc_id").select(
+            "doc_id", F.col("text_clean").alias("text"), "lang_guess"
+        )
+        filters.append("decon_spans")
     cur_dir = os.path.join(out_dir, "curation")
     if os.path.isdir(cur_dir):
         keep = spark.read.parquet(cur_dir).where("kept").select("doc_id")

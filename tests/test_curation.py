@@ -1039,3 +1039,52 @@ def test_robots_filter_host_normalization_fail_closed(spark):
     )
     kept = {r["doc_id"] for r in robots_filter(df, rules).collect()}
     assert kept == {3, 4, 5}
+
+
+def test_decontaminate_spans_excises_benchmark_text(spark):
+    """Surgical decontamination: every occurrence of a benchmark
+    k-shingle is excised (no surviving canonical copy — the goal is
+    zero eval overlap), overlapping matches cover the maximal leaked
+    region, clean docs and short docs pass through, NULL -> ''."""
+    from ocr_poc_spark.operators.curation import decontaminate_spans
+
+    leak = "q1 q2 q3 q4 q5 q6"  # 6-token benchmark region, k=4
+    bench = spark.createDataFrame(
+        [(f"eval prompt {leak} eval answer",), ("short",)], "text string"
+    )
+    rows = [
+        (1, f"a1 a2 {leak} a3 a4"),            # mid-doc leak
+        (2, f"{leak} b1 {leak}"),              # two copies, both go
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8"),        # clean -> untouched
+        (4, "tiny doc"),                       # < k tokens -> untouched
+        (5, None),                             # NULL -> '' out
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(d, bench, span_tokens=4).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["text_clean"] == "a1 a2 a3 a4"
+    assert out[1]["n_removed"] == 6 and out[1]["n_tokens"] == 10
+    # doc 2: BOTH copies excised (difference vs dedup_spans); the b1
+    # between them survives — cross-boundary shingles are not in the
+    # benchmark, so removal is exactly the two leaked regions.
+    assert out[2]["text_clean"] == "b1"
+    assert out[2]["n_removed"] == 12
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text_clean"] == "c1 c2 c3 c4 c5 c6 c7 c8"
+    assert out[4]["text_clean"] == "tiny doc" and out[4]["n_removed"] == 0
+    assert out[5]["text_clean"] == "" and out[5]["n_tokens"] == 0
+    # partition independence (broadcast + one groupBy: order-free)
+    a = sorted(
+        tuple(r)
+        for r in decontaminate_spans(
+            d.repartition(7), bench.repartition(3), span_tokens=4
+        ).collect()
+    )
+    assert a == sorted(tuple(out[k]) for k in out)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decontaminate_spans(d, bench, span_tokens=1)

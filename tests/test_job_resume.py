@@ -646,3 +646,51 @@ def test_cli_quality_stage_composes_with_pack(spark, pages_df, tmp_path):
         for r in spark.read.parquet(packed["packed_dir"]).select("doc_id").distinct().collect()
     }
     assert packed_urls <= kept
+
+
+def test_run_decontaminate_spans_stage_and_pack_substitution(
+    spark, tmp_path, pages_df
+):
+    """--decontaminate-spans: a benchmark built from extracted bodies
+    forces exactly those docs to rewrite to '' (every window of theirs
+    is benchmark-verbatim), other docs untouched; --pack substitutes
+    the excised bodies (filters records decon_spans, and no benchmark
+    text survives into packed pieces)."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import (
+        run_decontaminate_spans, run_job, run_pack,
+    )
+
+    out = str(tmp_path / "decon")
+    run_job(spark, pages_df.limit(30), out, mode="fused", n_buckets=2)
+
+    bodies = (
+        spark.read.parquet(out + "/extracted")
+        .where("success AND body_text IS NOT NULL")
+        .select("url", "body_text")
+        .orderBy("url")
+        .limit(4)
+    )
+    bench_path = str(tmp_path / "bench.parquet")
+    bodies.select(F.col("body_text").alias("text")).write.parquet(bench_path)
+    leaked_urls = {r["url"] for r in bodies.collect()}
+
+    res = run_decontaminate_spans(spark, out, bench_path, span_tokens=8)
+    assert res["decon_spans_docs"] > 0
+    ds = {r["doc_id"]: r for r in
+          spark.read.parquet(res["decon_spans_dir"]).collect()}
+    checked = 0
+    for url in leaked_urls:
+        r = ds.get(url)
+        if r is not None and r["n_tokens"] >= 8:
+            assert r["text_clean"] == ""
+            checked += 1
+    assert checked > 0
+    assert res["decon_spans_affected"] >= checked
+
+    packed = run_pack(spark, out, seq_len=64, chunk_tokens=16, chunk_stride=16)
+    assert "decon_spans" in packed["packed_filters"]
+    pieces = spark.read.parquet(packed["packed_dir"])
+    leaked_pieces = pieces.where(F.col("doc_id").isin(list(leaked_urls))).count()
+    assert leaked_pieces == 0 and packed["packed_pieces"] > 0
