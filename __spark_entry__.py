@@ -1248,6 +1248,23 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval (operators/search.hybrid_topk): BM25 sparse leg
+    + hashing-trick-embedding cosine dense leg fused by Reciprocal
+    Rank Fusion. Cross-engine exactness: the sparse leg ranks on the
+    ROUNDED-4 BM25 score, the dense leg on the UNROUNDED cosine of
+    INTEGER feature-hash vectors (exact dots), and 1/(60+rank) is one
+    IEEE division summed in a fixed order — the oracle replays both
+    legs, both rank windows, and the fusion join in SQL."""
+    from ocr_poc_spark.operators.search import hybrid_topk
+
+    return hybrid_topk(
+        _t(spark, sf_dir, "documents", spread=True),
+        "spark hash join window table",
+        pool=20, top_n=10,
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style cluster-then-dedup (similarity.semantic_dedup):
     integer hashing-trick embeddings assigned to the 8 shared integer
@@ -1793,7 +1810,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pipeline": q_extract_pipeline,
         "normalize_urls": q_normalize_urls,
         "chunk_documents": q_chunk_documents,
-        "chunk_subword": q_chunk_subword,
         "pack_sequences": q_pack_sequences,
         "pack_subword": q_pack_subword,
         "vocab_topk": q_vocab_topk,
@@ -1801,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_bpe": q_chunk_bpe,
         "bm25_search": q_bm25_search,
         "bm25_serve": q_bm25_serve,
+        "hybrid_search": q_hybrid_search,
         "anchor_texts": q_anchor_texts,
         "anchor_profile": q_anchor_profile,
         "host_graph": q_host_graph,
@@ -1827,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    scripts/oracle_check.py + pytest every round) --
         "semantic_dedup": q_semantic_dedup,
         "corpus_pipeline_splits": q_corpus_pipeline_splits,
+        "chunk_subword": q_chunk_subword,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3412,6 +3430,70 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY ROUND(s, 4) DESC, doc_id ASC
             LIMIT 20
+        """,
+        "hybrid_search": f"""
+            WITH ws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            st AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(w)) AS avg_len FROM ws),
+            q(t) AS (VALUES ('hash'), ('join'), ('spark'), ('table'), ('window')),
+            tf AS (
+              SELECT doc_id, len(w) AS dl, u.t, COUNT(*) AS tf
+              FROM ws, unnest(w) AS u(t)
+              WHERE u.t IN (SELECT t FROM q)
+              GROUP BY doc_id, len(w), u.t),
+            dfreq AS (SELECT t, COUNT(*)::DOUBLE AS df FROM tf GROUP BY t),
+            scored AS (
+              SELECT tf.doc_id,
+                     SUM(ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avg_len))
+                     ) AS s
+              FROM tf JOIN dfreq d ON tf.t = d.t CROSS JOIN st
+              GROUP BY tf.doc_id),
+            sparse AS (
+              SELECT doc_id, rn AS bm25_rank FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC, doc_id ASC) AS rn
+                FROM scored)
+              WHERE rn <= 20),
+            {_EMBED_VEC_SQL},
+            qtok AS (
+              SELECT ('0x' || substr(md5(w.w), 1, 15))::BIGINT AS h
+              FROM unnest(string_split_regex(lower(trim('spark hash join window table')), '\\s+')) AS w(w)
+              WHERE len(w.w) > 0),
+            qcell AS (
+              SELECT h & 15 AS pos,
+                     SUM(CASE WHEN (h >> 4) & 1 = 1 THEN -1 ELSE 1 END) AS s
+              FROM qtok GROUP BY pos),
+            qvec AS (
+              SELECT list(val ORDER BY pos) AS v FROM (
+                SELECT p.pos, CAST(COALESCE(c.s, 0) AS DOUBLE) AS val
+                FROM (SELECT unnest(range(16)) AS pos) p
+                LEFT JOIN qcell c ON c.pos = p.pos)),
+            dcos AS (
+              SELECT v.doc_id,
+                     list_dot_product(v.v, q.v)
+                       / NULLIF(sqrt(list_dot_product(v.v, v.v))
+                                * sqrt(list_dot_product(q.v, q.v)), 0) AS cosr
+              FROM vec v CROSS JOIN qvec q),
+            dense AS (
+              SELECT doc_id, rn AS cos_rank FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY cosr DESC, doc_id ASC) AS rn
+                FROM dcos WHERE cosr IS NOT NULL)
+              WHERE rn <= 20),
+            fused AS (
+              SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+                     sp.bm25_rank, de.cos_rank,
+                     COALESCE(1.0 / (60 + sp.bm25_rank), 0)
+                       + COALESCE(1.0 / (60 + de.cos_rank), 0) AS rrf
+              FROM sparse sp FULL OUTER JOIN dense de ON sp.doc_id = de.doc_id)
+            SELECT doc_id,
+                   CAST(bm25_rank AS INTEGER) AS bm25_rank,
+                   CAST(cos_rank AS INTEGER) AS cos_rank,
+                   ROUND(rrf, 6) AS rrf_score
+            FROM fused
+            ORDER BY ROUND(rrf, 6) DESC, doc_id ASC
+            LIMIT 10
         """,
         # Cluster profile: same integer-exact assignment CTE as
         # semantic_dedup, then per-cluster doc counts and a (count

@@ -136,3 +136,101 @@ def bm25_index(
         .agg(F.count(F.lit(1)).alias("tf"))
         .select(F.col("t").alias("term"), F.col("_id").alias(id_col), "tf", "dl")
     )
+
+
+def hybrid_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    dim: int = 16,
+    rrf_k: int = 60,
+    pool: int = 20,
+    top_n: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 (sparse leg) + hashing-trick embedding
+    cosine (dense leg) fused by Reciprocal Rank Fusion (Cormack et al.
+    2009): rrf(d) = sum over legs of 1/(rrf_k + rank_leg(d)), ranks
+    1-based within each leg's top-`pool`, a missing leg contributes 0.
+    RRF is the standard fusion for hybrid search because it needs no
+    score calibration between incomparable scales (BM25 logs vs
+    cosine) — only ranks.
+
+    Determinism / oracle exactness: the sparse leg ranks on bm25_topk's
+    ROUNDED-4 score (libm ulp noise cannot flip a rank); the dense leg
+    ranks on the UNROUNDED cosine of INTEGER feature-hash vectors
+    (integer dots exact in doubles, IEEE sqrt/divide correctly
+    rounded — bit-identical cross-engine, the hash_embedding trick);
+    both legs tie-break by id asc. 1/(rrf_k + rank) is one IEEE
+    division of small integers, and the fused score sums exactly two
+    of them in a fixed order — bit-identical cross-engine, rounded to
+    6 only on output.
+
+    Plan shape: each leg is a global top-`pool` on
+    TakeOrderedAndProject (per-partition heaps, no global window over
+    the corpus); the rank windows and the full-outer fusion join run
+    on the two <= pool-row leg results — constant-size frames at any
+    corpus scale, the documented exception to the no-global-window
+    rule. The dense leg here is brute-force-exact (the right baseline
+    for auditable fusion); swap in lsh_ann_topk/ivf_ann_topk candidates
+    upstream when the corpus outgrows exact scoring.
+
+    Returns top_n rows: (id, bm25_rank, cos_rank, rrf_score), ordered
+    by (rrf_score desc, id asc)."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _cosine_or_null, _dot
+    from ..operators.textstats import hash_embedding
+
+    spark = df.sparkSession
+    sparse = bm25_topk(
+        df, query, id_col=id_col, text_col=text_col,
+        k1=k1, b=b, top_n=pool,
+    )
+    w_sparse = Window.orderBy(F.desc("score"), F.asc(id_col))
+    sparse_ranked = sparse.select(
+        F.col(id_col).alias("_id"), F.row_number().over(w_sparse).alias("bm25_rank")
+    )
+
+    emb = hash_embedding(df, id_col=id_col, text_col=text_col, dim=dim)
+    qdf = spark.createDataFrame([(query,)], "text string")
+    qvec = hash_embedding(
+        qdf.select(F.lit(0).alias(id_col), "text"), id_col=id_col, dim=dim
+    ).select(F.col("embedding").alias("_qv"))
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    qv = F.transform("_qv", lambda x: x.cast("double"))
+    scored = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(
+            F.col(id_col),
+            _cosine_or_null(
+                _dot(dv, qv),
+                F.sqrt(_dot(dv, dv)),
+                F.sqrt(_dot(qv, qv)),
+            ).alias("_cos"),
+        )
+        .where(F.col("_cos").isNotNull())
+        .orderBy(F.desc("_cos"), F.asc(id_col))
+        .limit(pool)
+    )
+    w_dense = Window.orderBy(F.desc("_cos"), F.asc(id_col))
+    dense_ranked = scored.select(
+        F.col(id_col).alias("_id"), F.row_number().over(w_dense).alias("cos_rank")
+    )
+
+    fused = sparse_ranked.join(dense_ranked, "_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            F.col("_id").alias(id_col),
+            "bm25_rank",
+            "cos_rank",
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(top_n)
+    )

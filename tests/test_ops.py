@@ -1591,3 +1591,44 @@ def test_bitext_mine_duplicate_candidates_and_zero_candidate_raise(spark):
         src, tgt, k=2, margin_threshold=0.0, candidates=no0, on_short="skip"
     ).collect()
     assert skipped and not any(r["src_id"] == 0 for r in skipped)
+
+
+def test_hybrid_topk_rrf_fusion(spark):
+    """Hybrid retrieval: a doc present in BOTH legs' top lists outranks
+    docs present in one; a leg a doc missed contributes 0 (NULL rank);
+    rrf = 1/(60+r_bm25) + 1/(60+r_cos) exactly; result is partition-
+    independent and capped at top_n."""
+    from ocr_poc_spark.operators.search import hybrid_topk
+
+    docs = [
+        (1, "spark join spark join spark join"),   # strong in both legs
+        (2, "spark join plus other filler words"), # weaker, both legs
+        (3, "unrelated tokens entirely different here"),  # neither leg
+        (4, None),                                  # NULL text: no leg
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = hybrid_topk(d, "spark join", pool=10, top_n=10).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # doc 3/4 never match the sparse leg; doc 3 may appear via the
+    # dense leg (its hash vector has some cosine to the query) but a
+    # two-leg doc must outrank every one-leg doc.
+    assert rows[1]["bm25_rank"] is not None and rows[1]["cos_rank"] is not None
+    assert out[0]["doc_id"] == 1
+    assert 4 not in rows  # NULL text -> zero vector, no cosine, no terms
+    # exact RRF arithmetic from the returned ranks
+    for r in out:
+        want = 0.0
+        if r["bm25_rank"] is not None:
+            want += 1.0 / (60 + r["bm25_rank"])
+        if r["cos_rank"] is not None:
+            want += 1.0 / (60 + r["cos_rank"])
+        assert r["rrf_score"] == round(want, 6)
+    # two-leg docs strictly above every single-leg doc at these sizes
+    one_leg = [r for r in out if r["bm25_rank"] is None or r["cos_rank"] is None]
+    two_leg = [r for r in out if r["bm25_rank"] is not None and r["cos_rank"] is not None]
+    assert two_leg and all(
+        t["rrf_score"] > o["rrf_score"] for t in two_leg for o in one_leg
+    )
+    # partition independence + top_n cap
+    again = hybrid_topk(d.repartition(7), "spark join", pool=10, top_n=2).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in out[:2]]
