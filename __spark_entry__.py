@@ -1320,6 +1320,30 @@ def q_semantic_dedup_bcast(spark, sf_dir):
     )
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Politeness-aware crawl scheduling (operators/crawl.crawl_frontier):
+    synthesized frontier urls (one per document, the robots_filter url
+    recipe), per-host priority = the host's document count (the
+    "recrawl big hosts first" baseline signal; pagerank/churn slot in
+    the same way), per_host=2 waves. The oracle replays the url
+    synthesis, host regex, priority join, and the hash-ordered
+    partitioned window in SQL."""
+    from ocr_poc_spark.operators.crawl import crawl_frontier
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    urls = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    pr = d.groupBy("source").agg(F.count(F.lit(1)).alias("_n")).select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        F.col("_n").cast("double").alias("priority"),
+    )
+    return crawl_frontier(urls, priority=pr, per_host=2)
+
+
 def q_cluster_profile(spark, sf_dir):
     """Corpus cartography: assign every document to its nearest shared
     centroid (similarity.assign_clusters — map-side broadcast argmin
@@ -1810,7 +1834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pipeline": q_extract_pipeline,
         "normalize_urls": q_normalize_urls,
         "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
         "pack_subword": q_pack_subword,
         "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
@@ -1828,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "crawl_diff": q_crawl_diff,
         "crawl_churn": q_crawl_churn,
+        "crawl_frontier": q_crawl_frontier,
         "cluster_profile": q_cluster_profile,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup_bcast": q_semantic_dedup_bcast,
@@ -1845,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "corpus_pipeline_splits": q_corpus_pipeline_splits,
         "chunk_subword": q_chunk_subword,
+        "pack_sequences": q_pack_sequences,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3494,6 +3519,30 @@ def oracle_sql() -> dict[str, str]:
             FROM fused
             ORDER BY ROUND(rrf, 6) DESC, doc_id ASC
             LIMIT 10
+        """,
+        "crawl_frontier": """
+            WITH u AS (
+              SELECT DISTINCT
+                     'https://' || source || '.example/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            h AS (SELECT url,
+                         regexp_extract(url, '^https?://([^/]+)', 1) AS host
+                  FROM u),
+            pr AS (SELECT source || '.example' AS host,
+                          COUNT(*)::DOUBLE AS priority
+                   FROM documents GROUP BY source),
+            j AS (SELECT h.url, h.host, COALESCE(pr.priority, 0.0) AS priority
+                  FROM h LEFT JOIN pr ON h.host = pr.host),
+            s AS (SELECT url, host, priority,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY host
+                           ORDER BY ('0x' || substr(md5(url), 1, 15))::BIGINT,
+                                    url) AS slot
+                  FROM j)
+            SELECT url, host, priority, CAST(slot AS INTEGER) AS slot,
+                   CAST((slot - 1) // 2 AS INTEGER) AS wave
+            FROM s
         """,
         # Cluster profile: same integer-exact assignment CTE as
         # semantic_dedup, then per-cluster doc counts and a (count

@@ -78,7 +78,7 @@ BENCH_QUERIES = [
     "crawl_churn", "corpus_quantiles", "chunk_bpe", "asof_forward",
     # round-5 additions:
     "span_dedup", "semantic_dedup_bcast", "anchor_profile",
-    "decontaminate_spans", "hybrid_search",
+    "decontaminate_spans", "hybrid_search", "crawl_frontier",
     "temperature_sample", "shuffle_shards", "quality_classifier",
     "robots_filter",
 ]

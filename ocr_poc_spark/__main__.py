@@ -143,6 +143,13 @@ def main(argv: list[str] | None = None) -> int:
              "for --span-dedup",
     )
     ap.add_argument(
+        "--frontier", type=int, metavar="PER_HOST", default=None,
+        help="after extraction, write a politeness-aware recrawl "
+             "frontier (<= PER_HOST fetches per host per wave); "
+             "priority = per-host churn when --diff-against ran, "
+             "else host document count",
+    )
+    ap.add_argument(
         "--pack", action="store_true",
         help="after extraction (and any curation/dedup stages), chunk "
              "kept docs and pack fixed-length training sequences",
@@ -241,6 +248,8 @@ def main(argv: list[str] | None = None) -> int:
             ap.error(f"--split: {e}")
     if args.select_top is not None and args.select_top <= 0:
         ap.error("--select-top must be positive")
+    if args.frontier is not None and args.frontier < 1:
+        ap.error("--frontier PER_HOST must be >= 1")
     if args.decontaminate_spans and not args.decontaminate:
         ap.error("--decontaminate-spans requires --decontaminate BENCH")
     if args.decontaminate_spans and args.decon_span_tokens < 2:
@@ -420,6 +429,10 @@ def main(argv: list[str] | None = None) -> int:
         summary.update(
             run_span_dedup(spark, args.out, span_tokens=args.span_tokens)
         )
+    if args.frontier is not None:
+        from .plans.job import run_frontier
+
+        summary.update(run_frontier(spark, args.out, per_host=args.frontier))
     if args.decontaminate_spans:
         from .plans.job import run_decontaminate_spans
 

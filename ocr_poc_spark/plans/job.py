@@ -779,6 +779,46 @@ def run_decontaminate_spans(
     }
 
 
+def run_frontier(
+    spark: SparkSession,
+    out_dir: str,
+    per_host: int = 1,
+) -> dict:
+    """Crawl-scheduling stage: assign every extracted url a politeness
+    wave (crawl_frontier) -> <out>/frontier parquet (url, host,
+    priority, slot, wave). Priority is per-host churn when
+    --diff-against wrote <out>/crawl_churn in this or an earlier run
+    (recrawl fast-churning hosts first), else the host's document
+    count (crawl big hosts first). Overwrite-idempotent."""
+    from ..operators.crawl import crawl_frontier
+    from ..operators.hoststats import host_of
+
+    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    urls = ext.select("url")
+    churn_dir = os.path.join(out_dir, "crawl_churn")
+    if os.path.isdir(churn_dir):
+        pr = spark.read.parquet(churn_dir).select(
+            "host", F.col("churn").alias("priority")
+        )
+        pr_source = "crawl_churn"
+    else:
+        pr = urls.groupBy(host_of("url").alias("host")).agg(
+            F.count(F.lit(1)).cast("double").alias("priority")
+        )
+        pr_source = "host_doc_count"
+    out = crawl_frontier(urls, priority=pr, per_host=per_host)
+    fr_dir = os.path.join(out_dir, "frontier")
+    out.write.mode("overwrite").parquet(fr_dir)
+    res = spark.read.parquet(fr_dir)
+    return {
+        "frontier_dir": fr_dir,
+        "frontier_urls": res.count(),
+        "frontier_waves": res.agg(F.max("wave")).first()[0] + 1,
+        "frontier_priority": pr_source,
+        "frontier_per_host": per_host,
+    }
+
+
 def _packable_docs(spark: SparkSession, out_dir: str):
     """The doc set the training-data stages feed on: _curation_docs
     composed with every sibling keep-list that ran before — span-

@@ -1088,3 +1088,51 @@ def test_decontaminate_spans_excises_benchmark_text(spark):
 
     with pytest.raises(ValueError):
         decontaminate_spans(d, bench, span_tokens=1)
+
+
+def test_crawl_frontier_politeness_waves(spark):
+    """Frontier scheduling: no host exceeds per_host fetches per wave,
+    slots are the deterministic url-hash order (re-planning never
+    reorders), unknown hosts get priority 0, hostless urls share the
+    '' politeness bucket, duplicates collapse."""
+    from ocr_poc_spark.operators.crawl import crawl_frontier
+
+    urls = [(f"https://big.example/p{i}",) for i in range(7)] + [
+        ("https://small.example/a",),
+        ("https://small.example/b",),
+        ("not-a-url",),
+        ("also-not-a-url",),
+        ("https://big.example/p0",),  # duplicate -> collapses
+        (None,),
+    ]
+    u = spark.createDataFrame(urls, "url string")
+    pr = spark.createDataFrame(
+        [("big.example", 9.5)], "host string, priority double"
+    )
+    out = crawl_frontier(u, priority=pr, per_host=2).collect()
+    rows = {r["url"]: r for r in out}
+    assert len(out) == 11  # 7 big + 2 small + 2 hostless, dup+NULL gone
+    # politeness: per (host, wave) at most 2
+    from collections import Counter
+
+    c = Counter((r["host"], r["wave"]) for r in out)
+    assert max(c.values()) <= 2
+    # big.example needs ceil(7/2)=4 waves; small fits in wave 0
+    big_waves = {r["wave"] for r in out if r["host"] == "big.example"}
+    assert big_waves == {0, 1, 2, 3}
+    assert {r["wave"] for r in out if r["host"] == "small.example"} == {0}
+    # priorities: joined for big, 0.0 default elsewhere
+    assert rows["https://big.example/p0"]["priority"] == 9.5
+    assert rows["https://small.example/a"]["priority"] == 0.0
+    assert rows["not-a-url"]["host"] == ""
+    # determinism: same assignment under different partitioning
+    again = sorted(
+        tuple(r) for r in crawl_frontier(
+            u.repartition(5), priority=pr, per_host=2
+        ).collect()
+    )
+    assert again == sorted(tuple(r) for r in out)
+    import pytest
+
+    with pytest.raises(ValueError):
+        crawl_frontier(u, per_host=0)

@@ -694,3 +694,38 @@ def test_run_decontaminate_spans_stage_and_pack_substitution(
     pieces = spark.read.parquet(packed["packed_dir"])
     leaked_pieces = pieces.where(F.col("doc_id").isin(list(leaked_urls))).count()
     assert leaked_pieces == 0 and packed["packed_pieces"] > 0
+
+
+def test_run_frontier_stage_uses_churn_priority(spark, tmp_path, pages_df):
+    """--frontier: politeness waves over the extracted urls; priority
+    defaults to host doc counts, switches to churn when --diff-against
+    wrote crawl_churn."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_frontier, run_job
+
+    out = str(tmp_path / "fr")
+    run_job(spark, pages_df.limit(40), out, mode="fused", n_buckets=2)
+    res = run_frontier(spark, out, per_host=2)
+    assert res["frontier_priority"] == "host_doc_count"
+    fr = spark.read.parquet(res["frontier_dir"])
+    assert fr.count() == res["frontier_urls"] == 40
+    # politeness invariant
+    worst = (
+        fr.groupBy("host", "wave").count().agg(F.max("count")).first()[0]
+    )
+    assert worst <= 2
+
+    # plant a churn table -> priority source flips and values join in
+    churn_host = fr.select("host").first()["host"]
+    spark.createDataFrame(
+        [(churn_host, 0.75)], "host string, churn double"
+    ).write.parquet(os.path.join(out, "crawl_churn"))
+    res2 = run_frontier(spark, out, per_host=2)
+    assert res2["frontier_priority"] == "crawl_churn"
+    fr2 = spark.read.parquet(res2["frontier_dir"])
+    got = {r["host"]: r["priority"] for r in fr2.select("host", "priority").distinct().collect()}
+    assert got[churn_host] == 0.75
+    assert all(v == 0.0 for h, v in got.items() if h != churn_host)
