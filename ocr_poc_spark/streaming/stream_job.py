@@ -711,3 +711,86 @@ def start_quality_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_bm25_index_stream(
+    spark: SparkSession,
+    in_path: str,
+    checkpoint: str,
+    state_dir: str,
+    max_files: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental BM25 index maintenance: each micro-batch of crawled
+    pages is extracted and its inverted-file rows (term, url, tf, dl —
+    operators/search.bm25_index) appended under
+    ``state_dir/index/batch=K`` — the streaming form of the
+    index-once/query-many serving mode, for a rolling crawl that must
+    stay searchable without ever re-tokenizing the corpus.
+
+    Re-crawls: a url indexed in several batches keeps ALL its batch
+    slices in state; bm25_index_snapshot() resolves latest-version-wins
+    at read time (the same latest-prior rule as the crawl-diff stream,
+    pushed to the consumer so the per-batch write stays a blind
+    partition overwrite — replay-idempotent, no read-modify-write race
+    on the hot index). Rows are terms and counts only, never document
+    text. A fresh checkpoint over stale state is refused loudly (same
+    contract as the sibling streams)."""
+
+    def _one_batch(bdf: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from ..operators.search import bm25_index
+
+        s = bdf.sparkSession
+        try:
+            hist = s.read.parquet(f"{state_dir}/index")
+            stale = hist.select(F.max("batch").alias("m")).collect()[0]["m"]
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            stale = None
+        if stale is not None and stale > batch_id:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds batches up to "
+                f"{stale} but this stream is at batch {batch_id}: resume "
+                "with the original checkpoint, or start with a fresh "
+                "state_dir"
+            )
+        ext = extract_fused(bdf)
+        docs = ext.where(
+            F.col("success") & F.col("body_text").isNotNull()
+        ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+        # one row per url per batch: a url crawled twice inside one
+        # micro-batch collapses to the SAME deterministic
+        # representative the batch side uses (_curation_docs: lowest
+        # body hash via min_by) — so stream and batch index the
+        # identical text for any duplicated url.
+        docs = docs.groupBy("doc_id").agg(
+            F.expr("min_by(text, md5(text))").alias("text")
+        )
+        bm25_index(docs).write.mode("overwrite").parquet(
+            f"{state_dir}/index/batch={batch_id}"
+        )
+
+    writer = (
+        read_pages_stream(spark, in_path, max_files=max_files)
+        .writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bm25_index_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The serveable view of the streamed BM25 index: every url's rows
+    from its LATEST batch only (a re-crawl fully replaces the url's
+    old posting rows — document lengths change, so partial merges
+    would corrupt dl). Ids+batch only through the resolve join; feed
+    the result to bm25_topk(..., index=) to answer queries."""
+    hist = spark.read.parquet(f"{state_dir}/index")
+    latest = hist.groupBy("doc_id").agg(F.max("batch").alias("batch"))
+    return hist.join(latest, ["doc_id", "batch"]).select(
+        "term", "doc_id", "tf", "dl"
+    )

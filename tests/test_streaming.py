@@ -704,3 +704,99 @@ def test_stream_quality_serving_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_bm25_index_equals_batch(spark, tmp_path):
+    """Incremental BM25 index: after 3 micro-batches (one url
+    re-crawled with different content in the last batch), the
+    snapshot's posting rows equal a batch bm25_index over the
+    latest-version-wins union, and serving a query from the streamed
+    snapshot equals serving it from the batch index."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.operators.search import bm25_index, bm25_topk
+    from ocr_poc_spark.streaming.stream_job import (
+        bm25_index_snapshot, start_bm25_index_stream,
+    )
+
+    rows = gen_pages(30, seed=5)
+    pages_all = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytes(r["html"]), r["text"], r["lang"])
+         for r in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    ok_urls = {
+        r["url"]
+        for r in extract_fused(pages_all)
+        .where(F.col("success") & F.col("body_text").isNotNull())
+        .select("url").collect()
+    }
+    first = next(i for i in range(10) if rows[i]["url"] in ok_urls)
+    last = next(i for i in range(29, 19, -1) if rows[i]["url"] in ok_urls)
+    # re-crawl: batch 2 fetches batch 0's url with DIFFERENT html
+    rows[last]["url"] = rows[first]["url"]
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for b in range(3):
+        chunk = rows[b * 10 : (b + 1) * 10]
+        path = f"{in_dir}/part-{b}.parquet"
+        pq.write_table(
+            pa.table({
+                "url": pa.array([r["url"] for r in chunk], pa.string()),
+                "warc_ts": pa.array([r["warc_ts"] for r in chunk],
+                                    pa.timestamp("us", tz="UTC")),
+                "html": pa.array([r["html"] for r in chunk], pa.binary()),
+                "text": pa.array([r["text"] for r in chunk], pa.string()),
+                "lang": pa.array([r["lang"] for r in chunk], pa.string()),
+            }),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    state = str(tmp_path / "state")
+    q = start_bm25_index_stream(
+        spark, in_dir, str(tmp_path / "ck"), state, max_files=1
+    )
+    q.awaitTermination(240)
+
+    snap = bm25_index_snapshot(spark, state)
+
+    # batch mirror: latest version wins -> drop the superseded page row
+    latest_rows = [r for i, r in enumerate(rows) if i != first]
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytes(r["html"]), r["text"], r["lang"])
+         for r in latest_rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    docs = extract_fused(pages).where(
+        F.col("success") & F.col("body_text").isNotNull()
+    ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+    docs = docs.groupBy("doc_id").agg(
+        F.expr("min_by(text, md5(text))").alias("text")
+    )
+    want_index = bm25_index(docs)
+
+    got = sorted(tuple(r) for r in snap.collect())
+    want = sorted(tuple(r) for r in want_index.collect())
+    assert got == want and len(got) > 0
+    # the re-crawled url's postings are the batch-2 version
+    recrawl_url = rows[first]["url"]
+    assert sorted(
+        tuple(r) for r in snap.where(F.col("doc_id") == recrawl_url).collect()
+    ) == sorted(
+        tuple(r)
+        for r in want_index.where(F.col("doc_id") == recrawl_url).collect()
+    )
+
+    # serving parity from the two indexes
+    term = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t")) \
+        .where("t <> ''").groupBy("t").count() \
+        .orderBy(F.desc("count"), "t").first()["t"]
+    a = bm25_topk(docs, term, index=snap, top_n=5).collect()
+    b = bm25_topk(docs, term, index=want_index, top_n=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
