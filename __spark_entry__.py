@@ -1344,6 +1344,26 @@ def q_crawl_frontier(spark, sf_dir):
     return crawl_frontier(urls, priority=pr, per_host=2)
 
 
+def q_ann_quantized(spark, sf_dir):
+    """ANN over int8-quantized embeddings (similarity.
+    quantize_embeddings): floor-quantized integer cells are
+    bit-identical cross-engine (one IEEE mul + div + floor per cell),
+    cosine is scale-invariant so retrieval runs directly on the
+    quantized vectors, and integer dots make every cosine exact —
+    the 4x-memory ANN serving path with a complete SQL oracle."""
+    from ocr_poc_spark.operators.similarity import (
+        cosine_topk, quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings(emb).select(
+        "vec_id", F.col("qvec").alias("embedding")
+    )
+    return cosine_topk(qd, query_ids=[0, 1, 2, 3, 4], k=3).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_cluster_profile(spark, sf_dir):
     """Corpus cartography: assign every document to its nearest shared
     centroid (similarity.assign_clusters — map-side broadcast argmin
@@ -1835,7 +1855,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_urls": q_normalize_urls,
         "chunk_documents": q_chunk_documents,
         "pack_subword": q_pack_subword,
-        "vocab_topk": q_vocab_topk,
         "bpe_merges": q_bpe_merges,
         "chunk_bpe": q_chunk_bpe,
         "bm25_search": q_bm25_search,
@@ -1852,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "crawl_churn": q_crawl_churn,
         "crawl_frontier": q_crawl_frontier,
+        "ann_quantized": q_ann_quantized,
         "cluster_profile": q_cluster_profile,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup_bcast": q_semantic_dedup_bcast,
@@ -1870,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline_splits": q_corpus_pipeline_splits,
         "chunk_subword": q_chunk_subword,
         "pack_sequences": q_pack_sequences,
+        "vocab_topk": q_vocab_topk,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3543,6 +3564,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, host, priority, CAST(slot AS INTEGER) AS slot,
                    CAST((slot - 1) // 2 AS INTEGER) AS wave
             FROM s
+        """,
+        "ann_quantized": """
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                          FROM embeddings),
+            qz AS (
+              SELECT vec_id,
+                     CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                          THEN list_transform(v, x -> CAST(floor(
+                                 x * 127.0
+                                 / list_max(list_transform(v, y -> abs(y))))
+                               AS BIGINT))
+                          ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+                     END AS q
+              FROM base),
+            pairs AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     list_dot_product(a.q, b.q)
+                       / NULLIF(sqrt(list_dot_product(a.q, a.q))
+                                * sqrt(list_dot_product(b.q, b.q)), 0) AS cosine
+              FROM qz a CROSS JOIN qz b
+              WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   ROUND(cosine, 6) AS cosine FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM pairs WHERE cosine IS NOT NULL)
+            WHERE rank <= 3
         """,
         # Cluster profile: same integer-exact assignment CTE as
         # semantic_dedup, then per-cluster doc counts and a (count

@@ -976,3 +976,49 @@ def bitext_mine(
         )
         out = out.unionByName(guard)
     return out
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization of an embedding column
+    — the 100 TB ANN memory lever: an int8 cell is 4x smaller than
+    float32 (16x smaller than the doubles Spark computes in), and
+    cosine is SCALE-INVARIANT, so retrieval runs directly on the
+    quantized vectors (integer dots, exact in doubles) with no
+    dequantization — feed the output straight to cosine_topk /
+    lsh_ann_topk. ``scale`` (the per-vector max-abs) rides along for
+    consumers that need value reconstruction (x ~ q * scale / levels).
+
+    Determinism / oracle exactness: cell = floor(v * levels / scale) —
+    floor, not round, the suite's standard dodge of cross-engine
+    half-tie modes (temperature_sample precedent); each step is one
+    correctly-rounded IEEE op on doubles, so the quantized INTEGERS are
+    bit-identical cross-engine and every downstream dot/cosine is
+    exact. The floor makes the grid asymmetric by at most one level
+    (e.g. -127..127 but v=+scale hits 127 while -scale hits -127 via
+    floor(-127.0)): an off-by-half-ULP quantizer bias is irrelevant to
+    retrieval and a fair price for bit-exactness.
+
+    Zero vectors: scale 0, all-zero cells (no defined direction; every
+    cosine consumer NULLs them out downstream). Map-only, zero shuffle.
+    """
+    if not 2 <= bits <= 16:
+        raise ValueError(f"quantize_embeddings: bits must be in [2, 16], got {bits}")
+    levels = (1 << (bits - 1)) - 1
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    cell = F.transform(
+        v,
+        lambda x: F.when(amax > 0, F.floor(x * F.lit(float(levels)) / amax))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        cell.alias("qvec"),
+        amax.alias("scale"),
+    )

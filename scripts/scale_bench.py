@@ -244,6 +244,16 @@ def main() -> None:
 
     qs["bitext_ann"] = q_bitext_ann
 
+    # decontaminate_spans shares span_dedup's rebuild tail (LEFT join
+    # with a unique-per-key right side) — same phantom-elimination
+    # hazard under .count(); force evaluation the same way.
+    base_dspan = qs["decontaminate_spans"]
+
+    def q_decon_spans_full(spark, sf_dir):
+        return base_dspan(spark, sf_dir).where("n_removed >= 0")
+
+    qs["decontaminate_spans"] = q_decon_spans_full
+
     qs["ann_lsh_p12"] = q_ann_lsh_p12
     qs["dedup_simhash_h3"] = q_dedup_simhash_h3
     qs["ann_ivf_sqrtk"] = q_ann_ivf_sqrtk
@@ -276,6 +286,10 @@ def main() -> None:
         "temperature_sample",
         "quality_classifier",
         "bitext_ann",
+        # round 5, session 3: surgical decon + hybrid serving + frontier
+        "decontaminate_spans",
+        "hybrid_search",
+        "crawl_frontier",
     ]
 
     spark = get_spark(

@@ -1632,3 +1632,59 @@ def test_hybrid_topk_rrf_fusion(spark):
     # partition independence + top_n cap
     again = hybrid_topk(d.repartition(7), "spark join", pool=10, top_n=2).collect()
     assert [r["doc_id"] for r in again] == [r["doc_id"] for r in out[:2]]
+
+
+def test_quantize_embeddings_scale_invariant_retrieval(spark):
+    """int8 quantization: cells are floor(v*127/maxabs) ints in
+    [-127, 127], zero vectors quantize to zero cells with scale 0,
+    and because cosine is scale-invariant, top-k retrieval over the
+    quantized vectors closely tracks the exact float ranking."""
+    import math
+
+    import pytest
+
+    from ocr_poc_spark.operators.similarity import (
+        cosine_topk, quantize_embeddings,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),    # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 0
+        (3, [-0.5, 0.25, 0.125, -1.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),    # zero vector
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = {r["vec_id"]: r for r in quantize_embeddings(d).collect()}
+    assert q[0]["qvec"] == [127, 0, 0, 0] and q[0]["scale"] == 1.0
+    # floor asymmetry: -0.5*127/1.0 = -63.5 -> -64; +0.25*127 -> 31
+    assert q[3]["qvec"] == [-64, 31, 15, -127] and q[3]["scale"] == 1.0
+    assert q[4]["qvec"] == [0, 0, 0, 0] and q[4]["scale"] == 0.0
+    assert all(
+        -127 <= c <= 127 for r in q.values() for c in r["qvec"]
+    )
+
+    # retrieval parity: quantized neighbor order == exact order here,
+    # and the quantized cosine is within quantization error of exact
+    exact = {
+        (r["query_id"], r["rank"]): r
+        for r in cosine_topk(d, query_ids=[0], k=3).collect()
+    }
+    qd = quantize_embeddings(d).select(
+        "vec_id", F.col("qvec").alias("embedding")
+    )
+    quant = {
+        (r["query_id"], r["rank"]): r
+        for r in cosine_topk(qd, query_ids=[0], k=3).collect()
+    }
+    assert [exact[k]["neighbor_id"] for k in sorted(exact)] == \
+           [quant[k]["neighbor_id"] for k in sorted(quant)]
+    for k in exact:
+        assert math.isclose(
+            exact[k]["cosine"], quant[k]["cosine"], abs_tol=0.02
+        )
+    # zero vector is nobody's neighbor (cosine NULL contract)
+    assert all(r["neighbor_id"] != 4 for r in exact.values())
+
+    with pytest.raises(ValueError, match="bits"):
+        quantize_embeddings(d, bits=1)
