@@ -1364,6 +1364,29 @@ def q_ann_quantized(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality audit (similarity.ann_recall): recall@2 of the
+    broadcast-centroid IVF path against exact cosine ground truth for
+    a 10-query sample, both legs over the integer hashing-trick
+    embeddings — so BOTH the exact leg, the whole approximate leg
+    (assignment, probes, re-rank), and the recall arithmetic are
+    bit-exactly recomputable in SQL."""
+    from ocr_poc_spark.operators.similarity import (
+        ann_recall, cosine_topk, ivf_ann_topk,
+    )
+    from ocr_poc_spark.operators.textstats import hash_embedding
+
+    qids = list(range(10))
+    emb = hash_embedding(
+        _t(spark, sf_dir, "documents", spread=True), dim=16
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    exact = cosine_topk(emb, query_ids=qids, k=2)
+    approx = ivf_ann_topk(
+        emb, k=2, dim=16, n_probe=3, centroids=_ivf_bcast_centroids()
+    ).where(F.col("query_id").isin(qids))
+    return ann_recall(exact, approx)
+
+
 def q_cluster_profile(spark, sf_dir):
     """Corpus cartography: assign every document to its nearest shared
     centroid (similarity.assign_clusters — map-side broadcast argmin
@@ -1869,9 +1892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "corpus_split": q_corpus_split,
         "crawl_diff": q_crawl_diff,
-        "crawl_churn": q_crawl_churn,
         "crawl_frontier": q_crawl_frontier,
         "ann_quantized": q_ann_quantized,
+        "ann_recall": q_ann_recall,
         "cluster_profile": q_cluster_profile,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup_bcast": q_semantic_dedup_bcast,
@@ -1891,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_subword": q_chunk_subword,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
+        "crawl_churn": q_crawl_churn,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3592,6 +3616,85 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs WHERE cosine IS NOT NULL)
             WHERE rank <= 3
         """,
+        "ann_recall": f"""
+            WITH {_EMBED_VEC_SQL},
+            cent(ci, cv) AS (VALUES {{cent_rows}}),
+            exact_pairs AS (
+              SELECT q.doc_id AS qid, c.doc_id AS nid,
+                     list_sum(list_transform(range(1, 17), i -> q.v[i] * c.v[i]))
+                       / NULLIF(
+                           sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i])))
+                           * sqrt(list_sum(list_transform(range(1, 17), i -> c.v[i] * c.v[i]))),
+                           0) AS cos_raw
+              FROM vec q CROSS JOIN vec c
+              WHERE q.doc_id < 10 AND q.doc_id <> c.doc_id),
+            exact_top AS (
+              SELECT qid, nid FROM (
+                SELECT qid, nid,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cos_raw DESC, nid ASC) AS rnk
+                FROM exact_pairs WHERE cos_raw IS NOT NULL)
+              WHERE rnk <= 2),
+            assign AS (
+              SELECT doc_id, ci FROM (
+                SELECT v.doc_id, t.ci,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY v.doc_id
+                         ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> (v.v[i] - t.cv[i]) * (v.v[i] - t.cv[i]))),
+                           t.ci) AS rn
+                FROM vec v CROSS JOIN cent t)
+              WHERE rn = 1),
+            probes AS (
+              SELECT doc_id, ci FROM (
+                SELECT v.doc_id, t.ci,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY v.doc_id
+                         ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> (v.v[i] - t.cv[i]) * (v.v[i] - t.cv[i]))),
+                           t.ci) AS rn
+                FROM vec v CROSS JOIN cent t)
+              WHERE rn <= 3),
+            cand AS (
+              SELECT p.doc_id AS qid, a.doc_id AS nid
+              FROM probes p JOIN assign a ON p.ci = a.ci
+              WHERE p.doc_id != a.doc_id),
+            scored AS (
+              SELECT c.qid, c.nid,
+                     list_sum(list_transform(range(1, 17), i -> q.v[i] * n.v[i]))
+                       / NULLIF(
+                           sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i])))
+                           * sqrt(list_sum(list_transform(range(1, 17), i -> n.v[i] * n.v[i]))),
+                           0) AS cos_raw
+              FROM cand c JOIN vec q ON q.doc_id = c.qid
+                JOIN vec n ON n.doc_id = c.nid),
+            approx_top AS (
+              SELECT DISTINCT qid, nid FROM (
+                SELECT qid, nid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY qid ORDER BY cos_raw DESC, nid ASC) AS rnk
+                FROM scored WHERE cos_raw IS NOT NULL)
+              WHERE rnk <= 2 AND qid < 10),
+            per AS (
+              SELECT e.qid,
+                     COUNT(*) AS n_exact,
+                     SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+              FROM exact_top e
+              LEFT JOIN approx_top a ON a.qid = e.qid AND a.nid = e.nid
+              GROUP BY e.qid)
+            SELECT qid AS query_id,
+                   CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   ROUND(n_hit / n_exact, 6) AS recall
+            FROM per
+        """.format(
+            cent_rows=", ".join(
+                "({}, [{}])".format(
+                    i, ", ".join(f"{x:.1f}" for x in c)
+                )
+                for i, c in enumerate(_ivf_bcast_centroids())
+            )
+        ),
         # Cluster profile: same integer-exact assignment CTE as
         # semantic_dedup, then per-cluster doc counts and a (count
         # desc, term) row_number top-3 over exploded words.

@@ -1022,3 +1022,40 @@ def quantize_embeddings(
         cell.alias("qvec"),
         amax.alias("scale"),
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """ANN quality audit: per-query recall of an approximate top-k
+    result against exact ground truth — the "measure, don't guess"
+    operator a pipeline runs whenever it tunes an ANN knob (LSH plane
+    count, IVF n_probe/k, quantization bits). Both inputs are
+    (query_id, neighbor_id, ...) frames — compose any exact leg
+    (cosine_topk on a query sample) with any approximate leg
+    (lsh_ann_topk / ivf_ann_topk / quantized retrieval).
+
+    recall(q) = |approx(q) ∩ exact(q)| / |exact(q)| over the queries
+    present in the EXACT frame (ground truth defines the denominator;
+    a query the ANN missed entirely scores 0, extra ANN queries are
+    ignored). Returns (query_id, n_exact, n_hit, recall round 6).
+
+    Scale shape: ids-only — one LEFT SEMI on (query_id, neighbor_id),
+    two per-query count aggregates, one broadcast-size join back
+    (#queries rows). Ground truth at 100 TB is computed on a SAMPLE of
+    queries (cosine_topk's broadcast contract enforces that), so every
+    frame here is sample-sized."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id").distinct()
+    hits = e.join(a, ["query_id", "neighbor_id"], "left_semi")
+    n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

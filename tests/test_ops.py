@@ -1688,3 +1688,24 @@ def test_quantize_embeddings_scale_invariant_retrieval(spark):
 
     with pytest.raises(ValueError, match="bits"):
         quantize_embeddings(d, bits=1)
+
+
+def test_ann_recall_audit(spark):
+    """Recall audit: exact ground truth defines the denominator, a
+    query the ANN missed scores 0, extra ANN-only queries are ignored,
+    duplicate ANN rows don't double-count."""
+    from ocr_poc_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21), (2, 21), (9, 90)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r["query_id"]: r for r in ann_recall(exact, approx).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_exact"], out[1]["n_hit"], out[1]["recall"]) == (2, 1, 0.5)
+    assert (out[2]["n_exact"], out[2]["n_hit"], out[2]["recall"]) == (2, 2, 1.0)
+    assert (out[3]["n_exact"], out[3]["n_hit"], out[3]["recall"]) == (1, 0, 0.0)
