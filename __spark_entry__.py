@@ -1387,6 +1387,16 @@ def q_ann_recall(spark, sf_dir):
     return ann_recall(exact, approx)
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality split (textstats.ccnet_buckets):
+    per-language ppl-rank terciles — integer rank cuts (n div 3), no
+    interpolated thresholds, so bucket labels are bit-exact
+    cross-engine on top of the round-4 ppl margin."""
+    from ocr_poc_spark.operators.textstats import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents", spread=True))
+
+
 def q_cluster_profile(spark, sf_dir):
     """Corpus cartography: assign every document to its nearest shared
     centroid (similarity.assign_clusters — map-side broadcast argmin
@@ -1876,7 +1886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 2: promoted (no driver row before r5) + new in r5 --
         "extract_pipeline": q_extract_pipeline,
         "normalize_urls": q_normalize_urls,
-        "chunk_documents": q_chunk_documents,
         "pack_subword": q_pack_subword,
         "bpe_merges": q_bpe_merges,
         "chunk_bpe": q_chunk_bpe,
@@ -1900,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_bcast": q_semantic_dedup_bcast,
         "asof_join": q_asof_join,
         "corpus_quantiles": q_corpus_quantiles,
+        "ccnet_buckets": q_ccnet_buckets,
         "span_dedup": q_span_dedup,
         "temperature_sample": q_temperature_sample,
         "shuffle_shards": q_shuffle_shards,
@@ -1915,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
         "crawl_churn": q_crawl_churn,
+        "chunk_documents": q_chunk_documents,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -1975,6 +1986,37 @@ _EMBED_VEC_SQL = f"""{_EMBED_CELLS_SQL},
             vec AS (
               SELECT doc_id, list(val ORDER BY pos) AS v
               FROM full_cells GROUP BY doc_id)"""
+# Shared add-0.5 bigram-LM replay (see textstats.bigram_lm_scores):
+# ends with lmppl(doc_id, n_bigrams, n_seen, cross_entropy, ppl).
+# Counts are exact integers; log2/pow ride the 4-decimal margin.
+_LM_PPL_SQL = f"""lmws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            lmbg AS (
+              SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+              FROM lmws, unnest(range(1, len(w))) AS u(i)
+              WHERE len(w) >= 2),
+            lmbigc AS (SELECT w1, w2, COUNT(*) AS c_big FROM lmbg GROUP BY w1, w2),
+            lmprec AS (SELECT w1, COUNT(*) AS c_pre FROM lmbg GROUP BY w1),
+            lmvoc AS (SELECT COUNT(DISTINCT t) AS v
+                      FROM (SELECT unnest(w) AS t FROM lmws) WHERE t <> ''),
+            lmscored AS (
+              SELECT b.doc_id,
+                     c.c_big,
+                     -log2((COALESCE(c.c_big, 0) + 0.5)
+                           / (COALESCE(p.c_pre, 0) + 0.5 * (lmvoc.v + 1))) AS nll
+              FROM lmbg b
+              LEFT JOIN lmbigc c ON b.w1 = c.w1 AND b.w2 = c.w2
+              LEFT JOIN lmprec p ON b.w1 = p.w1
+              CROSS JOIN lmvoc),
+            lmppl AS (
+              SELECT doc_id,
+                     COUNT(*)::BIGINT AS n_bigrams,
+                     CAST(SUM(CASE WHEN c_big IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_seen,
+                     ROUND(SUM(nll) / COUNT(*), 4) AS cross_entropy,
+                     ROUND(pow(2.0, SUM(nll) / COUNT(*)), 4) AS ppl
+              FROM lmscored GROUP BY doc_id)"""
+
+
 def _subword_chunks_sql() -> str:
     """Recursive-CTE replay of the greedy subword tokenizer over 32/32
     word windows: ends with swch(doc_id, chunk_idx, chunk_text,
@@ -3279,31 +3321,27 @@ def oracle_sql() -> dict[str, str]:
         # entropy rides the 4-decimal rounding margin (libm ulp noise
         # ~1e-13 per ~100-term sum — same pattern as kmeans rounding).
         "lm_perplexity": f"""
-            WITH ws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
-            bg AS (
-              SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-              FROM ws, unnest(range(1, len(w))) AS u(i)
-              WHERE len(w) >= 2),
-            bigc AS (SELECT w1, w2, COUNT(*) AS c_big FROM bg GROUP BY w1, w2),
-            prec AS (SELECT w1, COUNT(*) AS c_pre FROM bg GROUP BY w1),
-            voc AS (SELECT COUNT(DISTINCT t) AS v
-                    FROM (SELECT unnest(w) AS t FROM ws) WHERE t <> ''),
-            scored AS (
-              SELECT b.doc_id,
-                     c.c_big,
-                     -log2((COALESCE(c.c_big, 0) + 0.5)
-                           / (COALESCE(p.c_pre, 0) + 0.5 * (voc.v + 1))) AS nll
-              FROM bg b
-              LEFT JOIN bigc c ON b.w1 = c.w1 AND b.w2 = c.w2
-              LEFT JOIN prec p ON b.w1 = p.w1
-              CROSS JOIN voc)
-            SELECT doc_id,
-                   COUNT(*)::BIGINT AS n_bigrams,
-                   CAST(SUM(CASE WHEN c_big IS NOT NULL THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_seen,
-                   ROUND(SUM(nll) / COUNT(*), 4) AS cross_entropy,
-                   ROUND(pow(2.0, SUM(nll) / COUNT(*)), 4) AS ppl
-            FROM scored GROUP BY doc_id
+            WITH {_LM_PPL_SQL}
+            SELECT doc_id, n_bigrams, n_seen, cross_entropy, ppl
+            FROM lmppl
+        """,
+        "ccnet_buckets": f"""
+            WITH {_LM_PPL_SQL},
+            j AS (
+              SELECT l.doc_id, d.lang, l.ppl
+              FROM lmppl l JOIN documents d USING (doc_id)),
+            sz AS (SELECT lang, COUNT(*) AS n FROM j GROUP BY lang),
+            r AS (
+              SELECT j.doc_id, j.lang, j.ppl, sz.n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY j.lang
+                       ORDER BY j.ppl ASC, j.doc_id ASC) AS rk
+              FROM j JOIN sz ON j.lang IS NOT DISTINCT FROM sz.lang)
+            SELECT doc_id, lang, ppl,
+                   CASE WHEN rk <= n // 3 THEN 'head'
+                        WHEN rk <= (2 * n) // 3 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM r
         """,
         # Same recursive greedy replay as chunk_subword, but the vocab
         # is the LEARNED merge list read from the bpe golden (ordering

@@ -143,6 +143,12 @@ def main(argv: list[str] | None = None) -> int:
              "for --span-dedup",
     )
     ap.add_argument(
+        "--ccnet", action="store_true",
+        help="after extraction, write CCNet head/middle/tail quality "
+             "buckets (per-language perplexity-rank terciles); --pack "
+             "then drops the tail bucket",
+    )
+    ap.add_argument(
         "--frontier", type=int, metavar="PER_HOST", default=None,
         help="after extraction, write a politeness-aware recrawl "
              "frontier (<= PER_HOST fetches per host per wave); "
@@ -429,6 +435,10 @@ def main(argv: list[str] | None = None) -> int:
         summary.update(
             run_span_dedup(spark, args.out, span_tokens=args.span_tokens)
         )
+    if args.ccnet:
+        from .plans.job import run_ccnet
+
+        summary.update(run_ccnet(spark, args.out))
     if args.frontier is not None:
         from .plans.job import run_frontier
 

@@ -553,3 +553,62 @@ def clean_text(
         n_ctrl.cast("long").alias("n_ctrl"),
         n_zw.cast("long").alias("n_zw"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strat_col: str = "lang",
+    lm_df: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet's signature head/middle/tail split (Wenzek et al. 2020):
+    per language, rank documents by LM perplexity and cut the corpus
+    into terciles — head (most fluent third) feeds high-quality
+    training mixes, middle is kept, tail is dropped or downsampled.
+
+    Buckets are RANK-based (per-stratum thirds by position), not
+    value-threshold-based: cut1 = n div 3, cut2 = (2n) div 3 on the
+    (ppl asc, id asc) rank — pure integer arithmetic, bit-exact
+    cross-engine, where an interpolated percentile threshold would put
+    boundary documents one libm ulp from flipping buckets. The
+    t-digest value-threshold variant for streaming/approximate use is
+    corpus_quantiles composed with a filter. Tiny strata drain toward
+    tail (n=1 => cut1=0: the single doc is 'tail') — deterministic,
+    documented, and irrelevant at corpus scale.
+
+    ``lm_df``: optional precomputed (id, ppl) frame (e.g. a persisted
+    bigram_lm_scores output); default scores ``df`` against itself.
+    Documents without an LM row (under 2 tokens) are excluded, matching
+    bigram_lm_scores' contract. NULL strata form their own stratum
+    (null-safe join — the window/equi-join NULL divergence bites
+    otherwise). Returns (id, stratum, ppl, bucket).
+
+    Plan shape: one per-stratum count aggregate (broadcast back — one
+    row per language), one partitioned rank window; ppl rows are
+    (id, double) — the LM pass itself is bigram_lm_scores' shape."""
+    from pyspark.sql import Window
+
+    scores = (
+        bigram_lm_scores(df, id_col=id_col, text_col=text_col)
+        if lm_df is None
+        else lm_df
+    ).select(F.col(id_col).alias("_id"), "ppl")
+    base = df.select(F.col(id_col).alias("_id"), F.col(strat_col).alias("_s"))
+    j = scores.join(base, "_id")
+    sizes = j.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = j.join(
+        F.broadcast(sizes.select(F.col("_s").alias("_s2"), "_n")),
+        F.col("_s").eqNullSafe(F.col("_s2")),
+    )
+    w = Window.partitionBy("_s").orderBy(F.asc("ppl"), F.asc("_id"))
+    rk = F.row_number().over(w)
+    return ranked.select(
+        F.col("_id").alias(id_col),
+        F.col("_s").alias(strat_col),
+        "ppl",
+        F.when(rk <= F.expr("_n div 3"), F.lit("head"))
+        .when(rk <= F.expr("(2 * _n) div 3"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

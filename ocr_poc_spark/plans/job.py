@@ -819,6 +819,35 @@ def run_frontier(
     }
 
 
+def run_ccnet(spark: SparkSession, out_dir: str) -> dict:
+    """CCNet quality-bucket stage: per-language ppl-rank terciles over
+    the extracted docs (textstats.ccnet_buckets, stratified by the
+    verified lang_guess) -> <out>/ccnet_buckets parquet (doc_id, lang,
+    ppl, bucket). A following --pack drops the tail bucket (CCNet's
+    rule: head+middle train, tail is cut). Docs without an LM row
+    (< 2 tokens) get no bucket row and are NOT dropped by pack — only
+    an explicit 'tail' label cuts a doc. Overwrite-idempotent."""
+    from ..operators.textstats import ccnet_buckets
+
+    docs = _curation_docs(spark, out_dir)
+    out = ccnet_buckets(docs, strat_col="lang_guess")
+    cb_dir = os.path.join(out_dir, "ccnet_buckets")
+    out.write.mode("overwrite").parquet(cb_dir)
+    res = spark.read.parquet(cb_dir)
+    counts = {
+        r["bucket"]: r["n"]
+        for r in res.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    return {
+        "ccnet_dir": cb_dir,
+        "ccnet_head": int(counts.get("head", 0)),
+        "ccnet_middle": int(counts.get("middle", 0)),
+        "ccnet_tail": int(counts.get("tail", 0)),
+    }
+
+
 def _packable_docs(spark: SparkSession, out_dir: str):
     """The doc set the training-data stages feed on: _curation_docs
     composed with every sibling keep-list that ran before — span-
@@ -877,6 +906,16 @@ def _packable_docs(spark: SparkSession, out_dir: str):
         )
         docs = docs.join(chosen, "doc_id", "left_semi")
         filters.append("dsir_selection")
+    cb_dir = os.path.join(out_dir, "ccnet_buckets")
+    if os.path.isdir(cb_dir):
+        # --ccnet ran: CCNet's rule — head+middle train, tail is cut.
+        # LEFT ANTI on the explicit 'tail' labels only, so bucket-less
+        # docs (< 2 tokens, no LM row) are NOT silently dropped.
+        tail = spark.read.parquet(cb_dir).where(
+            F.col("bucket") == "tail"
+        ).select("doc_id")
+        docs = docs.join(tail, "doc_id", "left_anti")
+        filters.append("ccnet_tail_drop")
     q_dir = os.path.join(out_dir, "quality")
     if os.path.isdir(q_dir):
         good = spark.read.parquet(q_dir).where("keep").select(

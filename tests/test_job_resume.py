@@ -729,3 +729,32 @@ def test_run_frontier_stage_uses_churn_priority(spark, tmp_path, pages_df):
     got = {r["host"]: r["priority"] for r in fr2.select("host", "priority").distinct().collect()}
     assert got[churn_host] == 0.75
     assert all(v == 0.0 for h, v in got.items() if h != churn_host)
+
+
+def test_run_ccnet_stage_pack_drops_tail(spark, tmp_path, pages_df):
+    """--ccnet: per-language ppl terciles persisted; --pack drops
+    exactly the tail bucket (head+middle survive)."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_ccnet, run_job, run_pack
+
+    out = str(tmp_path / "ccnet")
+    run_job(spark, pages_df.limit(40), out, mode="fused", n_buckets=2)
+    res = run_ccnet(spark, out)
+    total = res["ccnet_head"] + res["ccnet_middle"] + res["ccnet_tail"]
+    assert total > 0 and res["ccnet_tail"] > 0
+    cb = spark.read.parquet(res["ccnet_dir"])
+    tail_ids = {r["doc_id"] for r in cb.where("bucket = 'tail'").collect()}
+
+    packed = run_pack(spark, out, seq_len=64, chunk_tokens=32, chunk_stride=32)
+    assert "ccnet_tail_drop" in packed["packed_filters"]
+    packed_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(packed["packed_dir"])
+        .select("doc_id").distinct().collect()
+    }
+    assert packed_ids and not (packed_ids & tail_ids)
+    head_mid = {r["doc_id"] for r in cb.where("bucket <> 'tail'").collect()}
+    # every packed doc is head/middle or bucket-less (< 2 tokens)
+    cb_ids = {r["doc_id"] for r in cb.collect()}
+    assert packed_ids <= (head_mid | (packed_ids - cb_ids))

@@ -1709,3 +1709,37 @@ def test_ann_recall_audit(spark):
     assert (out[1]["n_exact"], out[1]["n_hit"], out[1]["recall"]) == (2, 1, 0.5)
     assert (out[2]["n_exact"], out[2]["n_hit"], out[2]["recall"]) == (2, 2, 1.0)
     assert (out[3]["n_exact"], out[3]["n_hit"], out[3]["recall"]) == (1, 0, 0.0)
+
+
+def test_ccnet_buckets_rank_terciles(spark):
+    """Head/middle/tail: per-stratum thirds by ppl rank — fluent docs
+    land head, gibberish lands tail; tiny strata drain to tail; NULL
+    lang is its own stratum; under-2-token docs are excluded."""
+    from ocr_poc_spark.operators.textstats import ccnet_buckets
+
+    fluent = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    # 6 fluent English docs (repeating shared bigrams -> low ppl) and
+    # 3 gibberish ones (unique bigrams -> high ppl)
+    for i in range(6):
+        rows.append((i, "en", fluent))
+    for i in range(6, 9):
+        rows.append((i, "en", f"zzq{i} wfjx{i} qqv{i} xkcd{i} mmr{i}"))
+    rows.append((20, None, fluent))          # NULL stratum, n=1
+    rows.append((21, "fr", "solo"))          # 1 token: no LM row
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(d).collect()}
+    assert 21 not in out                      # no bigrams -> excluded
+    assert out[20]["bucket"] == "tail"        # n=1 stratum drains to tail
+    en = [r for r in out.values() if r["lang"] == "en"]
+    assert len(en) == 9
+    buckets = {b: [r["doc_id"] for r in en if r["bucket"] == b]
+               for b in ("head", "middle", "tail")}
+    assert len(buckets["head"]) == 3 and len(buckets["middle"]) == 3
+    assert len(buckets["tail"]) == 3
+    # every gibberish doc must rank worse than every fluent doc
+    assert set(buckets["tail"]) == {6, 7, 8}
+    # determinism under repartition
+    again = {r["doc_id"]: r["bucket"]
+             for r in ccnet_buckets(d.repartition(7)).collect()}
+    assert again == {k: v["bucket"] for k, v in out.items()}
