@@ -1397,6 +1397,18 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_t(spark, sf_dir, "documents", spread=True))
 
 
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (textstats.
+    kn_lm_scores) — the KenLM-family smoothing upgrade over
+    lm_perplexity's add-alpha: absolute discount + continuation-count
+    redistribution. Counts exact; the fixed probability expression
+    tree is parenthesised identically in the SQL oracle; log2/pow on
+    the 4-decimal margin."""
+    from ocr_poc_spark.operators.textstats import kn_lm_scores
+
+    return kn_lm_scores(_t(spark, sf_dir, "documents", spread=True))
+
+
 def q_cluster_profile(spark, sf_dir):
     """Corpus cartography: assign every document to its nearest shared
     centroid (similarity.assign_clusters — map-side broadcast argmin
@@ -1889,7 +1901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_subword": q_pack_subword,
         "bpe_merges": q_bpe_merges,
         "chunk_bpe": q_chunk_bpe,
-        "bm25_search": q_bm25_search,
         "bm25_serve": q_bm25_serve,
         "hybrid_search": q_hybrid_search,
         "anchor_texts": q_anchor_texts,
@@ -1910,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "corpus_quantiles": q_corpus_quantiles,
         "ccnet_buckets": q_ccnet_buckets,
+        "kn_perplexity": q_kn_perplexity,
         "span_dedup": q_span_dedup,
         "temperature_sample": q_temperature_sample,
         "shuffle_shards": q_shuffle_shards,
@@ -1926,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "crawl_churn": q_crawl_churn,
         "chunk_documents": q_chunk_documents,
+        "bm25_search": q_bm25_search,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3324,6 +3337,45 @@ def oracle_sql() -> dict[str, str]:
             WITH {_LM_PPL_SQL}
             SELECT doc_id, n_bigrams, n_seen, cross_entropy, ppl
             FROM lmppl
+        """,
+        "kn_perplexity": f"""
+            WITH knws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            knbg AS (
+              SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+              FROM knws, unnest(range(1, len(w))) AS u(i)
+              WHERE len(w) >= 2),
+            knbigc AS (SELECT w1, w2, COUNT(*) AS c_big FROM knbg GROUP BY w1, w2),
+            knprec AS (SELECT w1, COUNT(*) AS c_pre,
+                              COUNT(DISTINCT w2) AS n1_fwd
+                       FROM knbg GROUP BY w1),
+            knbwd AS (SELECT w2, COUNT(DISTINCT w1) AS n1_bwd
+                      FROM knbg GROUP BY w2),
+            kntot AS (SELECT COUNT(*) AS n_types
+                      FROM (SELECT DISTINCT w1, w2 FROM knbg)),
+            knvoc AS (SELECT COUNT(DISTINCT t) AS v
+                      FROM (SELECT unnest(w) AS t FROM knws) WHERE t <> ''),
+            knsc AS (
+              SELECT b.doc_id, c.c_big,
+                     -log2(CASE WHEN COALESCE(p.c_pre, 0) > 0 THEN
+                         (greatest(COALESCE(c.c_big, 0) - 0.75, 0.0) / p.c_pre)
+                         + (((0.75 * COALESCE(p.n1_fwd, 0)) / p.c_pre)
+                            * ((COALESCE(bw.n1_bwd, 0) + 0.5)
+                               / (kntot.n_types + 0.5 * (knvoc.v + 1))))
+                       ELSE (COALESCE(bw.n1_bwd, 0) + 0.5)
+                            / (kntot.n_types + 0.5 * (knvoc.v + 1))
+                       END) AS nll
+              FROM knbg b
+              LEFT JOIN knbigc c ON b.w1 = c.w1 AND b.w2 = c.w2
+              LEFT JOIN knprec p ON b.w1 = p.w1
+              LEFT JOIN knbwd bw ON b.w2 = bw.w2
+              CROSS JOIN kntot CROSS JOIN knvoc)
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_bigrams,
+                   CAST(SUM(CASE WHEN c_big IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_seen,
+                   ROUND(SUM(nll) / COUNT(*), 4) AS cross_entropy,
+                   ROUND(pow(2.0, SUM(nll) / COUNT(*)), 4) AS ppl
+            FROM knsc GROUP BY doc_id
         """,
         "ccnet_buckets": f"""
             WITH {_LM_PPL_SQL},

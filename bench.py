@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     # round-5 additions:
     "span_dedup", "semantic_dedup_bcast", "anchor_profile",
     "decontaminate_spans", "hybrid_search", "crawl_frontier",
-    "ann_quantized", "ann_recall", "ccnet_buckets",
+    "ann_quantized", "ann_recall", "ccnet_buckets", "kn_perplexity",
     "temperature_sample", "shuffle_shards", "quality_classifier",
     "robots_filter",
 ]

@@ -612,3 +612,115 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def kn_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_df: DataFrame | None = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    the smoothing family KenLM — and therefore the real CCNet filter —
+    uses), upgrading bigram_lm_scores' add-alpha baseline: mass is
+    moved by an absolute DISCOUNT and redistributed by CONTINUATION
+    counts (in how many distinct contexts a word follows), which is
+    what makes KN famously robust for frequent-but-context-bound words
+    ("francisco" is frequent yet follows only "san" — add-alpha
+    overrates it, KN does not).
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                   + (D * N1+(w1 .) / c(w1 .)) * Pc(w2)
+        Pc(w2)   = (N1+(. w2) + 0.5) / (N1+(. .) + 0.5 * (V + 1))
+
+    with D = ``discount``; an unseen context (c(w1 .) = 0, possible
+    only when ``train_df`` differs from the scored corpus) backs off to
+    Pc(w2) alone. The +0.5 smoothing on the continuation distribution
+    keeps unseen words finite — a documented deviation from textbook
+    KN (which leaves Pc unsmoothed and therefore partial), same alpha
+    discipline as bigram_lm_scores.
+
+    Float discipline: every count (c_big, c_pre, N1+ type counts, V)
+    is an exact integer; P is the fixed expression tree above (one
+    greatest, two divisions, two multiplications, one addition —
+    parenthesised identically in the SQL oracle), and the log2 sum
+    rides the 4-decimal rounding margin. Docs with < 2 tokens yield no
+    row (bigram_lm_scores' contract).
+
+    Plan shape: identical to bigram_lm_scores — corpus-wide count
+    tables on uniform token keys (partial-aggregable), one explode +
+    LEFT joins + one per-doc aggregate. The two extra KN tables
+    (forward/backward continuation counts) are (token, long) rows.
+
+    Returns (id, n_bigrams, n_seen, cross_entropy, ppl)."""
+    from ..functions.texthash import norm_words
+
+    if not 0.0 < discount < 1.0:
+        raise ValueError("kn_lm_scores: discount must be in (0, 1)")
+    train = df if train_df is None else train_df
+
+    def _bigrams(frame: DataFrame, keep_id: bool):
+        w = F.coalesce(norm_words(text_col), F.array())
+        cols = [F.col(id_col)] if keep_id else []
+        e = frame.select(*cols, w.alias("_w")).where(F.size("_w") >= 2)
+        pair = F.expr(
+            "transform(sequence(1, size(_w) - 1), "
+            "i -> struct(_w[i - 1] as w1, _w[i] as w2))"
+        )
+        return e.select(*cols, F.explode(pair).alias("_b")).select(
+            *cols, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
+        )
+
+    tb = _bigrams(train, keep_id=False)
+    big_counts = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    pre_counts = tb.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c_pre"),
+        F.countDistinct("w2").alias("n1_fwd"),
+    )
+    bwd_counts = tb.groupBy("w2").agg(F.countDistinct("w1").alias("n1_bwd"))
+    totals = tb.select("w1", "w2").distinct().agg(
+        F.count(F.lit(1)).alias("n_types")
+    )
+    v = (
+        train.select(
+            F.explode(F.coalesce(norm_words(text_col), F.array())).alias("t")
+        )
+        .where(F.col("t") != "")
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    consts = totals.crossJoin(v)
+
+    d = F.lit(float(discount))
+    scored = (
+        _bigrams(df, keep_id=True)
+        .join(big_counts, ["w1", "w2"], "left")
+        .join(pre_counts, "w1", "left")
+        .join(bwd_counts, "w2", "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    pc = (F.coalesce("n1_bwd", F.lit(0)) + F.lit(0.5)) / (
+        F.col("n_types") + F.lit(0.5) * (F.col("v") + 1)
+    )
+    cp = F.coalesce("c_pre", F.lit(0))
+    p_seen = (
+        F.greatest(F.coalesce("c_big", F.lit(0)) - d, F.lit(0.0)) / cp
+    ) + (((d * F.coalesce("n1_fwd", F.lit(0))) / cp) * pc)
+    p = F.when(cp > 0, p_seen).otherwise(pc)
+    nll = -F.log2(p)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.col("c_big").isNotNull().cast("long")).alias("n_seen"),
+            F.round(F.sum(nll) / F.count(F.lit(1)), 4).alias("cross_entropy"),
+            F.round(
+                F.pow(F.lit(2.0), F.sum(nll) / F.count(F.lit(1))), 4
+            ).alias("ppl"),
+        )
+        .select(
+            id_col, "n_bigrams",
+            F.col("n_seen").cast("long").alias("n_seen"),
+            "cross_entropy", "ppl",
+        )
+    )

@@ -1743,3 +1743,57 @@ def test_ccnet_buckets_rank_terciles(spark):
     again = {r["doc_id"]: r["bucket"]
              for r in ccnet_buckets(d.repartition(7)).collect()}
     assert again == {k: v["bucket"] for k, v in out.items()}
+
+
+def test_kn_lm_scores_contract(spark):
+    """Kneser-Ney semantics on a hand-checkable corpus: the KN
+    probability of a seen bigram matches the closed form; the
+    francisco effect holds (a frequent word locked to one context gets
+    LOWER continuation probability than a promiscuous one); unseen
+    contexts back off to the continuation distribution; < 2-token docs
+    yield no row; bad discount raises."""
+    import math
+
+    import pytest
+
+    from ocr_poc_spark.operators.textstats import kn_lm_scores
+
+    # "san francisco" x3 locks francisco to one context; "nice" follows
+    # three different words.
+    rows = [
+        (1, "san francisco san francisco san francisco"),
+        (2, "very nice truly nice really nice"),
+        (3, "one"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in kn_lm_scores(d).collect()}
+    assert 3 not in out
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 5
+
+    # hand mirror for doc 1's "san francisco" bigram:
+    # c(san francisco)=3, c(san .)=3, N1+(san .)=1
+    # Pc(francisco) = (N1+(. francisco)+0.5)/(n_types+0.5*(V+1))
+    # corpus bigrams: (san,francisco)x3,(francisco,san)x2,(very,nice),
+    # (nice,truly),(truly,nice),(nice,really),(really,nice)
+    # n_types=7, V=7 tokens distinct: san francisco very nice truly really one
+    pc_fr = (1 + 0.5) / (7 + 0.5 * (7 + 1))
+    p_sf = (3 - 0.75) / 3 + (0.75 * 1 / 3) * pc_fr
+    # doc 1 = 5 bigrams: (s,f) x3 at p_sf, (f,s) x2
+    pc_san = (1 + 0.5) / (7 + 0.5 * 8)
+    p_fs = (2 - 0.75) / 2 + (0.75 * 1 / 2) * pc_san
+    h = -(3 * math.log2(p_sf) + 2 * math.log2(p_fs)) / 5
+    assert out[1]["cross_entropy"] == round(h, 4)
+    assert out[1]["ppl"] == round(2 ** h, 4)
+
+    # francisco effect: nice (3 contexts) has higher Pc than francisco
+    # (1 context) even though both appear 3 times -> scoring a doc of
+    # unseen-context bigrams ending in each word favors nice.
+    probe = spark.createDataFrame(
+        [(10, "one francisco"), (11, "one nice")], "doc_id long, text string"
+    )
+    scored = {r["doc_id"]: r["ppl"] for r in
+              kn_lm_scores(probe, train_df=d).collect()}
+    assert scored[11] < scored[10]
+
+    with pytest.raises(ValueError, match="discount"):
+        kn_lm_scores(d, discount=1.5)
