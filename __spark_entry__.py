@@ -1409,6 +1409,25 @@ def q_kn_perplexity(spark, sf_dir):
     return kn_lm_scores(_t(spark, sf_dir, "documents", spread=True))
 
 
+def q_bitext_url(spark, sf_dir):
+    """URL-pattern bitext candidates (similarity.bitext_url_candidates,
+    the CCAligned recipe): language-marked synthetic urls — one
+    article id per 4 documents — pair across languages on the
+    lang-stripped key. Pure string ops (plain replace, no regex), so
+    the oracle replays everything exactly."""
+    from ocr_poc_spark.operators.similarity import bitext_url_candidates
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    u = d.select(
+        "doc_id", "lang",
+        F.concat(
+            F.lit("https://site.example/"), F.col("lang"), F.lit("/art/"),
+            F.expr("doc_id div 4").cast("string"),
+        ).alias("url"),
+    )
+    return bitext_url_candidates(u)
+
+
 def q_cluster_profile(spark, sf_dir):
     """Corpus cartography: assign every document to its nearest shared
     centroid (similarity.assign_clusters — map-side broadcast argmin
@@ -1885,7 +1904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf_bcast": q_ann_ivf_bcast,
-        "text_dedup_e2e": q_text_dedup_e2e,
         "strip_boilerplate": q_strip_boilerplate,
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
@@ -1927,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "quality_classifier": q_quality_classifier,
         "bitext_mine": q_bitext_mine,
+        "bitext_url": q_bitext_url,
         "robots_filter": q_robots_filter,
         # -- tail: demoted variants (driver-green in r01-r04 or same-
         #    family siblings of in-window queries; still covered by
@@ -1939,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_churn": q_crawl_churn,
         "chunk_documents": q_chunk_documents,
         "bm25_search": q_bm25_search,
+        "text_dedup_e2e": q_text_dedup_e2e,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3337,6 +3357,22 @@ def oracle_sql() -> dict[str, str]:
             WITH {_LM_PPL_SQL}
             SELECT doc_id, n_bigrams, n_seen, cross_entropy, ppl
             FROM lmppl
+        """,
+        "bitext_url": """
+            WITH u AS (
+              SELECT doc_id, lang,
+                     'https://site.example/' || lang || '/art/'
+                       || CAST(doc_id // 4 AS VARCHAR) AS url
+              FROM documents WHERE lang IS NOT NULL),
+            k AS (
+              SELECT doc_id, lang, url,
+                     replace(url, '/' || lang || '/', '/') AS key
+              FROM u),
+            kk AS (SELECT doc_id, lang, key FROM k WHERE key <> url)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.lang AS lang_a, b.lang AS lang_b, a.key AS key
+            FROM kk a JOIN kk b ON a.key = b.key
+            WHERE a.lang < b.lang AND a.doc_id <> b.doc_id
         """,
         "kn_perplexity": f"""
             WITH knws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),

@@ -1059,3 +1059,70 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def bitext_url_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """URL-pattern bitext candidate pairs — the CCAligned recipe
+    (El-Kishky et al. 2020): multilingual sites publish translations
+    under language-marked paths (site.com/en/art/7 vs site.com/fr/
+    art/7), so stripping each document's OWN language segment from its
+    url yields a language-agnostic key; two documents sharing the key
+    with different languages are translation candidates. This is the
+    cheap high-precision candidate generator upstream of margin
+    scoring — feed the pairs to bitext_mine(candidates=) for the
+    embedding-margin verdict.
+
+    key = replace(url, '/' || lang || '/', '/') — plain substring
+    replacement (replaces every occurrence, identically in both
+    engines; no regex, no cross-engine regex-dialect risk). Only rows
+    whose url actually CONTAINED their language segment participate
+    (key <> url): an unmarked url must never pair on the unmodified
+    string with every other unmarked url. NULL lang or url rows are
+    skipped. Pairs are emitted once with lang_a < lang_b (and id_a !=
+    id_b guards the degenerate same-doc case).
+
+    Plan / 100 TB shape: map-side key derivation, one self-equi-join
+    on the uniform key string — ids + key only, no document text; a
+    host publishing N language versions of one page emits C(N, 2)
+    pairs (bounded by the language count, not corpus size)."""
+    keyed = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(url_col).alias("_url"),
+            F.col(lang_col).alias("_lang"),
+        )
+        .where(F.col("_url").isNotNull() & F.col("_lang").isNotNull())
+        .withColumn(
+            "_key",
+            F.replace(
+                F.col("_url"),
+                F.concat(F.lit("/"), F.col("_lang"), F.lit("/")),
+                F.lit("/"),
+            ),
+        )
+        .where(F.col("_key") != F.col("_url"))
+        .select("_id", "_key", "_lang")
+    )
+    a = keyed.select(
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key"),
+        F.col("_lang").alias("lang_a"),
+    )
+    b = keyed.select(
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key"),
+        F.col("_lang").alias("lang_b"),
+    )
+    return (
+        a.join(b, "key")
+        .where(
+            (F.col("lang_a") < F.col("lang_b"))
+            & (F.col("id_a") != F.col("id_b"))
+        )
+        .select("id_a", "id_b", "lang_a", "lang_b", "key")
+    )

@@ -1797,3 +1797,28 @@ def test_kn_lm_scores_contract(spark):
 
     with pytest.raises(ValueError, match="discount"):
         kn_lm_scores(d, discount=1.5)
+
+
+def test_bitext_url_candidates_ccaligned_semantics(spark):
+    """URL alignment: language-marked paths sharing the stripped key
+    pair across languages; unmarked urls never pair; NULL lang/url
+    skipped; one row per unordered pair (lang_a < lang_b)."""
+    from ocr_poc_spark.operators.similarity import bitext_url_candidates
+
+    rows = [
+        (1, "https://s.example/en/art/7", "en"),
+        (2, "https://s.example/fr/art/7", "fr"),
+        (3, "https://s.example/de/art/7", "de"),
+        (4, "https://s.example/en/art/8", "en"),   # different article
+        (5, "https://s.example/about", "en"),      # unmarked: no key
+        (6, "https://s.example/about", "fr"),      # unmarked: no pair
+        (7, None, "en"),
+        (8, "https://s.example/es/art/7", None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string, lang string")
+    out = {(r["id_a"], r["id_b"]) for r in bitext_url_candidates(d).collect()}
+    # article 7 in en/fr/de -> C(3,2) pairs, lang-ordered
+    assert out == {(3, 1), (3, 2), (1, 2)}  # de<en, de<fr, en<fr
+    rowsd = {(r["id_a"], r["id_b"]): r for r in bitext_url_candidates(d).collect()}
+    assert rowsd[(3, 1)]["lang_a"] == "de" and rowsd[(3, 1)]["lang_b"] == "en"
+    assert rowsd[(1, 2)]["key"] == "https://s.example/art/7"
