@@ -1428,6 +1428,17 @@ def q_bitext_url(spark, sf_dir):
     return bitext_url_candidates(u)
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-health audit (textstats.tokenizer_fertility): per-doc
+    subword fertility + chars/token under the committed SUBWORD_VOCAB.
+    Counts are integers from the same bounded greedy HOF fold
+    chunk_subword uses; the oracle replays it with the same
+    recursive-CTE longest-prefix machinery."""
+    from ocr_poc_spark.operators.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents", spread=True))
+
+
 def q_cluster_profile(spark, sf_dir):
     """Corpus cartography: assign every document to its nearest shared
     centroid (similarity.assign_clusters — map-side broadcast argmin
@@ -1902,7 +1913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf_bcast": q_ann_ivf_bcast,
         "strip_boilerplate": q_strip_boilerplate,
         "decontaminate": q_decontaminate,
@@ -1940,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quantiles": q_corpus_quantiles,
         "ccnet_buckets": q_ccnet_buckets,
         "kn_perplexity": q_kn_perplexity,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "span_dedup": q_span_dedup,
         "temperature_sample": q_temperature_sample,
         "shuffle_shards": q_shuffle_shards,
@@ -1959,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "bm25_search": q_bm25_search,
         "text_dedup_e2e": q_text_dedup_e2e,
+        "ann_lsh": q_ann_lsh,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -2048,6 +2060,48 @@ _LM_PPL_SQL = f"""lmws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
                      ROUND(SUM(nll) / COUNT(*), 4) AS cross_entropy,
                      ROUND(pow(2.0, SUM(nll) / COUNT(*)), 4) AS ppl
               FROM lmscored GROUP BY doc_id)"""
+
+
+def _fertility_sql() -> str:
+    """Recursive-CTE replay of tokenizer_fertility: per-word greedy
+    longest-prefix token counts (same max(len) correlated-subquery
+    trick as _subword_chunks_sql), per-doc sums, NULL-guarded ratios.
+    Vocab = the SAME committed SUBWORD_VOCAB."""
+    from ocr_poc_spark.functions.subword import SUBWORD_VOCAB
+
+    vocab_rows = ", ".join(f"('{v}')" for v in SUBWORD_VOCAB)
+    return f"""
+            WITH RECURSIVE voc(v) AS (VALUES {vocab_rows}),
+            tw AS (SELECT doc_id,
+                          COALESCE(list_filter({_WORDS_SQL},
+                                               x -> len(x) > 0), []) AS w
+                   FROM documents),
+            wrd AS (SELECT doc_id, CAST(j AS INTEGER) AS widx, w[j+1] AS word
+                    FROM tw, unnest(range(0, len(w))) AS u(j)),
+            tk(doc_id, widx, word, pos, n) AS (
+              SELECT doc_id, widx, word, 0, 0 FROM wrd
+              UNION ALL
+              SELECT doc_id, widx, word,
+                     pos + COALESCE((SELECT max(len(v)) FROM voc
+                                     WHERE substr(word, pos + 1, len(v)) = v), 1),
+                     n + 1
+              FROM tk WHERE pos < len(word)),
+            wc AS (SELECT doc_id, widx, max(n) AS c
+                   FROM tk GROUP BY doc_id, widx),
+            agg AS (SELECT doc_id, COUNT(*) AS n_words, SUM(c) AS n_subtokens
+                    FROM wc GROUP BY doc_id),
+            base AS (SELECT doc_id, len(array_to_string(w, '')) AS n_chars
+                     FROM tw)
+            SELECT b.doc_id,
+                   CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(a.n_subtokens, 0) AS BIGINT) AS n_subtokens,
+                   CASE WHEN COALESCE(a.n_words, 0) > 0
+                        THEN ROUND(a.n_subtokens / a.n_words, 6) END AS fertility,
+                   CASE WHEN COALESCE(a.n_subtokens, 0) > 0
+                        THEN ROUND(b.n_chars / a.n_subtokens, 6) END
+                     AS chars_per_token
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """
 
 
 def _subword_chunks_sql() -> str:
@@ -3374,6 +3428,7 @@ def oracle_sql() -> dict[str, str]:
             FROM kk a JOIN kk b ON a.key = b.key
             WHERE a.lang < b.lang AND a.doc_id <> b.doc_id
         """,
+        "tokenizer_fertility": _fertility_sql(),
         "kn_perplexity": f"""
             WITH knws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
             knbg AS (

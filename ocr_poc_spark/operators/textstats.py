@@ -724,3 +724,58 @@ def kn_lm_scores(
             "cross_entropy", "ppl",
         )
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: list[str] | None = None,
+) -> DataFrame:
+    """Tokenizer-health audit: per-document fertility (subword tokens
+    per whitespace word) and compression (normalised chars per subword
+    token) under a greedy longest-match vocab (default: the committed
+    SUBWORD_VOCAB; pass bpe_learn's merged symbols to audit a learned
+    vocab). Pipelines track fertility per language when sizing or
+    swapping a tokenizer — fertility creeping toward word length means
+    the vocab is missing that language and every downstream token
+    budget (chunking, packing, training cost) silently inflates.
+
+    chars counts the NORMALISED token stream (lowercased words, no
+    whitespace) so chars_per_token is a property of the tokenizer, not
+    of the document's spacing. fertility is NULL for wordless docs,
+    chars_per_token NULL when there are no tokens — never a divide
+    error (ANSI). Map-only: the greedy count is the same bounded HOF
+    fold chunk_documents(tokenizer="subword") uses, zero shuffle.
+
+    Returns (id, n_words, n_subtokens, fertility, chars_per_token)."""
+    from ..functions.subword import subword_count_words_sql
+    from ..functions.texthash import norm_words
+
+    words = F.filter(
+        F.coalesce(norm_words(text_col), F.array()),
+        lambda w: F.length(w) > 0,
+    )
+    base = df.select(F.col(id_col), words.alias("_w"))
+    n_words = F.size("_w").cast("long")
+    n_sub = F.expr(subword_count_words_sql("_w", vocab)).cast("long")
+    n_chars = F.length(F.concat_ws("", F.col("_w"))).cast("long")
+    d = base.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_sub.alias("n_subtokens"),
+        n_chars.alias("_nc"),
+    )
+    return d.select(
+        id_col,
+        "n_words",
+        "n_subtokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_subtokens") / F.col("n_words"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_subtokens") > 0,
+            F.round(F.col("_nc") / F.col("n_subtokens"), 6),
+        ).alias("chars_per_token"),
+    )

@@ -1822,3 +1822,30 @@ def test_bitext_url_candidates_ccaligned_semantics(spark):
     rowsd = {(r["id_a"], r["id_b"]): r for r in bitext_url_candidates(d).collect()}
     assert rowsd[(3, 1)]["lang_a"] == "de" and rowsd[(3, 1)]["lang_b"] == "en"
     assert rowsd[(1, 2)]["key"] == "https://s.example/art/7"
+
+
+def test_tokenizer_fertility_audit(spark):
+    """Fertility semantics under a tiny explicit vocab: full-word hits
+    give fertility 1, out-of-vocab words fall back to 1 char/token
+    (fertility == word length), wordless docs yield NULLs, and the
+    greedy longest match wins over shorter prefixes."""
+    from ocr_poc_spark.operators.textstats import tokenizer_fertility
+
+    vocab = ["ab", "abc", "c", "x"]
+    rows = [
+        (1, "abc abc"),     # longest match 'abc': 1 token each
+        (2, "abx"),         # 'ab' + 'x': 2 tokens
+        (3, "qq"),          # OOV: 2 x 1-char fallback
+        (4, "   "),         # wordless
+        (5, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tokenizer_fertility(d, vocab=vocab).collect()}
+    assert (out[1]["n_words"], out[1]["n_subtokens"]) == (2, 2)
+    assert out[1]["fertility"] == 1.0 and out[1]["chars_per_token"] == 3.0
+    assert (out[2]["n_words"], out[2]["n_subtokens"]) == (1, 2)
+    assert out[2]["fertility"] == 2.0 and out[2]["chars_per_token"] == 1.5
+    assert out[3]["fertility"] == 2.0 and out[3]["chars_per_token"] == 1.0
+    assert out[4]["n_words"] == 0 and out[4]["fertility"] is None
+    assert out[4]["chars_per_token"] is None
+    assert out[5]["fertility"] is None
