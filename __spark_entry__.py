@@ -1439,6 +1439,19 @@ def q_tokenizer_fertility(spark, sf_dir):
     return tokenizer_fertility(_t(spark, sf_dir, "documents", spread=True))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (textstats.winnow_fingerprints; the MOSS
+    algorithm): min-of-window selection over 5-shingle 60-bit hashes,
+    window 4 — the sampled span-index companion to span_dedup. The
+    oracle replays shingle hashing, windowing (incl. the single-window
+    short-doc rule), and the (hash, pos) min tie-break in SQL."""
+    from ocr_poc_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents", spread=True), k=5, window=4
+    )
+
+
 def q_cluster_profile(spark, sf_dir):
     """Corpus cartography: assign every document to its nearest shared
     centroid (similarity.assign_clusters — map-side broadcast argmin
@@ -1931,7 +1944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_bpe": q_chunk_bpe,
         "bm25_serve": q_bm25_serve,
         "hybrid_search": q_hybrid_search,
-        "anchor_texts": q_anchor_texts,
         "anchor_profile": q_anchor_profile,
         "host_graph": q_host_graph,
         "host_pagerank": q_host_pagerank,
@@ -1951,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "kn_perplexity": q_kn_perplexity,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "span_dedup": q_span_dedup,
         "temperature_sample": q_temperature_sample,
         "shuffle_shards": q_shuffle_shards,
@@ -1971,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "text_dedup_e2e": q_text_dedup_e2e,
         "ann_lsh": q_ann_lsh,
+        "anchor_texts": q_anchor_texts,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3429,6 +3443,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.lang < b.lang AND a.doc_id <> b.doc_id
         """,
         "tokenizer_fertility": _fertility_sql(),
+        "winnow_fingerprints": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     COALESCE(list_filter({_WORDS_SQL}, x -> len(x) > 0),
+                              []) AS t
+              FROM documents),
+            occ AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i+1 : i+5], ' ')), 1, 15))::BIGINT AS h
+              FROM tk, unnest(range(0, greatest(len(t) - 4, 0))) AS u(i)),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM occ GROUP BY doc_id),
+            win AS (
+              SELECT doc_id, CAST(j AS INTEGER) AS wj
+              FROM cnt, unnest(range(0, greatest(n_sh - 3, 1))) AS u(j)),
+            pick AS (
+              SELECT w.doc_id, o.pos, o.h,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY w.doc_id, w.wj
+                       ORDER BY o.h ASC, o.pos ASC) AS rn
+              FROM win w JOIN occ o
+                ON o.doc_id = w.doc_id
+               AND o.pos BETWEEN w.wj AND w.wj + 3)
+            SELECT DISTINCT doc_id, pos, h AS hash FROM pick WHERE rn = 1
+        """,
         "kn_perplexity": f"""
             WITH knws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
             knbg AS (

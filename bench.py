@@ -80,7 +80,7 @@ BENCH_QUERIES = [
     "span_dedup", "semantic_dedup_bcast", "anchor_profile",
     "decontaminate_spans", "hybrid_search", "crawl_frontier",
     "ann_quantized", "ann_recall", "ccnet_buckets", "kn_perplexity",
-    "bitext_url", "tokenizer_fertility",
+    "bitext_url", "tokenizer_fertility", "winnow_fingerprints",
     "temperature_sample", "shuffle_shards", "quality_classifier",
     "robots_filter",
 ]

@@ -779,3 +779,66 @@ def tokenizer_fertility(
             F.round(F.col("_nc") / F.col("n_subtokens"), 6),
         ).alias("chars_per_token"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm): from each sliding window of ``window``
+    consecutive k-shingle hashes, keep the minimum — a deterministic
+    ~2/(window+1)-density sample of shingles with the winnowing
+    GUARANTEE: any shared substring of at least k + window - 1 tokens
+    contributes at least one selected fingerprint in both documents.
+    This is the index-at-a-fraction-of-the-cost companion to
+    dedup_spans (which indexes EVERY shingle): build the fingerprint
+    index 1/window the size, probe it, and run the exact span pass
+    only on probe hits.
+
+    Tie-break: the minimum (hash, pos) struct — leftmost among equal
+    hashes — a deterministic simplification of the paper's
+    rightmost-on-tie rule (any consistent rule preserves the
+    guarantee; document-independent hashes make ties ~2^-60 anyway).
+    Shingle hashes are the shared 60-bit md5 construction
+    (texthash.shingle_hashes), so the whole selection replays in SQL.
+
+    Docs with fewer than ``window`` shingles (but at least one) form a
+    single window; wordless docs yield no rows. Map-only HOFs —
+    selection happens inside the document row, zero shuffle; output is
+    the exploded distinct (id, pos, hash) fingerprint set."""
+    from ..functions.texthash import norm_words
+
+    if k < 2 or window < 2:
+        raise ValueError("winnow_fingerprints: k and window must be >= 2")
+    toks = F.filter(
+        F.coalesce(norm_words(text_col), F.array()),
+        lambda w: F.length(w) > 0,
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    shingle_structs = F.expr(
+        f"CASE WHEN size(_toks) >= {k} THEN "
+        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"i -> struct("
+        f"cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 15), 16, 10) as bigint) as h, "
+        f"cast(i - 1 as int) as pos)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<h: BIGINT, pos: INT>>) END"
+    )
+    w = int(window)
+    sel = F.expr(
+        f"CASE WHEN size(_s) = 0 THEN CAST(array() AS ARRAY<STRUCT<h: BIGINT, pos: INT>>) "
+        f"ELSE array_distinct(transform(sequence(1, greatest(size(_s) - {w - 1}, 1)), "
+        f"j -> array_min(slice(_s, j, {w})))) END"
+    )
+    return (
+        base.select(id_col, shingle_structs.alias("_s"))
+        .select(id_col, F.explode(sel).alias("_f"))
+        .select(
+            id_col,
+            F.col("_f.pos").alias("pos"),
+            F.col("_f.h").alias("hash"),
+        )
+    )

@@ -1849,3 +1849,43 @@ def test_tokenizer_fertility_audit(spark):
     assert out[4]["n_words"] == 0 and out[4]["fertility"] is None
     assert out[4]["chars_per_token"] is None
     assert out[5]["fertility"] is None
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing invariants: density <= 1 fingerprint per window slot,
+    every selected hash is a real shingle hash at its position, short
+    docs collapse to one window, and the coverage GUARANTEE holds —
+    two docs sharing a >= k+window-1-token substring share at least
+    one selected fingerprint hash."""
+    from ocr_poc_spark.operators.textstats import winnow_fingerprints
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # 10 tokens >= 5+4-1
+    rows = [
+        (1, f"aa bb {shared} cc"),
+        (2, f"{shared} zz yy xx"),
+        (3, "only four little words"),   # < k shingles... 4 words, k=5 -> none
+        (4, "five little words right here"),  # exactly 1 shingle
+        (5, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(d, k=5, window=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["hash"]))
+    assert 3 not in by_doc and 5 not in by_doc
+    assert len(by_doc[4]) == 1 and next(iter(by_doc[4]))[0] == 0
+    # guarantee: docs 1 and 2 share a fingerprint HASH
+    h1 = {h for _, h in by_doc[1]}
+    h2 = {h for _, h in by_doc[2]}
+    assert h1 & h2
+    # density: n_windows = n_shingles - window + 1; selections <= that
+    n_sh_1 = 13 - 5 + 1  # 13 tokens
+    assert len(by_doc[1]) <= n_sh_1 - 4 + 1
+    # determinism under partitioning
+    again = sorted(tuple(r) for r in
+                   winnow_fingerprints(d.repartition(5), k=5, window=4).collect())
+    assert again == sorted(tuple(r) for r in out)
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints(d, k=1)
