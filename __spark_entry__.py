@@ -295,6 +295,25 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(pairs).orderBy("doc_id")
 
 
+def q_components_incremental(spark, sf_dir):
+    """Incremental CC (dedup.merge_components): labels built from the
+    even-keyed half of the MinHash pair list, then the odd-keyed half
+    merged in — must equal from-scratch CC over all pairs, which is
+    exactly what the oracle recomputes (same recursive closure as
+    dedup_components). Proves label-table maintenance for a rolling
+    crawl needs one edge per labeled doc, not the pair history."""
+    from ocr_poc_spark.operators.dedup import (
+        connected_components, merge_components, minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.5)
+    first = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 0)
+    second = pairs.where((F.col("id_a") + F.col("id_b")) % 2 != 0)
+    labels = connected_components(first)
+    return merge_components(labels, second).orderBy("doc_id")
+
+
 def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k
     # Reuses the operator directly (no inline re-implementation to
     # drift); ranking happens on the UNROUNDED cosine in both engines.
@@ -1925,12 +1944,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_incremental": q_dedup_incremental,
         "dedup_components": q_dedup_components,
+        "components_incremental": q_components_incremental,
         "dedup_simhash": q_dedup_simhash,
         "ann_ivf_bcast": q_ann_ivf_bcast,
         "strip_boilerplate": q_strip_boilerplate,
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
-        "stratified_sample": q_stratified_sample,
         "host_cap": q_host_cap,
         "fuzzy_anchor_join": q_fuzzy_anchor_join,
         "proximity_binding": q_proximity_binding,
@@ -1985,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dedup_e2e": q_text_dedup_e2e,
         "ann_lsh": q_ann_lsh,
         "anchor_texts": q_anchor_texts,
+        "stratified_sample": q_stratified_sample,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3024,6 +3044,30 @@ def oracle_sql() -> dict[str, str]:
         # recursive CTE; component id = min reachable doc id. Fully
         # independent of the Spark large-star/small-star iteration.
         "dedup_components": f"""
+            WITH RECURSIVE s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len({_WORDS_SQL})-2, 0)+1),
+                         i -> array_to_string(({_WORDS_SQL})[i:i+2], ' '))) AS sh
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / len(list_distinct(a.sh || b.sh)) >= 0.5),
+            e AS (SELECT id_a AS u, id_b AS v FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+                WHERE e2.v != r.u)
+            SELECT u AS doc_id, least(u, min(v)) AS component_id
+            FROM reach GROUP BY u ORDER BY doc_id
+        """,
+        # Incremental CC must equal from-scratch CC over all pairs —
+        # the oracle IS the dedup_components closure.
+        "components_incremental": f"""
             WITH RECURSIVE s AS (
               SELECT doc_id,
                      list_distinct(list_transform(

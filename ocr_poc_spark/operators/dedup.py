@@ -584,3 +584,38 @@ def connected_components(
         F.col("u").alias("doc_id"),
         F.coalesce("component_id", F.col("u")).alias("component_id"),
     )
+
+
+def merge_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Incremental connected components: fold a NEW batch of near-dup
+    pairs into an existing (doc_id, component_id) label table without
+    re-running CC over the full historical pair list — the label-side
+    companion of minhash_lsh_pairs_incremental. A prior component is
+    already fully described by its (member -> label) edges (the label
+    IS a member, the component minimum), so CC over
+    ``labels-as-edges UNION new pairs`` reproduces exactly the labels
+    a from-scratch run over all pairs ever seen would produce — while
+    the input is one edge per EXISTING DOC plus the new pairs, not the
+    full pair history (a 10^6-copy boilerplate cluster contributes
+    10^6 label edges, not the 10^7+ pairs that built it; singleton
+    docs need no label row at all).
+
+    Labels stay min-id-stable: a merge of two old components relabels
+    the loser to the global minimum, new docs adopt the minimum of
+    whatever they touch. Returns the new complete label table — docs
+    in ``labels`` keep a row even if untouched this batch.
+
+    Same hub-safe star-contraction engine and (id, id)-only shuffles
+    as connected_components."""
+    lab = labels.select(
+        F.col("doc_id").alias(src), F.col("component_id").alias(dst)
+    ).where(F.col(src) != F.col(dst))
+    np = new_pairs.select(src, dst)
+    return connected_components(lab.unionByName(np), src=src, dst=dst,
+                                max_iter=max_iter)

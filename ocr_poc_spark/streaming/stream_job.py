@@ -794,3 +794,84 @@ def bm25_index_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
     return hist.join(latest, ["doc_id", "batch"]).select(
         "term", "doc_id", "tf", "dl"
     )
+
+
+def start_components_stream(
+    spark: SparkSession,
+    pairs_path: str,
+    checkpoint: str,
+    state_dir: str,
+    max_files: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental duplicate-cluster labels as a stream: consume
+    near-dup PAIR batches (e.g. the parquet directory
+    start_minhash_incremental_stream emits) and maintain a complete
+    (doc_id, component_id) label table under
+    ``state_dir/labels/batch=K`` via dedup.merge_components — so the
+    keeper decision for a rolling crawl is always one read away,
+    without ever re-running CC over the full pair history. Each
+    batch's state write is the full current label table (labels exist
+    only for docs in some duplicate group — bounded by duplicated
+    docs, not pairs, and far below corpus size in practice).
+
+    Exactly-once: per-batch overwrite + Spark's checkpoint; a replayed
+    micro-batch rewrites identical labels (merge_components is
+    deterministic). A fresh checkpoint over stale state is refused
+    loudly (sibling-stream contract)."""
+
+    def _one_batch(bdf: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        from ..operators.dedup import connected_components, merge_components
+
+        s = bdf.sparkSession
+        try:
+            hist = s.read.parquet(f"{state_dir}/labels")
+            stale = hist.select(F.max("batch").alias("m")).collect()[0]["m"]
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            hist, stale = None, None
+        if stale is not None and stale > batch_id:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds batches up to "
+                f"{stale} but this stream is at batch {batch_id}: resume "
+                "with the original checkpoint, or start with a fresh "
+                "state_dir"
+            )
+        pairs = bdf.select("id_a", "id_b")
+        if hist is None or stale is None:
+            labels = connected_components(pairs)
+        else:
+            prior = (
+                hist.where(F.col("batch") < batch_id)
+                .groupBy("doc_id")
+                .agg(F.max_by("component_id", "batch").alias("component_id"))
+            )
+            labels = merge_components(prior, pairs)
+        labels.write.mode("overwrite").parquet(
+            f"{state_dir}/labels/batch={batch_id}"
+        )
+
+    reader = (
+        spark.readStream.schema("id_a string, id_b string")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(pairs_path)
+    )
+    writer = reader.writeStream.foreachBatch(_one_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def components_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The serveable label view of the streamed components: each doc's
+    label from its LATEST batch (later batches rewrite the full table,
+    so latest-wins is exact, not a merge)."""
+    hist = spark.read.parquet(f"{state_dir}/labels")
+    return hist.groupBy("doc_id").agg(
+        F.max_by("component_id", "batch").alias("component_id")
+    )

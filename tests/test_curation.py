@@ -1136,3 +1136,33 @@ def test_crawl_frontier_politeness_waves(spark):
 
     with pytest.raises(ValueError):
         crawl_frontier(u, per_host=0)
+
+
+def test_merge_components_incremental_equals_batch(spark):
+    """Incremental CC: merging each batch's pairs into the running
+    label table equals from-scratch CC over the union of all pairs —
+    including cross-batch merges of two pre-existing components and
+    min-label stability."""
+    from ocr_poc_spark.operators.dedup import (
+        connected_components, merge_components,
+    )
+
+    b1 = [(10, 11), (20, 21)]
+    b2 = [(11, 12), (30, 31)]
+    b3 = [(12, 20), (40, 41), (31, 30)]   # merges comp(10) with comp(20)
+    mk = lambda rows: spark.createDataFrame(rows, "id_a long, id_b long")
+
+    labels = connected_components(mk(b1))
+    labels = merge_components(labels, mk(b2))
+    labels = merge_components(labels, mk(b3))
+    got = {(r["doc_id"], r["component_id"]) for r in labels.collect()}
+
+    want = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(mk(b1 + b2 + b3)).collect()
+    }
+    assert got == want
+    # the cross-batch merge collapsed to the global min label 10
+    assert (21, 10) in got and (12, 10) in got
+    # untouched component kept its row and label
+    assert (41, 40) in got

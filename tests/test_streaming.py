@@ -800,3 +800,57 @@ def test_stream_bm25_index_equals_batch(spark, tmp_path):
     a = bm25_topk(docs, term, index=snap, top_n=5).collect()
     b = bm25_topk(docs, term, index=want_index, top_n=5).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
+
+
+def test_stream_components_equals_batch(spark, tmp_path):
+    """Incremental label maintenance: after 3 pair micro-batches
+    (including one that merges two earlier components), the label
+    snapshot equals from-scratch CC over the union of all pairs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_poc_spark.operators.dedup import connected_components
+    from ocr_poc_spark.streaming.stream_job import (
+        components_snapshot, start_components_stream,
+    )
+
+    batches = [
+        [("a", "b"), ("m", "n")],
+        [("b", "c"), ("x", "y")],
+        [("c", "m"), ("p", "q")],   # merges {a,b,c} with {m,n}
+    ]
+    in_dir = str(tmp_path / "pairs")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(batches):
+        path = f"{in_dir}/part-{i}.parquet"
+        pq.write_table(
+            pa.table({
+                "id_a": pa.array([r[0] for r in rows], pa.string()),
+                "id_b": pa.array([r[1] for r in rows], pa.string()),
+            }),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    state = str(tmp_path / "state")
+    q = start_components_stream(
+        spark, in_dir, str(tmp_path / "ck"), state, max_files=1
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in components_snapshot(spark, state).collect()
+    }
+    allp = [p for b in batches for p in b]
+    want = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(
+            spark.createDataFrame(allp, "id_a string, id_b string")
+        ).collect()
+    }
+    assert got == want
+    assert ("n", "a") in got          # cross-batch merge to global min
+    assert ("q", "p") in got          # untouched component intact
