@@ -887,6 +887,60 @@ def url_blocklist_filter(
     return df.where(~blocked if keep else blocked)
 
 
+def _span_tok_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _toks) frame with the span operators' shared tokenisation:
+    norm_words with empties dropped, NULL text => empty array. ONE
+    definition — dedup_spans and decontaminate_spans must tokenise
+    identically or their oracles (and the --span-dedup ->
+    --decontaminate-spans composition) drift."""
+    toks = F.filter(
+        F.coalesce(
+            _raw_norm_words(text_col), F.expr("CAST(array() AS ARRAY<STRING>)")
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    return df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+
+
+def _span_occurrences(base: DataFrame, k: int) -> DataFrame:
+    """All k-shingle occurrences of a _span_tok_base frame as
+    (_id, _pos, _h) rows — 60-bit md5-hex15 hashes, positions 0-based;
+    sub-k-token docs emit nothing (sequence guard per texthash docs)."""
+    span_structs = F.expr(
+        f"CASE WHEN size(_toks) >= {k} THEN "
+        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"i -> struct(cast(i - 1 as int) as pos, "
+        f"cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 15), 16, 10) as bigint) as h)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>) END"
+    )
+    return base.select("_id", F.explode(span_structs).alias("_s")).select(
+        "_id", F.col("_s.pos").alias("_pos"), F.col("_s.h").alias("_h")
+    )
+
+
+def _excise_spans(
+    base: DataFrame, removals: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Shared rebuild tail: drop every token covered by a removal
+    window [pos, pos + k) and re-join the survivors — returns one row
+    per base doc: (id, text_clean, n_tokens, n_removed)."""
+    starts = removals.groupBy("_id").agg(
+        F.array_sort(F.collect_list("_pos")).alias("_starts")
+    )
+    joined = base.join(starts, "_id", "left").withColumn(
+        "_st", F.coalesce("_starts", F.expr("CAST(array() AS ARRAY<INT>)"))
+    )
+    kept = F.expr(
+        f"filter(_toks, (t, i) -> NOT exists(_st, p -> p <= i AND i < p + {k}))"
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def dedup_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -942,24 +996,8 @@ def dedup_spans(
     if min_count < 2:
         raise ValueError("dedup_spans: min_count must be >= 2")
     k = int(span_tokens)
-    toks = F.filter(
-        F.coalesce(
-            _raw_norm_words(text_col), F.expr("CAST(array() AS ARRAY<STRING>)")
-        ),
-        lambda w: F.length(w) > 0,
-    )
-    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-    # struct(pos, h) per shingle; sequence guard per texthash docs.
-    span_structs = F.expr(
-        f"CASE WHEN size(_toks) >= {k} THEN "
-        f"transform(sequence(1, size(_toks) - {k - 1}), "
-        f"i -> struct(cast(i - 1 as int) as pos, "
-        f"cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 15), 16, 10) as bigint) as h)) "
-        f"ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>) END"
-    )
-    occ = base.select("_id", F.explode(span_structs).alias("_s")).select(
-        "_id", F.col("_s.pos").alias("_pos"), F.col("_s.h").alias("_h")
-    )
+    base = _span_tok_base(df, id_col, text_col)
+    occ = _span_occurrences(base, k)
     dup = (
         occ.groupBy("_h")
         .agg(
@@ -979,21 +1017,7 @@ def dedup_spans(
         )
         .select("_id", "_pos")
     )
-    starts = removals.groupBy("_id").agg(
-        F.array_sort(F.collect_list("_pos")).alias("_starts")
-    )
-    joined = base.join(starts, "_id", "left").withColumn(
-        "_st", F.coalesce("_starts", F.expr("CAST(array() AS ARRAY<INT>)"))
-    )
-    kept = F.expr(
-        f"filter(_toks, (t, i) -> NOT exists(_st, p -> p <= i AND i < p + {k}))"
-    )
-    return joined.select(
-        F.col("_id").alias(id_col),
-        F.array_join(kept, " ").alias("text_clean"),
-        F.size("_toks").cast("long").alias("n_tokens"),
-        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
-    )
+    return _excise_spans(base, removals, k, id_col)
 
 
 def temperature_sample(
@@ -1180,48 +1204,13 @@ def decontaminate_spans(
     if span_tokens < 2:
         raise ValueError("decontaminate_spans: span_tokens must be >= 2")
     k = int(span_tokens)
-    toks = F.filter(
-        F.coalesce(
-            _raw_norm_words(text_col), F.expr("CAST(array() AS ARRAY<STRING>)")
-        ),
-        lambda w: F.length(w) > 0,
-    )
-    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-    span_structs = F.expr(
-        f"CASE WHEN size(_toks) >= {k} THEN "
-        f"transform(sequence(1, size(_toks) - {k - 1}), "
-        f"i -> struct(cast(i - 1 as int) as pos, "
-        f"cast(conv(substring(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 15), 16, 10) as bigint) as h)) "
-        f"ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, h: BIGINT>>) END"
-    )
-    occ = base.select("_id", F.explode(span_structs).alias("_s")).select(
-        "_id", F.col("_s.pos").alias("_pos"), F.col("_s.h").alias("_h")
-    )
-    bench_toks = F.filter(
-        F.coalesce(
-            _raw_norm_words(text_col), F.expr("CAST(array() AS ARRAY<STRING>)")
-        ),
-        lambda w: F.length(w) > 0,
-    )
+    base = _span_tok_base(df, id_col, text_col)
+    occ = _span_occurrences(base, k)
     bench = (
-        bench_df.select(bench_toks.alias("_toks"))
+        _span_tok_base(bench_df, text_col, text_col)
         .where(F.size("_toks") >= k)
         .select(F.explode(F.array_distinct(_shingle_hashes("_toks", k))).alias("_h"))
         .distinct()
     )
     removals = occ.join(F.broadcast(bench), "_h", "left_semi").select("_id", "_pos")
-    starts = removals.groupBy("_id").agg(
-        F.array_sort(F.collect_list("_pos")).alias("_starts")
-    )
-    joined = base.join(starts, "_id", "left").withColumn(
-        "_st", F.coalesce("_starts", F.expr("CAST(array() AS ARRAY<INT>)"))
-    )
-    kept = F.expr(
-        f"filter(_toks, (t, i) -> NOT exists(_st, p -> p <= i AND i < p + {k}))"
-    )
-    return joined.select(
-        F.col("_id").alias(id_col),
-        F.array_join(kept, " ").alias("text_clean"),
-        F.size("_toks").cast("long").alias("n_tokens"),
-        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
-    )
+    return _excise_spans(base, removals, k, id_col)

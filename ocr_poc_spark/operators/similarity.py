@@ -1043,7 +1043,10 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
     (#queries rows). Ground truth at 100 TB is computed on a SAMPLE of
     queries (cosine_topk's broadcast contract enforces that), so every
     frame here is sample-sized."""
-    e = exact.select("query_id", "neighbor_id")
+    # Both sides deduped: a unioned/overlapping ground truth would
+    # otherwise inflate n_exact AND n_hit (the same row can survive the
+    # semi-join twice), skewing recall in either direction.
+    e = exact.select("query_id", "neighbor_id").distinct()
     a = approx.select("query_id", "neighbor_id").distinct()
     hits = e.join(a, ["query_id", "neighbor_id"], "left_semi")
     n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))

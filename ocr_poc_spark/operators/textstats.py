@@ -255,6 +255,26 @@ def hash_embedding(
     return df.select(id_col, vec.alias("embedding"))
 
 
+def _bigram_rows(
+    frame: DataFrame, id_col: str, text_col: str, keep_id: bool
+) -> DataFrame:
+    """Exploded (w1, w2) bigram rows of norm_words(text) — the shared
+    front end of the LM scorers (add-alpha and Kneser-Ney). Docs under
+    2 tokens emit nothing."""
+    from ..functions.texthash import norm_words
+
+    w = F.coalesce(norm_words(text_col), F.array())
+    cols = [F.col(id_col)] if keep_id else []
+    e = frame.select(*cols, w.alias("_w")).where(F.size("_w") >= 2)
+    pair = F.expr(
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> struct(_w[i - 1] as w1, _w[i] as w2))"
+    )
+    return e.select(*cols, F.explode(pair).alias("_b")).select(
+        *cols, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -300,19 +320,7 @@ def bigram_lm_scores(
         raise ValueError("alpha must be positive (zero breaks unseen bigrams)")
     train = df if train_df is None else train_df
 
-    def _bigrams(frame: DataFrame, keep_id: bool):
-        w = F.coalesce(norm_words(text_col), F.array())
-        cols = [F.col(id_col)] if keep_id else []
-        e = frame.select(*cols, w.alias("_w")).where(F.size("_w") >= 2)
-        pair = F.expr(
-            "transform(sequence(1, size(_w) - 1), "
-            "i -> struct(_w[i - 1] as w1, _w[i] as w2))"
-        )
-        return e.select(*cols, F.explode(pair).alias("_b")).select(
-            *cols, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
-        )
-
-    tb = _bigrams(train, keep_id=False)
+    tb = _bigram_rows(train, id_col, text_col, keep_id=False)
     big_counts = (
         tb.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_big"))
@@ -326,7 +334,7 @@ def bigram_lm_scores(
     )
 
     scored = (
-        _bigrams(df, keep_id=True)
+        _bigram_rows(df, id_col, text_col, keep_id=True)
         .join(big_counts, ["w1", "w2"], "left")
         .join(pre_counts, "w1", "left")
         .crossJoin(F.broadcast(v))
@@ -660,28 +668,26 @@ def kn_lm_scores(
         raise ValueError("kn_lm_scores: discount must be in (0, 1)")
     train = df if train_df is None else train_df
 
-    def _bigrams(frame: DataFrame, keep_id: bool):
-        w = F.coalesce(norm_words(text_col), F.array())
-        cols = [F.col(id_col)] if keep_id else []
-        e = frame.select(*cols, w.alias("_w")).where(F.size("_w") >= 2)
-        pair = F.expr(
-            "transform(sequence(1, size(_w) - 1), "
-            "i -> struct(_w[i - 1] as w1, _w[i] as w2))"
-        )
-        return e.select(*cols, F.explode(pair).alias("_b")).select(
-            *cols, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
-        )
-
-    tb = _bigrams(train, keep_id=False)
-    big_counts = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
-    pre_counts = tb.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c_pre"),
-        F.countDistinct("w2").alias("n1_fwd"),
+    tb = _bigram_rows(train, id_col, text_col, keep_id=False)
+    # ONE corpus tokenization pass: every KN table is derivable from
+    # the (w1, w2, c_big) aggregate — c_pre = sum of c_big per w1,
+    # N1+ forward/backward = row counts per side, n_types = total rows
+    # (big_counts rows are distinct bigrams by construction).
+    # Checkpointed because four consumers would otherwise each re-run
+    # the explode + groupBy at 100 TB.
+    big_counts = (
+        tb.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+        .localCheckpoint(eager=True)
     )
-    bwd_counts = tb.groupBy("w2").agg(F.countDistinct("w1").alias("n1_bwd"))
-    totals = tb.select("w1", "w2").distinct().agg(
-        F.count(F.lit(1)).alias("n_types")
+    pre_counts = big_counts.groupBy("w1").agg(
+        F.sum("c_big").alias("c_pre"),
+        F.count(F.lit(1)).alias("n1_fwd"),
     )
+    bwd_counts = big_counts.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1_bwd")
+    )
+    totals = big_counts.agg(F.count(F.lit(1)).alias("n_types"))
     v = (
         train.select(
             F.explode(F.coalesce(norm_words(text_col), F.array())).alias("t")
@@ -693,7 +699,7 @@ def kn_lm_scores(
 
     d = F.lit(float(discount))
     scored = (
-        _bigrams(df, keep_id=True)
+        _bigram_rows(df, id_col, text_col, keep_id=True)
         .join(big_counts, ["w1", "w2"], "left")
         .join(pre_counts, "w1", "left")
         .join(bwd_counts, "w2", "left")

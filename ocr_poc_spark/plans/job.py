@@ -810,10 +810,12 @@ def run_frontier(
     fr_dir = os.path.join(out_dir, "frontier")
     out.write.mode("overwrite").parquet(fr_dir)
     res = spark.read.parquet(fr_dir)
+    max_wave = res.agg(F.max("wave")).first()[0]
     return {
         "frontier_dir": fr_dir,
         "frontier_urls": res.count(),
-        "frontier_waves": res.agg(F.max("wave")).first()[0] + 1,
+        # empty frontier (nothing extracted) => no waves, not a crash
+        "frontier_waves": 0 if max_wave is None else max_wave + 1,
         "frontier_priority": pr_source,
         "frontier_per_host": per_host,
     }
@@ -860,13 +862,17 @@ def _packable_docs(spark: SparkSession, out_dir: str):
     docs = _curation_docs(spark, out_dir)
     filters = []
     sd_dir = os.path.join(out_dir, "span_dedup")
-    if os.path.isdir(sd_dir):
+    ds_dir = os.path.join(out_dir, "decon_spans")
+    if os.path.isdir(sd_dir) and not os.path.isdir(ds_dir):
         # --span-dedup ran: substitute the span-rewritten bodies for
         # the raw text so packed sequences never carry a non-first
         # occurrence of a corpus-duplicated span. Inner join — the
         # span stage emits one row per curation doc by construction,
         # and a doc whose text was fully removed still packs its ''
-        # (zero chunks) rather than leaking the raw body.
+        # (zero chunks) rather than leaking the raw body. Skipped when
+        # decon_spans exists: its text_clean was computed FROM the
+        # span-rewritten bodies (run_decontaminate_spans), so joining
+        # both would be a dead extra shuffle.
         rewritten = spark.read.parquet(sd_dir).select(
             "doc_id", F.col("text_clean")
         )
@@ -874,7 +880,6 @@ def _packable_docs(spark: SparkSession, out_dir: str):
             "doc_id", F.col("text_clean").alias("text"), "lang_guess"
         )
         filters.append("span_dedup")
-    ds_dir = os.path.join(out_dir, "decon_spans")
     if os.path.isdir(ds_dir):
         # --decontaminate-spans ran: its text_clean was computed FROM
         # the span-rewritten bodies when both stages ran (see

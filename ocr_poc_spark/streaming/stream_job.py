@@ -695,10 +695,37 @@ def start_quality_stream(
     pages = read_pages_stream(spark, in_path)
 
     def _one_batch(bdf: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        s = bdf.sparkSession
+        # Refuse a fresh checkpoint over an out_path already holding
+        # later batches: the overwrite would silently mix scores from
+        # two different runs/models (sibling-stream contract).
+        try:
+            prior = s.read.option("basePath", out_path).parquet(out_path)
+            stale = prior.select(F.max("batch").alias("m")).collect()[0]["m"]
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            stale = None
+        if stale is not None and stale > batch_id:
+            raise RuntimeError(
+                f"out_path {out_path!r} already holds batches up to "
+                f"{stale} but this stream is at batch {batch_id}: resume "
+                "with the original checkpoint, or score into a fresh "
+                "out_path"
+            )
         ext = extract_fused(bdf)
         docs = ext.where(
             F.col("success") & F.col("body_text").isNotNull()
         ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+        # collapse within-batch url duplicates to the batch side's
+        # deterministic representative (_curation_docs min_by rule) —
+        # two fetches of one url must not double its term counts or
+        # emit two score rows (same rule as the bm25 index stream).
+        docs = docs.groupBy("doc_id").agg(
+            F.expr("min_by(text, md5(text))").alias("text")
+        )
         scored = nb_score(docs, model, n_buckets=nb).select(
             F.col("doc_id").alias("url"), "n_terms", "score", "keep"
         )

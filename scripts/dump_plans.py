@@ -244,6 +244,38 @@ def main() -> None:
             em.queries()["bitext_mine"](spark, sf),
         ),
         (
+            "Surgical decontamination (decontaminate_spans)",
+            "The benchmark collapses to a distinct shingle-hash set and "
+            "reaches the corpus occurrences as a BroadcastHashJoin "
+            "LeftSemi — occurrence rows (id, pos) shuffle exactly once "
+            "into the start-array aggregate; strictly fewer exchanges "
+            "than dedup_spans (no corpus-wide hash groupBy).",
+            em.queries()["decontaminate_spans"](spark, sf),
+        ),
+        (
+            "Hybrid retrieval (BM25 + dense, RRF)",
+            "Each leg ends in TakeOrderedAndProject (per-partition "
+            "heaps); the rank windows and the full-outer fusion join "
+            "run on the <= pool-row leg results — the documented "
+            "bounded-input exception to the no-global-window rule.",
+            em.queries()["hybrid_search"](spark, sf),
+        ),
+        (
+            "Crawl frontier (politeness waves)",
+            "Priority joins as a BroadcastHashJoin (one row per host); "
+            "the slot window partitions by host — the honest per-host "
+            "sequential constraint — and wave derivation is map-only.",
+            em.queries()["crawl_frontier"](spark, sf),
+        ),
+        (
+            "Incremental connected components (merge_components)",
+            "Label edges union the new pair batch, then the same "
+            "hub-degree-bounded star rounds as connected_components — "
+            "scalar min aggregates, (id, id)-only exchanges, "
+            "localCheckpoint per round ('Scan ExistingRDD').",
+            em.queries()["components_incremental"](spark, sf),
+        ),
+        (
             "Quality classifier (train + score, one plan)",
             "Class counts collapse to <= n_buckets rows map-side; the "
             "model spine joins back as BroadcastExchanges; scoring "

@@ -667,6 +667,12 @@ def test_stream_quality_serving_equals_batch(spark, tmp_path):
     from ocr_poc_spark.streaming.stream_job import start_quality_stream
 
     rows = gen_pages(60, seed=11)
+    # a url fetched TWICE in one micro-batch (different bytes): the
+    # stream must collapse to the batch side's min_by representative,
+    # not double-count terms or emit two score rows.
+    dup = dict(rows[0])
+    dup["html"] = rows[1]["html"]
+    rows.insert(1, dup)
     in_dir = str(tmp_path / "pages")
     _write_pages_dir(rows, in_dir)
 
@@ -678,6 +684,9 @@ def test_stream_quality_serving_equals_batch(spark, tmp_path):
     docs = extract_fused(pages).where(
         F.col("success") & F.col("body_text").isNotNull()
     ).select(F.col("url").alias("doc_id"), F.col("body_text").alias("text"))
+    docs = docs.groupBy("doc_id").agg(
+        F.expr("min_by(text, md5(text))").alias("text")
+    )
     # train on a deterministic slice as the positive class
     pos = docs.where(F.crc32("doc_id") % 3 == 0)
     neg = docs.where(F.crc32("doc_id") % 3 != 0)
