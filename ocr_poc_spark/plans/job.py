@@ -790,10 +790,25 @@ def run_frontier(
     --diff-against wrote <out>/crawl_churn in this or an earlier run
     (recrawl fast-churning hosts first), else the host's document
     count (crawl big hosts first). Overwrite-idempotent."""
+    from pyspark.errors import AnalysisException
+
     from ..operators.crawl import crawl_frontier
     from ..operators.hoststats import host_of
 
-    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    try:
+        ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    except AnalysisException as e:
+        # a zero-page crawl commits no parquet parts: an empty frontier
+        # summary, not a schema-inference crash
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e) and "PATH_NOT_FOUND" not in str(e):
+            raise
+        return {
+            "frontier_dir": os.path.join(out_dir, "frontier"),
+            "frontier_urls": 0,
+            "frontier_waves": 0,
+            "frontier_priority": "none",
+            "frontier_per_host": per_host,
+        }
     urls = ext.select("url")
     churn_dir = os.path.join(out_dir, "crawl_churn")
     if os.path.isdir(churn_dir):

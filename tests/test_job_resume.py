@@ -758,3 +758,19 @@ def test_run_ccnet_stage_pack_drops_tail(spark, tmp_path, pages_df):
     # every packed doc is head/middle or bucket-less (< 2 tokens)
     cb_ids = {r["doc_id"] for r in cb.collect()}
     assert packed_ids <= (head_mid | (packed_ids - cb_ids))
+
+
+def test_run_frontier_empty_corpus(spark, tmp_path):
+    """An empty crawl must yield an empty frontier summary (waves 0),
+    not a None + 1 TypeError (review regression)."""
+    from ocr_poc_spark.plans.job import run_frontier, run_job
+
+    out = str(tmp_path / "empty")
+    empty = spark.createDataFrame(
+        [],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    run_job(spark, empty, out, mode="fused", n_buckets=2)
+    res = run_frontier(spark, out, per_host=3)
+    assert res["frontier_urls"] == 0 and res["frontier_waves"] == 0
+    assert res["frontier_priority"] == "none"
