@@ -314,6 +314,19 @@ def q_components_incremental(spark, sf_dir):
     return merge_components(labels, second).orderBy("doc_id")
 
 
+def q_minhash_estimate(spark, sf_dir):
+    """MinHash estimator audit (dedup.minhash_estimate_audit): est vs
+    exact Jaccard on every true >= 0.5 pair, seeded-md5 signature
+    family so signatures, estimates, and errors all replay bit-exactly
+    in SQL (the documented stand-in for production's xxhash64 — the
+    estimator's statistics are hash-family-independent)."""
+    from ocr_poc_spark.operators.dedup import minhash_estimate_audit
+
+    return minhash_estimate_audit(
+        _t(spark, sf_dir, "documents", spread=True), num_hashes=16
+    )
+
+
 def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k
     # Reuses the operator directly (no inline re-implementation to
     # drift); ranking happens on the UNROUNDED cosine in both engines.
@@ -1946,11 +1959,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "components_incremental": q_components_incremental,
         "dedup_simhash": q_dedup_simhash,
+        "minhash_estimate": q_minhash_estimate,
         "ann_ivf_bcast": q_ann_ivf_bcast,
         "strip_boilerplate": q_strip_boilerplate,
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
-        "host_cap": q_host_cap,
         "fuzzy_anchor_join": q_fuzzy_anchor_join,
         "proximity_binding": q_proximity_binding,
         "band_join": q_band_join,
@@ -2005,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "anchor_texts": q_anchor_texts,
         "stratified_sample": q_stratified_sample,
+        "host_cap": q_host_cap,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3064,6 +3078,37 @@ def oracle_sql() -> dict[str, str]:
                 WHERE e2.v != r.u)
             SELECT u AS doc_id, least(u, min(v)) AS component_id
             FROM reach GROUP BY u ORDER BY doc_id
+        """,
+        "minhash_estimate": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len({_WORDS_SQL})-2, 0)+1),
+                         i -> array_to_string(({_WORDS_SQL})[i:i+2], ' '))) AS sh
+              FROM documents),
+            s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+            e AS (
+              SELECT s2.doc_id, u.j AS hj,
+                     MIN(('0x' || substr(md5(CAST(u.j AS VARCHAR) || ':' || sg.sg), 1, 15))::BIGINT) AS mh
+              FROM s2, unnest(s2.sh) AS sg(sg), unnest(range(0, 16)) AS u(j)
+              GROUP BY s2.doc_id, u.j),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh)) AS jac
+              FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id),
+            pf AS (SELECT * FROM p WHERE jac >= 0.5),
+            m AS (
+              SELECT pf.id_a, pf.id_b, pf.jac,
+                     SUM(CASE WHEN ea.mh = eb.mh THEN 1 ELSE 0 END) AS eq
+              FROM pf
+              JOIN e ea ON ea.doc_id = pf.id_a
+              JOIN e eb ON eb.doc_id = pf.id_b AND eb.hj = ea.hj
+              GROUP BY pf.id_a, pf.id_b, pf.jac)
+            SELECT id_a, id_b, ROUND(jac, 6) AS jaccard,
+                   ROUND(eq / 16.0, 6) AS est_jaccard,
+                   ROUND(ABS(jac - eq / 16.0), 6) AS abs_err
+            FROM m
         """,
         # Incremental CC must equal from-scratch CC over all pairs —
         # the oracle IS the dedup_components closure.

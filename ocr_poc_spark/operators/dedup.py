@@ -619,3 +619,92 @@ def merge_components(
     np = new_pairs.select(src, dst)
     return connected_components(lab.unionByName(np), src=src, dst=dst,
                                 max_iter=max_iter)
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    jaccard_threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """MinHash estimator audit — the dedup-side sibling of ann_recall:
+    for every TRUE near-dup pair (exact shingle-set Jaccard >=
+    threshold), compare the MinHash ESTIMATE (matching signature
+    components / num_hashes, an unbiased estimator with stderr
+    ~ sqrt(j(1-j)/H)) against the exact value. This is how you SIZE
+    num_hashes: if the observed |error| tail crosses the banding
+    threshold margin, pairs are being missed/over-collected and H must
+    grow.
+
+    Signatures here use the SEEDED-MD5 family (min over shingles of
+    hash60(j || ':' || shingle)) rather than production's xxhash64
+    (minhash_signature) — estimator STATISTICS are hash-family-
+    independent (any uniform family gives the same expectation), and
+    md5-hex15 is the one construction the DuckDB oracle can replay
+    bit-exactly (texthash.py discipline; xxhash64 has no DuckDB
+    equivalent — the documented divergence).
+
+    All-pairs-within-corpus like ngram_jaccard_pairs, and guarded the
+    same way: audits run on samples, so inputs over ``max_rows`` are
+    refused (pass None to waive). Returns
+    (id_a, id_b, jaccard, est_jaccard, abs_err), all rounded 6."""
+    if num_hashes < 1:
+        raise ValueError("minhash_estimate_audit: num_hashes must be >= 1")
+    h = int(num_hashes)
+    base = (
+        word_shingles(df.select(id_col, text_col), text_col, k=k)
+        .select(F.col(id_col).alias("id"), F.array_distinct("shingles").alias("_sh"))
+        .where(F.size("_sh") > 0)
+    )
+    if max_rows is not None:
+        # in-plan bound via a broadcast one-row count — NOT a global
+        # window, which would move the shingle arrays to one partition
+        # just to count them
+        cnt = base.agg(F.count(F.lit(1)).alias("_cnt"))
+        base = base.crossJoin(F.broadcast(cnt)).where(
+            F.when(
+                F.col("_cnt") > F.lit(max_rows),
+                F.raise_error(
+                    F.lit(
+                        "minhash_estimate_audit is the all-pairs audit "
+                        f"variant: corpus exceeds max_rows={max_rows}. "
+                        "Audit a sample, or pass max_rows=None to accept "
+                        "O(n^2)."
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        ).drop("_cnt")
+    sig = F.expr(
+        f"transform(sequence(0, {h - 1}), j -> array_min(transform(_sh, "
+        f"s -> cast(conv(substring(md5(concat(cast(j as string), ':', s)), 1, 15), 16, 10) as bigint))))"
+    )
+    sided = base.select("id", "_sh", sig.alias("_sig"))
+    a = sided.select(
+        F.col("id").alias("id_a"), F.col("_sh").alias("sh_a"), F.col("_sig").alias("sig_a")
+    )
+    b = sided.select(
+        F.col("id").alias("id_b"), F.col("_sh").alias("sh_b"), F.col("_sig").alias("sig_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(h))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("_j", jac)
+        .where(F.col("_j") >= jaccard_threshold)
+        .withColumn("_e", est)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("_j", 6).alias("jaccard"),
+            F.round("_e", 6).alias("est_jaccard"),
+            F.round(F.abs(F.col("_j") - F.col("_e")), 6).alias("abs_err"),
+        )
+    )

@@ -1166,3 +1166,36 @@ def test_merge_components_incremental_equals_batch(spark):
     assert (21, 10) in got and (12, 10) in got
     # untouched component kept its row and label
     assert (41, 40) in got
+
+
+def test_minhash_estimate_audit_contract(spark):
+    """Estimator audit: identical docs estimate 1.0 with 0 error,
+    disjoint docs never appear (below threshold), the estimate is
+    matching-components/H exactly, and the oversized-corpus guard
+    raises."""
+    import pytest
+
+    from ocr_poc_spark.operators.dedup import minhash_estimate_audit
+
+    t1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (1, t1),
+        (2, t1),                               # identical -> j = 1.0
+        (3, t1 + " extra tail words here"),    # high-overlap pair
+        (4, "completely different tokens that share nothing at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r
+           for r in minhash_estimate_audit(d, num_hashes=16).collect()}
+    assert (1, 2) in out
+    r12 = out[(1, 2)]
+    assert r12["jaccard"] == 1.0 and r12["est_jaccard"] == 1.0
+    assert r12["abs_err"] == 0.0
+    assert all(k[1] != 4 and k[0] != 4 for k in out)
+    # estimates are quantised to 1/16 and errors consistent
+    for r in out.values():
+        assert abs(r["est_jaccard"] * 16 - round(r["est_jaccard"] * 16)) < 1e-9
+        assert r["abs_err"] == round(abs(r["jaccard"] - r["est_jaccard"]), 6)
+
+    with pytest.raises(Exception, match="max_rows"):
+        minhash_estimate_audit(d, max_rows=2).collect()
