@@ -87,8 +87,10 @@ BENCH_QUERIES = [
 ]
 # embedding_near_dup and bitext_mine are deliberately absent: both are
 # documented all-pairs EXACT oracle variants (O(n^2) cross joins); the
-# benchmarked scale paths for those capabilities are ann_lsh / the LSH
-# near-dup bucketing and scale_bench's bitext_ann (ANN candidates).
+# benchmarked scale paths for those capabilities are the LSH near-dup
+# bucketing and scale_bench's bitext_ann (ANN candidates).
+# minhash_estimate IS timed (guarded all-pairs AUDIT — it exists to
+# run on bounded samples, so its sf0.1 wall is its real-world shape).
 
 
 def main() -> None:
