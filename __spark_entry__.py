@@ -1066,6 +1066,38 @@ def q_strip_boilerplate(spark, sf_dir):
     return strip_boilerplate_lines(pages)
 
 
+def q_repeat_line_dedup(spark, sf_dir):
+    """Within-document repeated-line rewrite (curation.
+    strip_repeated_lines): synthesized multi-line pages repeat their
+    nav chrome INSIDE each page; the pass drops the later copies and
+    keeps body + structure. Map-only HOF filter; oracle replays the
+    synth + the earlier-occurrence rule with a correlated NOT EXISTS."""
+    from ocr_poc_spark.operators.curation import strip_repeated_lines
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    body = F.concat_ws(
+        " ",
+        F.slice(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: F.length(x) > 0,
+            ),
+            1, 10,
+        ),
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("nav "), F.col("source")),
+            body,
+            F.concat(F.lit("NAV "), F.col("source")),
+            F.concat(F.lit("unique "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return strip_repeated_lines(pages)
+
+
 def q_span_dedup(spark, sf_dir):
     """Span-level exact substring dedup (Lee et al. 2022): every
     8-token span occurring >= 2 times corpus-wide is removed except its
@@ -1967,7 +1999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_anchor_join": q_fuzzy_anchor_join,
         "proximity_binding": q_proximity_binding,
         "band_join": q_band_join,
-        "salted_agg": q_salted_agg,
         # -- block 2: promoted (no driver row before r5) + new in r5 --
         "extract_pipeline": q_extract_pipeline,
         "normalize_urls": q_normalize_urls,
@@ -1996,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": q_kn_perplexity,
         "tokenizer_fertility": q_tokenizer_fertility,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "repeat_line_dedup": q_repeat_line_dedup,
         "span_dedup": q_span_dedup,
         "temperature_sample": q_temperature_sample,
         "shuffle_shards": q_shuffle_shards,
@@ -2019,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "stratified_sample": q_stratified_sample,
         "host_cap": q_host_cap,
+        "salted_agg": q_salted_agg,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3555,6 +3588,41 @@ def oracle_sql() -> dict[str, str]:
                 ON o.doc_id = w.doc_id
                AND o.pos BETWEEN w.wj AND w.wj + 3)
             SELECT DISTINCT doc_id, pos, h AS hash FROM pick WHERE rn = 1
+        """,
+        "repeat_line_dedup": f"""
+            WITH pg AS (
+              SELECT doc_id,
+                     'nav ' || source || chr(10)
+                       || array_to_string(
+                            (list_filter({_WORDS_SQL}, x -> len(x) > 0))[1:10], ' ')
+                       || chr(10) || 'NAV ' || source
+                       || chr(10) || 'unique ' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents),
+            ls AS (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS l
+                   FROM pg),
+            lrows AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS idx, l[i+1] AS line
+              FROM ls, unnest(range(0, len(l))) AS u(i)),
+            keep AS (
+              SELECT r.doc_id, r.idx, r.line,
+                     CASE WHEN trim(r.line) = '' THEN TRUE
+                          ELSE NOT EXISTS (
+                            SELECT 1 FROM lrows p
+                            WHERE p.doc_id = r.doc_id AND p.idx < r.idx
+                              AND lower(trim(p.line)) = lower(trim(r.line)))
+                     END AS k
+              FROM lrows r),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx) AS text_clean,
+                     COUNT(*) AS n_kept
+              FROM keep WHERE k GROUP BY doc_id),
+            tot AS (SELECT doc_id, COUNT(*) AS n FROM lrows GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(r.text_clean, '') AS text_clean,
+                   CAST(t.n AS BIGINT) AS n_lines,
+                   CAST(t.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM tot t LEFT JOIN rebuilt r USING (doc_id)
         """,
         "kn_perplexity": f"""
             WITH knws AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),

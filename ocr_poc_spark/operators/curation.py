@@ -1214,3 +1214,43 @@ def decontaminate_spans(
     )
     removals = occ.join(F.broadcast(bench), "_h", "left_semi").select("_id", "_pos")
     return _excise_spans(base, removals, k, id_col)
+
+
+def strip_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repeated-line removal — the SELF-repetition
+    rewrite (Dolma-style) complementing strip_boilerplate_lines
+    (cross-document): a line whose normalized form (trimmed,
+    lowercased) already occurred EARLIER in the same document is
+    dropped; the first occurrence and all blank lines are kept
+    verbatim, in order (blanks are structure, not content — same
+    contract as the cross-doc pass). Catches the chrome web pages
+    repeat inside one page (cookie banners rendered per section,
+    repeated share bars) that no cross-document threshold sees.
+
+    ENTIRELY map-only — the keep decision is one higher-order filter
+    over the document's own line array, zero shuffle, no state. The
+    per-doc cost is O(lines^2) comparisons (each line scans its
+    predecessors); for real pages (hundreds of lines) that is
+    microseconds, and a pathological million-line doc should be length-
+    gated before it reaches any curation stage anyway. NULL text reads
+    as one blank line ('' in, '' out).
+
+    Returns (id, text_clean, n_lines, n_removed)."""
+    base = df.select(
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("_ls"),
+    )
+    kept = F.expr(
+        "filter(_ls, (l, i) -> trim(l) = '' OR NOT exists("
+        "slice(_ls, 1, i), p -> lower(trim(p)) = lower(trim(l))))"
+    )
+    return base.select(
+        id_col,
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size("_ls").cast("long").alias("n_lines"),
+        (F.size("_ls") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -1199,3 +1199,33 @@ def test_minhash_estimate_audit_contract(spark):
 
     with pytest.raises(Exception, match="max_rows"):
         minhash_estimate_audit(d, max_rows=2).collect()
+
+
+def test_strip_repeated_lines_within_doc(spark):
+    """Self-repetition rewrite: later copies of a line go (case/space
+    insensitive), first occurrences and blank lines stay in order,
+    other docs untouched, NULL -> ''."""
+    from ocr_poc_spark.operators.curation import strip_repeated_lines
+
+    rows = [
+        (1, "Nav Home\nbody one\n\nNAV HOME \nbody two\nnav home"),
+        (2, "unique a\nunique b"),
+        (3, None),
+        (4, "\n\n"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in strip_repeated_lines(d).collect()}
+    assert out[1]["text_clean"] == "Nav Home\nbody one\n\nbody two"
+    assert out[1]["n_lines"] == 6 and out[1]["n_removed"] == 2
+    assert out[2]["text_clean"] == "unique a\nunique b"
+    assert out[2]["n_removed"] == 0
+    assert out[3]["text_clean"] == "" and out[3]["n_lines"] == 1
+    assert out[4]["text_clean"] == "\n\n" and out[4]["n_removed"] == 0
+    # idempotent: a second pass changes nothing
+    again = strip_repeated_lines(
+        spark.createDataFrame(
+            [(1, out[1]["text_clean"])], "doc_id long, text string"
+        )
+    ).first()
+    assert again["text_clean"] == out[1]["text_clean"]
+    assert again["n_removed"] == 0
