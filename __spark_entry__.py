@@ -997,6 +997,22 @@ def q_decontaminate_spans(spark, sf_dir):
     return decontaminate_spans(corpus, bench, span_tokens=8)
 
 
+def q_benchmark_coverage(spark, sf_dir):
+    """Benchmark-side contamination report (curation.benchmark_coverage,
+    the reverse of q_decontaminate): same %23 eval split, but measured
+    per BENCH doc — what fraction of each eval item's 8-grams the
+    corpus already contains. The oracle mirrors the membership
+    semi-join and ratio in SQL."""
+    from ocr_poc_spark.operators.curation import benchmark_coverage
+
+    d = _t(spark, sf_dir, "documents", spread=True)
+    bench = d.where(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = d.where(F.col("doc_id") % 23 != 0)
+    return benchmark_coverage(corpus, bench, n=8)
+
+
 def q_stratified_sample(spark, sf_dir):  # deterministic corpus-mixing sampler
     from ocr_poc_spark.operators.curation import stratified_sample
 
@@ -1985,7 +2001,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- block 1: driver-green representatives kept in the window --
         "corpus_pipeline": q_corpus_pipeline,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_incremental": q_dedup_incremental,
         "dedup_components": q_dedup_components,
@@ -1996,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
+        "benchmark_coverage": q_benchmark_coverage,
         "fuzzy_anchor_join": q_fuzzy_anchor_join,
         "proximity_binding": q_proximity_binding,
         "band_join": q_band_join,
@@ -2052,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "host_cap": q_host_cap,
         "salted_agg": q_salted_agg,
+        "dedup_exact": q_dedup_exact,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3277,6 +3294,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n AS BIGINT) AS n_tokens,
                    CAST(t.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
             FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        """,
+        "benchmark_coverage": f"""
+            WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            ng AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              range(1, greatest(len(w) - 7, 0) + 1),
+                              i -> ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')),
+                                                   1, 15))::BIGINT)) AS ng,
+                          len(w) AS nw
+                   FROM w),
+            corpus AS (SELECT DISTINCT unnest(ng) AS h FROM ng
+                       WHERE doc_id % 23 <> 0 AND nw >= 8),
+            bench AS (SELECT doc_id AS bench_id, ng, nw FROM ng
+                      WHERE doc_id % 23 = 0),
+            ex AS (SELECT bench_id, unnest(ng) AS h FROM bench WHERE nw >= 8),
+            per AS (SELECT ex.bench_id, COUNT(*) AS n_ngrams,
+                           SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS n_found
+                    FROM ex LEFT JOIN corpus c ON ex.h = c.h
+                    GROUP BY ex.bench_id)
+            SELECT b.bench_id,
+                   CAST(COALESCE(per.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(per.n_found, 0) AS BIGINT) AS n_found,
+                   CASE WHEN b.nw >= 8
+                        THEN ROUND(COALESCE(per.n_found, 0)
+                                   / per.n_ngrams, 6) END AS coverage
+            FROM bench b LEFT JOIN per USING (bench_id)
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source FROM documents

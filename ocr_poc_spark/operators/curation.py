@@ -1254,3 +1254,62 @@ def strip_repeated_lines(
         F.size("_ls").cast("long").alias("n_lines"),
         (F.size("_ls") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def benchmark_coverage(
+    df: DataFrame,
+    bench_df: DataFrame,
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-side contamination report — the reverse direction of
+    `decontaminate`: for each BENCHMARK document, the fraction of its
+    distinct n-grams that appear anywhere in the corpus. Corpus-side
+    flags tell you which training docs to drop; THIS tells you which
+    eval rows are already compromised (a benchmark item 90%-covered by
+    the corpus measures memorization, not ability) — the integrity
+    report an eval owner reads before trusting a score.
+
+    Plan shape (deliberately the mirror of decontaminate's): the
+    BENCHMARK side is tiny and explodes to (bench_id, hash) rows; the
+    CORPUS side collapses to its distinct n-gram hashes — too big to
+    broadcast at 100 TB, so the membership test is a LEFT SEMI
+    equi-join on the uniform 60-bit hash key (bare hashes, partial-
+    aggregated distinct, the cheapest possible corpus projection).
+    Sub-n-word benchmark docs report n_ngrams = 0 with coverage NULL
+    (nothing to leak — never a divide error).
+
+    Returns (bench_id, n_ngrams, n_found, coverage round 6)."""
+    corpus = (
+        df.select(_norm_words(text_col).alias("_w"))
+        .where(F.size("_w") >= n)
+        .select(F.explode(F.array_distinct(_shingle_hashes("_w", n))).alias("_h"))
+        .distinct()
+    )
+    bench = bench_df.select(
+        F.col(bench_id_col).alias("_bid"), _norm_words(text_col).alias("_w")
+    )
+    exploded = (
+        bench.where(F.size("_w") >= n)
+        .select("_bid", F.explode(F.array_distinct(_shingle_hashes("_w", n))).alias("_h"))
+    )
+    found = exploded.join(corpus, "_h", "left_semi").groupBy("_bid").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    totals = exploded.groupBy("_bid").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    short = bench.where(F.size("_w") < n).select(
+        F.col("_bid").alias(bench_id_col),
+        F.lit(0).cast("long").alias("n_ngrams"),
+        F.lit(0).cast("long").alias("n_found"),
+        F.lit(None).cast("double").alias("coverage"),
+    )
+    full = totals.join(found, "_bid", "left").select(
+        F.col("_bid").alias(bench_id_col),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+        F.round(
+            F.coalesce("n_found", F.lit(0)) / F.col("n_ngrams"), 6
+        ).alias("coverage"),
+    )
+    return full.unionByName(short)

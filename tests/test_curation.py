@@ -1229,3 +1229,31 @@ def test_strip_repeated_lines_within_doc(spark):
     ).first()
     assert again["text_clean"] == out[1]["text_clean"]
     assert again["n_removed"] == 0
+
+
+def test_benchmark_coverage_reverse_decontamination(spark):
+    """Bench-side report: a bench doc fully quoted in the corpus covers
+    1.0, a clean doc 0.0, a partial doc in between; sub-n docs report
+    NULL coverage with 0 n-grams."""
+    from ocr_poc_spark.operators.curation import benchmark_coverage
+
+    leaked = "q1 q2 q3 q4 q5 q6 q7 q8"
+    corpus = spark.createDataFrame(
+        [(1, f"intro {leaked} outro words here"), (2, "other page text entirely")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (10, leaked),                               # fully covered
+            (11, "clean eval item nothing shared here x"),  # 0 coverage
+            (12, f"{leaked} novel tail t1 t2 t3"),      # partial
+            (13, "short"),                              # < n words
+        ],
+        "bench_id long, text string",
+    )
+    out = {r["bench_id"]: r
+           for r in benchmark_coverage(corpus, bench, n=4).collect()}
+    assert out[10]["coverage"] == 1.0 and out[10]["n_ngrams"] == 5
+    assert out[11]["coverage"] == 0.0 and out[11]["n_found"] == 0
+    assert 0.0 < out[12]["coverage"] < 1.0
+    assert out[13]["n_ngrams"] == 0 and out[13]["coverage"] is None
