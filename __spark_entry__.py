@@ -1013,6 +1013,16 @@ def q_benchmark_coverage(spark, sf_dir):
     return benchmark_coverage(corpus, bench, n=8)
 
 
+def q_corpus_grep(spark, sf_dir):
+    """Corpus grep (search.find_text): exact char positions of the
+    literal 'table' across the corpus — the leak-localization tool
+    downstream of benchmark_coverage. The oracle replays the split +
+    cumulative-length offsets with a per-doc window."""
+    from ocr_poc_spark.operators.search import find_text
+
+    return find_text(_t(spark, sf_dir, "documents", spread=True), "table")
+
+
 def q_stratified_sample(spark, sf_dir):  # deterministic corpus-mixing sampler
     from ocr_poc_spark.operators.curation import stratified_sample
 
@@ -2012,12 +2022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
         "benchmark_coverage": q_benchmark_coverage,
+        "corpus_grep": q_corpus_grep,
         "fuzzy_anchor_join": q_fuzzy_anchor_join,
         "proximity_binding": q_proximity_binding,
         "band_join": q_band_join,
         # -- block 2: promoted (no driver row before r5) + new in r5 --
         "extract_pipeline": q_extract_pipeline,
-        "normalize_urls": q_normalize_urls,
         "pack_subword": q_pack_subword,
         "bpe_merges": q_bpe_merges,
         "chunk_bpe": q_chunk_bpe,
@@ -2069,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "salted_agg": q_salted_agg,
         "dedup_exact": q_dedup_exact,
+        "normalize_urls": q_normalize_urls,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -3320,6 +3331,25 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(COALESCE(per.n_found, 0)
                                    / per.n_ngrams, 6) END AS coverage
             FROM bench b LEFT JOIN per USING (bench_id)
+        """,
+        "corpus_grep": """
+            WITH parts AS (
+              SELECT doc_id, string_split(text, 'table') AS p
+              FROM documents WHERE text IS NOT NULL),
+            hit AS (SELECT doc_id, p FROM parts WHERE len(p) > 1),
+            r AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS idx, p[i+1] AS part,
+                     len(p) AS np
+              FROM hit, unnest(range(0, len(p))) AS u(i)),
+            cum AS (
+              SELECT doc_id, idx, np,
+                     SUM(len(part)) OVER (
+                       PARTITION BY doc_id ORDER BY idx
+                       ROWS UNBOUNDED PRECEDING) AS cl
+              FROM r)
+            SELECT doc_id, CAST(idx AS INTEGER) AS occ_idx,
+                   CAST(cl + idx * 5 AS BIGINT) AS pos
+            FROM cum WHERE idx < np - 1
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source FROM documents

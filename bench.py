@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     "decontaminate_spans", "hybrid_search", "crawl_frontier",
     "ann_quantized", "ann_recall", "ccnet_buckets", "kn_perplexity",
     "bitext_url", "tokenizer_fertility", "winnow_fingerprints",
-    "components_incremental", "minhash_estimate", "repeat_line_dedup", "benchmark_coverage",
+    "components_incremental", "minhash_estimate", "repeat_line_dedup", "benchmark_coverage", "corpus_grep",
     "temperature_sample", "shuffle_shards", "quality_classifier",
     "robots_filter",
 ]

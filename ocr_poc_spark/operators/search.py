@@ -234,3 +234,43 @@ def hybrid_topk(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(top_n)
     )
+
+
+def find_text(
+    df: DataFrame,
+    needle: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus grep with positions: every exact (case-sensitive, byte-
+    literal) occurrence of ``needle`` as (id, occ_idx, pos) rows, pos =
+    0-based character offset. The leak-localization / instance-
+    attribution tool: once benchmark_coverage or decontaminate flags an
+    overlap, THIS answers "where exactly does the leaked string sit in
+    which documents" without pulling bodies to the driver.
+
+    Map-only: text splits on the literal needle (regex-quoted), and one
+    fold over the parts accumulates offsets — position k = len(parts
+    [0..k]) + k * len(needle), no per-character scan, no shuffle. Docs
+    without a hit (or NULL text) emit no rows; overlapping occurrences
+    follow split semantics (non-overlapping, leftmost-first — 'aaa'
+    contains 'aa' once, the standard grep -c convention)."""
+    if not needle:
+        raise ValueError("find_text: needle must be non-empty")
+    ln = len(needle)
+    # regex-quoted literal: \Q..\E has no metacharacter risk except a
+    # needle containing the literal '\E' terminator — reject loudly.
+    if "\\E" in needle:
+        raise ValueError(r"find_text: needle may not contain '\E'")
+    parts = F.split(F.col(text_col), "\\Q" + needle + "\\E", -1)
+    base = df.select(
+        F.col(id_col), parts.alias("_p")
+    ).where(F.size("_p") > 1)
+    positions = F.expr(
+        f"aggregate(slice(_p, 1, size(_p) - 1), "
+        f"struct(cast(0 as bigint) as off, cast(array() as array<bigint>) as pos), "
+        f"(acc, p) -> struct(acc.off + length(p) + {ln}, "
+        f"array_append(acc.pos, acc.off + length(p))), "
+        f"acc -> acc.pos)"
+    )
+    return base.select(id_col, F.posexplode(positions).alias("occ_idx", "pos"))

@@ -1889,3 +1889,38 @@ def test_winnow_fingerprints_guarantee(spark):
 
     with pytest.raises(ValueError):
         winnow_fingerprints(d, k=1)
+
+
+def test_find_text_positions(spark):
+    """Corpus grep: exact char offsets, multiple occurrences indexed in
+    order, case-sensitive, split (non-overlapping) semantics, no rows
+    for clean/NULL docs, empty needle raises."""
+    import pytest
+
+    from ocr_poc_spark.operators.search import find_text
+
+    rows = [
+        (1, "abc NEEDLE def NEEDLE x"),
+        (2, "needle lowercase only"),
+        (3, None),
+        (4, "NEEDLENEEDLE"),
+        (5, "ends with NEEDLE"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["occ_idx"], r["pos"])
+        for r in find_text(d, "NEEDLE").collect()
+    )
+    assert out == [
+        (1, 0, 4), (1, 1, 15),
+        (4, 0, 0), (4, 1, 6),
+        (5, 0, 10),
+    ]
+    # positions really point at the needle
+    assert rows[0][1][4:10] == "NEEDLE" and rows[0][1][15:21] == "NEEDLE"
+    # metacharacters are literal
+    meta = spark.createDataFrame([(9, "a.c a.c abc")], "doc_id long, text string")
+    got = [(r["occ_idx"], r["pos"]) for r in find_text(meta, "a.c").collect()]
+    assert got == [(0, 0), (1, 4)]
+    with pytest.raises(ValueError):
+        find_text(d, "")
