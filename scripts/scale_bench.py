@@ -290,6 +290,15 @@ def main() -> None:
         "decontaminate_spans",
         "hybrid_search",
         "crawl_frontier",
+        # round 5, session 3 late: LM upgrades + audits + grep
+        "kn_perplexity",
+        "ccnet_buckets",
+        "tokenizer_fertility",
+        "winnow_fingerprints",
+        "bitext_url",
+        "repeat_line_dedup",
+        "benchmark_coverage",
+        "corpus_grep",
     ]
 
     spark = get_spark(

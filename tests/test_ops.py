@@ -1924,3 +1924,66 @@ def test_find_text_positions(spark):
     assert got == [(0, 0), (1, 4)]
     with pytest.raises(ValueError):
         find_text(d, "")
+
+
+def test_find_text_random_mirror(spark):
+    """Randomized property check: find_text positions equal a pure-
+    Python str.find scan on 200 seeded random docs (one Spark job)."""
+    import random
+
+    from ocr_poc_spark.operators.search import find_text
+
+    rng = random.Random(42)
+    alphabet = ["ab", "NEEDLE", "c", " ", "NEED", "LE", "abcNEEDLE"]
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))))
+        for i in range(200)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["occ_idx"], r["pos"])
+        for r in find_text(d, "NEEDLE").collect()
+    )
+    want = []
+    for i, t in rows:
+        start, k = 0, 0
+        while True:
+            p = t.find("NEEDLE", start)
+            if p < 0:
+                break
+            want.append((i, k, p))
+            start, k = p + 6, k + 1   # non-overlapping, leftmost-first
+    assert got == sorted(want) and len(got) > 50
+
+
+def test_strip_repeated_lines_random_mirror(spark):
+    """Randomized property check: the HOF rewrite equals a pure-Python
+    first-occurrence filter on 200 seeded random multi-line docs."""
+    import random
+
+    from ocr_poc_spark.operators.curation import strip_repeated_lines
+
+    rng = random.Random(7)
+    lines_pool = ["Nav Home", "nav home ", "body", "", "  ", "More", "x y"]
+    rows = [
+        (i, "\n".join(rng.choice(lines_pool)
+                      for _ in range(rng.randint(1, 10))))
+        for i in range(200)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+           for r in strip_repeated_lines(d).collect()}
+
+    def mirror(t):
+        seen, kept = set(), []
+        for l in t.split("\n"):
+            norm = l.strip().lower()
+            if norm == "":
+                kept.append(l)
+            elif norm not in seen:
+                seen.add(norm)
+                kept.append(l)
+        return "\n".join(kept), len(t.split("\n")) - len(kept)
+
+    for i, t in rows:
+        assert got[i] == mirror(t), (i, t)
