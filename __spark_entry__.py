@@ -3678,11 +3678,13 @@ def oracle_sql() -> dict[str, str]:
               FROM ls, unnest(range(0, len(l))) AS u(i)),
             keep AS (
               SELECT r.doc_id, r.idx, r.line,
-                     CASE WHEN trim(r.line) = '' THEN TRUE
+                     CASE WHEN regexp_replace(r.line, '^\\s+|\\s+$', '', 'g') = ''
+                          THEN TRUE
                           ELSE NOT EXISTS (
                             SELECT 1 FROM lrows p
                             WHERE p.doc_id = r.doc_id AND p.idx < r.idx
-                              AND lower(trim(p.line)) = lower(trim(r.line)))
+                              AND lower(regexp_replace(p.line, '^\\s+|\\s+$', '', 'g'))
+                                = lower(regexp_replace(r.line, '^\\s+|\\s+$', '', 'g')))
                      END AS k
               FROM lrows r),
             rebuilt AS (

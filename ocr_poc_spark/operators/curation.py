@@ -1223,8 +1223,9 @@ def strip_repeated_lines(
 ) -> DataFrame:
     """Within-document repeated-line removal — the SELF-repetition
     rewrite (Dolma-style) complementing strip_boilerplate_lines
-    (cross-document): a line whose normalized form (trimmed,
-    lowercased) already occurred EARLIER in the same document is
+    (cross-document): a line whose normalized form (ALL edge
+    whitespace stripped — including \r/\t, so CRLF splits match —
+    then lowercased) already occurred EARLIER in the same document is
     dropped; the first occurrence and all blank lines are kept
     verbatim, in order (blanks are structure, not content — same
     contract as the cross-doc pass). Catches the chrome web pages
@@ -1244,9 +1245,16 @@ def strip_repeated_lines(
         F.col(id_col),
         F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("_ls"),
     )
+    # normalization strips ALL leading/trailing whitespace (regexp,
+    # not trim(): trim only removes ASCII spaces, so CRLF documents —
+    # 'nav\r' vs 'nav' after a \n split — and tab-padded chrome would
+    # otherwise defeat the match; an all-\r/\t line counts as blank)
+    norm = "regexp_replace({x}, '^\\\\s+|\\\\s+$', '')"
     kept = F.expr(
-        "filter(_ls, (l, i) -> trim(l) = '' OR NOT exists("
-        "slice(_ls, 1, i), p -> lower(trim(p)) = lower(trim(l))))"
+        "filter(_ls, (l, i) -> "
+        + norm.format(x="l") + " = '' OR NOT exists("
+        "slice(_ls, 1, i), p -> lower(" + norm.format(x="p") + ")"
+        " = lower(" + norm.format(x="l") + ")))"
     )
     return base.select(
         id_col,
@@ -1294,22 +1302,28 @@ def benchmark_coverage(
         bench.where(F.size("_w") >= n)
         .select("_bid", F.explode(F.array_distinct(_shingle_hashes("_w", n))).alias("_h"))
     )
-    found = exploded.join(corpus, "_h", "left_semi").groupBy("_bid").agg(
-        F.count(F.lit(1)).alias("n_found")
+    # ONE pass over the exploded bench side (decontaminate's shape):
+    # left join against the marked corpus hashes, count + sum(marker)
+    # in the same aggregate — no second explode, no agg-to-agg join.
+    marked = corpus.withColumn("_hit", F.lit(1))
+    full = (
+        exploded.join(marked, "_h", "left")
+        .groupBy("_bid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_found"),
+        )
+        .select(
+            F.col("_bid").alias(bench_id_col),
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_found").cast("long").alias("n_found"),
+            F.round(F.col("n_found") / F.col("n_ngrams"), 6).alias("coverage"),
+        )
     )
-    totals = exploded.groupBy("_bid").agg(F.count(F.lit(1)).alias("n_ngrams"))
     short = bench.where(F.size("_w") < n).select(
         F.col("_bid").alias(bench_id_col),
         F.lit(0).cast("long").alias("n_ngrams"),
         F.lit(0).cast("long").alias("n_found"),
         F.lit(None).cast("double").alias("coverage"),
-    )
-    full = totals.join(found, "_bid", "left").select(
-        F.col("_bid").alias(bench_id_col),
-        F.col("n_ngrams").cast("long").alias("n_ngrams"),
-        F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
-        F.round(
-            F.coalesce("n_found", F.lit(0)) / F.col("n_ngrams"), 6
-        ).alias("coverage"),
     )
     return full.unionByName(short)

@@ -673,12 +673,16 @@ def kn_lm_scores(
     # the (w1, w2, c_big) aggregate — c_pre = sum of c_big per w1,
     # N1+ forward/backward = row counts per side, n_types = total rows
     # (big_counts rows are distinct bigrams by construction).
-    # Checkpointed because four consumers would otherwise each re-run
-    # the explode + groupBy at 100 TB.
+    # persist(), not an eager localCheckpoint: four consumers reuse
+    # the aggregate within the one action, the plan stays lazy (no job
+    # fires at call/plan-inspection time), and a lost executor
+    # recomputes from lineage instead of failing on a missing
+    # checkpoint block. The cache ages out by LRU — bounded by the
+    # distinct-bigram table, far below the exploded rows it saves.
     big_counts = (
         tb.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_big"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     pre_counts = big_counts.groupBy("w1").agg(
         F.sum("c_big").alias("c_pre"),

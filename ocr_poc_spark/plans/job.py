@@ -802,8 +802,15 @@ def run_frontier(
         # summary, not a schema-inference crash
         if "UNABLE_TO_INFER_SCHEMA" not in str(e) and "PATH_NOT_FOUND" not in str(e):
             raise
+        fr_dir = os.path.join(out_dir, "frontier")
+        # keep the stage's output contract: frontier_dir is always a
+        # readable (possibly empty) parquet table
+        spark.createDataFrame(
+            [],
+            "url string, host string, priority double, slot int, wave int",
+        ).write.mode("overwrite").parquet(fr_dir)
         return {
-            "frontier_dir": os.path.join(out_dir, "frontier"),
+            "frontier_dir": fr_dir,
             "frontier_urls": 0,
             "frontier_waves": 0,
             "frontier_priority": "none",
@@ -899,7 +906,11 @@ def _packable_docs(spark: SparkSession, out_dir: str):
         # --decontaminate-spans ran: its text_clean was computed FROM
         # the span-rewritten bodies when both stages ran (see
         # run_decontaminate_spans), so substituting it here subsumes
-        # the span_dedup substitution above.
+        # the span_dedup substitution above — but the span rewrite is
+        # still IN EFFECT, so it must still appear in the provenance
+        # record (filters) even though its join is skipped.
+        if os.path.isdir(sd_dir):
+            filters.append("span_dedup")
         rewritten = spark.read.parquet(ds_dir).select(
             "doc_id", F.col("text_clean")
         )

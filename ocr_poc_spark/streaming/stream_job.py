@@ -694,27 +694,35 @@ def start_quality_stream(
     nb = model.count() if n_buckets is None else n_buckets
     pages = read_pages_stream(spark, in_path)
 
+    checked = {"done": False}
+
     def _one_batch(bdf: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
         s = bdf.sparkSession
         # Refuse a fresh checkpoint over an out_path already holding
         # later batches: the overwrite would silently mix scores from
-        # two different runs/models (sibling-stream contract).
-        try:
-            prior = s.read.option("basePath", out_path).parquet(out_path)
-            stale = prior.select(F.max("batch").alias("m")).collect()[0]["m"]
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            stale = None
-        if stale is not None and stale > batch_id:
-            raise RuntimeError(
-                f"out_path {out_path!r} already holds batches up to "
-                f"{stale} but this stream is at batch {batch_id}: resume "
-                "with the original checkpoint, or score into a fresh "
-                "out_path"
-            )
+        # two different runs/models (sibling-stream contract). Checked
+        # ONCE per stream start — within a run the prior max is always
+        # batch_id - 1, and re-scanning the whole (linearly growing)
+        # output directory per micro-batch would cost O(batches^2)
+        # cumulative metadata reads on the hot path.
+        if not checked["done"]:
+            checked["done"] = True
+            try:
+                prior = s.read.option("basePath", out_path).parquet(out_path)
+                stale = prior.select(F.max("batch").alias("m")).collect()[0]["m"]
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                stale = None
+            if stale is not None and stale > batch_id:
+                raise RuntimeError(
+                    f"out_path {out_path!r} already holds batches up to "
+                    f"{stale} but this stream is at batch {batch_id}: "
+                    "resume with the original checkpoint, or score into "
+                    "a fresh out_path"
+                )
         ext = extract_fused(bdf)
         docs = ext.where(
             F.col("success") & F.col("body_text").isNotNull()

@@ -1964,7 +1964,8 @@ def test_strip_repeated_lines_random_mirror(spark):
     from ocr_poc_spark.operators.curation import strip_repeated_lines
 
     rng = random.Random(7)
-    lines_pool = ["Nav Home", "nav home ", "body", "", "  ", "More", "x y"]
+    lines_pool = ["Nav Home", "nav home ", "body", "", "  ", "More",
+                  "x y", "Nav Home\r", "\tbody", "\r", "\t "]
     rows = [
         (i, "\n".join(rng.choice(lines_pool)
                       for _ in range(rng.randint(1, 10))))
@@ -1977,7 +1978,7 @@ def test_strip_repeated_lines_random_mirror(spark):
     def mirror(t):
         seen, kept = set(), []
         for l in t.split("\n"):
-            norm = l.strip().lower()
+            norm = l.strip().lower()   # python strip == full whitespace
             if norm == "":
                 kept.append(l)
             elif norm not in seen:
