@@ -1605,6 +1605,19 @@ def q_dsir_weights(spark, sf_dir):
     return importance_weights(docs, target)
 
 
+def q_dsir_resample(spark, sf_dir):
+    """DSIR Gumbel-top-k importance RESAMPLING (dsir.dsir_resample) —
+    the paper's sampling rule on top of q_dsir_weights' exact-count
+    weights: key = logw + Gumbel(md5 uniform), top-40 without
+    replacement. The oracle extends the dsir_weights replay with the
+    same deterministic noise and the parenthesized-limit ordering."""
+    from ocr_poc_spark.operators.dsir import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") % 10 == 0))
+    return dsir_resample(docs, target, top_n=40, seed="ep0")
+
+
 def _link_pages(spark, sf_dir):
     """Deterministic linked-page synthesis shared by the webgraph
     queries: each doc's page lives on '<source>.example' and links to
@@ -2019,7 +2032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate": q_minhash_estimate,
         "ann_ivf_bcast": q_ann_ivf_bcast,
         "strip_boilerplate": q_strip_boilerplate,
-        "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
         "benchmark_coverage": q_benchmark_coverage,
         "corpus_grep": q_corpus_grep,
@@ -2046,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "cluster_profile": q_cluster_profile,
         "dsir_weights": q_dsir_weights,
+        "dsir_resample": q_dsir_resample,
         "semantic_dedup_bcast": q_semantic_dedup_bcast,
         "asof_join": q_asof_join,
         "corpus_quantiles": q_corpus_quantiles,
@@ -2080,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "dedup_exact": q_dedup_exact,
         "normalize_urls": q_normalize_urls,
+        "decontaminate": q_decontaminate,
         "asof_forward": q_asof_forward,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -4222,6 +4236,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(c_doc * log_ratio), 4) AS logw
             FROM per_doc JOIN ratio ON per_doc.b = ratio.b
             GROUP BY doc_id
+        """,
+        "dsir_resample": f"""
+            WITH ws AS (SELECT doc_id, lang, {_WORDS_SQL} AS w FROM documents),
+            grams AS (
+              SELECT doc_id, lang, u.g FROM ws, unnest(w) AS u(g) WHERE u.g <> ''
+              UNION ALL
+              SELECT doc_id, lang, w[i.i - 1] || ' ' || w[i.i] AS g
+              FROM ws, unnest(range(2, len(w)::BIGINT + 1)) AS i(i)),
+            bk AS (SELECT doc_id, lang,
+                          ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS b
+                   FROM grams),
+            rawc AS (SELECT b, COUNT(*) AS c_raw FROM bk GROUP BY b),
+            tgtc AS (SELECT b, COUNT(*) AS c_tgt FROM bk
+                     WHERE lang = 'en' AND doc_id % 10 = 0 GROUP BY b),
+            tot AS (SELECT (SELECT SUM(c_raw) FROM rawc)::DOUBLE AS t_raw,
+                           (SELECT SUM(c_tgt) FROM tgtc)::DOUBLE AS t_tgt),
+            ratio AS (
+              SELECT rawc.b,
+                     ln(COALESCE(c_tgt, 0) + 0.5) - ln(t_tgt + 0.5 * 4096)
+                     - ln(c_raw + 0.5) + ln(t_raw + 0.5 * 4096) AS log_ratio
+              FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tot),
+            per_doc AS (
+              SELECT doc_id, bk.b, COUNT(*) AS c_doc
+              FROM bk GROUP BY doc_id, bk.b),
+            wts AS (
+              SELECT doc_id, SUM(c_doc)::BIGINT AS n_ngrams,
+                     ROUND(SUM(c_doc * log_ratio), 4) AS logw
+              FROM per_doc JOIN ratio ON per_doc.b = ratio.b
+              GROUP BY doc_id),
+            keyed AS (
+              SELECT doc_id, n_ngrams, logw,
+                     ROUND(logw + (-ln(-ln(
+                       (('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                          % 10000 + 0.5) / 10000.0))), 4) AS gumbel_key
+              FROM wts)
+            (SELECT doc_id, n_ngrams, logw, gumbel_key FROM keyed
+             ORDER BY gumbel_key DESC, doc_id ASC LIMIT 40)
         """,
         "semantic_dedup": _semantic_dedup_oracle(_ivf_lookup_centroids()),
         "semantic_dedup_bcast": _semantic_dedup_oracle(

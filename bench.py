@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "ann_quantized", "ann_recall", "ccnet_buckets", "kn_perplexity",
     "bitext_url", "tokenizer_fertility", "winnow_fingerprints",
     "components_incremental", "repeat_line_dedup", "benchmark_coverage", "corpus_grep",
+    "dsir_resample",
     "temperature_sample", "shuffle_shards", "quality_classifier",
     "robots_filter",
 ]

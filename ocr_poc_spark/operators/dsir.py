@@ -158,3 +158,62 @@ def dsir_select(
         n_buckets=n_buckets, alpha=alpha,
     )
     return w.orderBy(F.desc("logw"), F.asc(id_col)).limit(top_n)
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    top_n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 0.5,
+    seed: str = "",
+    denom: int = 10000,
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING — the DSIR paper's actual
+    selection rule: draw top_n documents WITHOUT replacement with
+    probability proportional to their importance weight, via the
+    Gumbel-max identity (argmax of logw_i + G_i over i.i.d. Gumbel
+    noise samples the softmax). dsir_select's deterministic top-n by
+    weight is the greedy variant; resampling preserves DIVERSITY — a
+    long tail of moderately-target-like documents gets proportional
+    representation instead of being cliffed at the cut.
+
+    Reproducibility without rand(): the uniform is the md5 bucket of
+    (seed ':' id) scaled to (0, 1) — u = (bucket + 0.5) / denom, the
+    suite's standard deterministic-sampling construction
+    (sample_bucket / shuffle_shards), so re-runs, resumed partitions,
+    and the SQL oracle all draw identical noise; a new seed is a new
+    draw. G = -ln(-ln(u)) is two libm calls, so the selection key
+    rides the 4-decimal rounding margin (logw is already rounded-4 by
+    importance_weights) with an id tie-break.
+
+    Plan: importance_weights' shape plus one map-side key column and a
+    TakeOrderedAndProject top_n — no global window, nothing new
+    shuffles. Returns (id, n_ngrams, logw, gumbel_key), ordered."""
+    from ..functions.texthash import hash60
+
+    if top_n < 1:
+        raise ValueError("dsir_resample: top_n must be >= 1")
+    w = importance_weights(
+        raw, target, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, alpha=alpha,
+    )
+    u = (
+        F.pmod(
+            hash60(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col(id_col).cast("string")
+                )
+            ),
+            F.lit(denom),
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(denom))
+    key = F.round(F.col("logw") + (-F.log(-F.log(u))), 4)
+    return (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(top_n)
+    )

@@ -1257,3 +1257,53 @@ def test_benchmark_coverage_reverse_decontamination(spark):
     assert out[11]["coverage"] == 0.0 and out[11]["n_found"] == 0
     assert 0.0 < out[12]["coverage"] < 1.0
     assert out[13]["n_ngrams"] == 0 and out[13]["coverage"] is None
+
+
+def test_dsir_resample_gumbel_semantics(spark):
+    """Gumbel-top-k resampling: keys equal logw + Gumbel(md5 uniform)
+    exactly (python mirror via hashlib + math), selection differs from
+    greedy top-n (diversity), a new seed is a new draw, and re-runs
+    are deterministic."""
+    import hashlib
+    import math
+
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.operators.dsir import (
+        dsir_resample, dsir_select, importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("target words here " * 3) if i % 3 == 0
+          else f"noise{i} junk{i} other{i} stuff{i}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    target = docs.where("doc_id % 3 = 0").limit(5)
+
+    out = dsir_resample(docs, target, top_n=10, seed="ep0").collect()
+    assert len(out) == 10
+    logw = {r["doc_id"]: r["logw"]
+            for r in importance_weights(docs, target).collect()}
+
+    def mirror_key(i):
+        h = hashlib.md5(f"ep0:{i}".encode()).hexdigest()
+        b = int(h[:15], 16) % 10000
+        u = (b + 0.5) / 10000.0
+        return round(logw[i] + (-math.log(-math.log(u))), 4)
+
+    for r in out:
+        assert r["gumbel_key"] == mirror_key(r["doc_id"])
+    # ordered by key desc, id asc
+    keys = [(-r["gumbel_key"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+    # resampling != greedy top-n on this corpus (noise shuffles the cut)
+    greedy = {r["doc_id"] for r in dsir_select(docs, target, top_n=10).collect()}
+    sampled = {r["doc_id"] for r in out}
+    assert sampled != greedy
+    # new seed -> new draw; same seed -> identical
+    again = {r["doc_id"] for r in
+             dsir_resample(docs, target, top_n=10, seed="ep0").collect()}
+    other = {r["doc_id"] for r in
+             dsir_resample(docs, target, top_n=10, seed="ep1").collect()}
+    assert again == sampled and other != sampled
