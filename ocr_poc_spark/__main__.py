@@ -124,6 +124,12 @@ def main(argv: list[str] | None = None) -> int:
              "(--pack then packs only those)",
     )
     ap.add_argument(
+        "--select-seed", default=None,
+        help="with --select-target: Gumbel-top-k importance RESAMPLING "
+             "(selection probability proportional to weight, "
+             "deterministic per seed) instead of the greedy top-N cut",
+    )
+    ap.add_argument(
         "--quality-target", metavar="TARGET_PARQUET", default=None,
         help="after extraction, train a Naive Bayes quality classifier "
              "(positive = this curated exemplar parquet's text column, "
@@ -423,7 +429,10 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.job import run_select
 
         summary.update(
-            run_select(spark, args.out, args.select_target, args.select_top)
+            run_select(
+                spark, args.out, args.select_target, args.select_top,
+                sample_seed=args.select_seed,
+            )
         )
     if args.quality_target:
         from .plans.job import run_quality

@@ -612,6 +612,7 @@ def run_select(
     out_dir: str,
     target_path: str,
     top_n: int,
+    sample_seed: str | None = None,
 ) -> dict:
     """Post-extraction DSIR selection pass (operators/dsir.py): score
     every extracted doc's hashed-ngram importance weight against a
@@ -621,7 +622,13 @@ def run_select(
     selected). The full weight table is kept (not just the cut) so the
     threshold can be re-drawn without re-scoring; --pack honors the
     selected flag via LEFT SEMI. Deterministic (rounded logw desc, url)
-    cut; idempotent overwrite like every post-stage."""
+    cut; idempotent overwrite like every post-stage.
+
+    ``sample_seed`` (CLI --select-seed) switches the cut from greedy
+    top-n to the paper's Gumbel-top-k importance RESAMPLING: selection
+    probability proportional to weight, noise drawn deterministically
+    from the seed (dsir.dsir_resample) — a different seed is a fresh
+    draw, the same seed reproduces exactly."""
     from ..operators.dsir import importance_weights
 
     docs = _curation_docs(spark, out_dir).select(
@@ -633,11 +640,21 @@ def run_select(
     w = importance_weights(docs, target, id_col="doc_id").localCheckpoint(
         eager=True
     )
-    top = (
-        w.orderBy(F.desc("logw"), F.asc("doc_id"))
-        .limit(top_n)
-        .select("doc_id", F.lit(True).alias("_sel"))
-    )
+    if sample_seed is not None:
+        from ..functions.texthash import hash60
+
+        u = (
+            F.pmod(
+                hash60(F.concat(F.lit(sample_seed), F.lit(":"), F.col("doc_id"))),
+                F.lit(10000),
+            )
+            + F.lit(0.5)
+        ) / F.lit(10000.0)
+        key = F.round(F.col("logw") + (-F.log(-F.log(u))), 4)
+        ranked = w.withColumn("_k", key).orderBy(F.desc("_k"), F.asc("doc_id"))
+    else:
+        ranked = w.orderBy(F.desc("logw"), F.asc("doc_id"))
+    top = ranked.limit(top_n).select("doc_id", F.lit(True).alias("_sel"))
     sel = w.join(top, "doc_id", "left").select(
         F.col("doc_id").alias("url"),
         "n_ngrams",

@@ -774,3 +774,40 @@ def test_run_frontier_empty_corpus(spark, tmp_path):
     res = run_frontier(spark, out, per_host=3)
     assert res["frontier_urls"] == 0 and res["frontier_waves"] == 0
     assert res["frontier_priority"] == "none"
+
+
+def test_cli_select_sample_seed_mode(spark, tmp_path, pages_df):
+    """--select-seed: Gumbel resampling picks exactly N, reproduces
+    under the same seed, re-deals under a new one, and composes with
+    the persisted weight table like the greedy mode."""
+    import pyspark.sql.functions as F
+
+    from ocr_poc_spark.plans.job import run_job, run_select
+
+    out = str(tmp_path / "selsmp")
+    run_job(spark, pages_df.limit(40), out, mode="fused", n_buckets=2)
+    bodies = (
+        spark.read.parquet(out + "/extracted")
+        .where("success AND body_text IS NOT NULL")
+        .select("body_text").orderBy("body_text").limit(5)
+    )
+    target_path = str(tmp_path / "target.parquet")
+    bodies.select(F.col("body_text").alias("text")).write.parquet(target_path)
+
+    res = run_select(spark, out, target_path, top_n=10, sample_seed="ep0")
+    assert res["selection_kept"] == 10
+    first = {r["url"] for r in spark.read.parquet(res["selection_dir"])
+             .where("selected").collect()}
+    res2 = run_select(spark, out, target_path, top_n=10, sample_seed="ep0")
+    again = {r["url"] for r in spark.read.parquet(res2["selection_dir"])
+             .where("selected").collect()}
+    assert again == first
+    # NOTE: on this fixture the logw gaps dominate the Gumbel noise,
+    # so a different seed may legitimately pick the same 10 docs — the
+    # draw-varies-with-seed semantics is proven at operator level
+    # (test_dsir_resample_gumbel_semantics); here we only pin that the
+    # sampled mode stays a valid reproducible selection.
+    res3 = run_select(spark, out, target_path, top_n=10, sample_seed="ep7")
+    other = {r["url"] for r in spark.read.parquet(res3["selection_dir"])
+             .where("selected").collect()}
+    assert len(other) == 10
