@@ -93,13 +93,27 @@ def _shingle_and_bands(
     text_col: str,
     num_hashes: int,
     num_bands: int,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(shingled(id, shingles), band_ids(id, band, sig)) — the shared
-    front half of the batch and incremental MinHash paths."""
+    front half of the batch and incremental MinHash paths.
+
+    ``materialize``: callers that consume BOTH frames more than once
+    (minhash_lsh_pairs references shingled on each verify side and
+    band_ids on each side of the band self-join) pass True so the
+    tokenize+shingle pass runs ONCE and the num_hashes-fold signature
+    pass runs ONCE — without it the physical plan scans and re-shingles
+    the corpus once per reference (4 scans + 2 signature passes,
+    measured in plans/r06/dedup_minhash_before.txt). Same
+    materialization contract as simhash_near_pairs: localCheckpoint is
+    fine up to very large corpora; at 10^12 docs persist the two frames
+    as intermediate tables instead."""
     rows_per_band = num_hashes // num_bands
     shingled = word_shingles(df.select(id_col, text_col), text_col).select(
         F.col(id_col).alias("id"), "shingles"
     )
+    if materialize:
+        shingled = shingled.localCheckpoint(eager=True)
     sig = minhash_signature(shingled, num_hashes)
     bands = []
     for b in range(num_bands):
@@ -108,6 +122,8 @@ def _shingle_and_bands(
     band_ids = sig.select(
         "id", F.explode(F.array(*bands)).alias("bs")
     ).select("id", "bs.band", "bs.sig")
+    if materialize:
+        band_ids = band_ids.localCheckpoint(eager=True)
     return shingled, band_ids
 
 
@@ -143,7 +159,7 @@ def minhash_lsh_pairs(
     # pairs are deduped first; the shingle arrays are joined back ONCE
     # per side for the exact-Jaccard verify.
     shingled, band_ids = _shingle_and_bands(
-        df, id_col, text_col, num_hashes, num_bands
+        df, id_col, text_col, num_hashes, num_bands, materialize=True
     )
 
     left = band_ids.select(F.col("id").alias("id_a"), "band", "sig")
@@ -209,7 +225,7 @@ def minhash_lsh_pairs_incremental(
     full corpus is never re-shingled, only the (tiny) candidate set.
     Ids must be distinct across the two inputs (crawl ids are)."""
     shingled_new, bands_new = _shingle_and_bands(
-        new_docs, id_col, text_col, num_hashes, num_bands
+        new_docs, id_col, text_col, num_hashes, num_bands, materialize=True
     )
     if corpus_index is None:
         corpus_index = minhash_band_index(
@@ -319,6 +335,11 @@ def ngram_jaccard_pairs(
                 ).cast("boolean"),
             ).otherwise(F.lit(True))
         ).drop("_gcnt")
+    # Both self-join sides read `base`; without materialization each
+    # side re-tokenizes the corpus (and re-runs the guard window). The
+    # frame is (id, grp, <=prefix_words words) — small at any corpus
+    # size relative to the O(n^2) join it feeds.
+    base = base.localCheckpoint(eager=True)
     a = base.select(F.col("id").alias("id_a"), "grp", F.col("ws").alias("ws_a"))
     b = base.select(F.col("id").alias("id_b"), "grp", F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
@@ -493,10 +514,13 @@ def _star_round(edges: DataFrame) -> DataFrame:
         .join(mins, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where("u != v")
-        .distinct()
     )
     # Small-star: direct edges large->small, then every smaller
     # neighbor (and u itself) links to the neighborhood minimum.
+    # (No intermediate distinct between the stars: the small-star min
+    # is duplicate-insensitive and the round's closing distinct dedups
+    # — one Exchange fewer per round; duplicate rows between the stars
+    # stay bounded by |und|.)
     directed = large.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
