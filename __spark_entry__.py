@@ -1192,12 +1192,13 @@ def q_quality_classifier(spark, sf_dir):
     are exact integers; the ln-sum rides the 4-decimal rounding margin
     (the dsir contract); the model is a full 4096-bucket spine,
     broadcast into scoring."""
-    from ocr_poc_spark.operators.classifier import nb_score, nb_train
+    from ocr_poc_spark.operators.classifier import nb_train_score_self
 
     d = _t(spark, sf_dir, "documents", spread=True)
-    pos = d.where(F.col("lang") == "en")
-    neg = d.where((F.col("lang") != "en") | F.col("lang").isNull())
-    return nb_score(d, nb_train(pos, neg))
+    # Fused self-train shape: one tokenize+hash pass feeds pos counts,
+    # neg counts AND scoring (provably equal to
+    # nb_score(d, nb_train(pos, neg)) — see nb_train_score_self).
+    return nb_train_score_self(d, F.col("lang") == "en")
 
 
 def q_robots_filter(spark, sf_dir):

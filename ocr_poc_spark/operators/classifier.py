@@ -89,6 +89,16 @@ def nb_train(
         .crossJoin(pos.agg(F.count(F.lit(1)).alias("n_pos")))
         .crossJoin(neg.agg(F.count(F.lit(1)).alias("n_neg")))
     )
+    return _nb_model(spark, cp, cn, totals, n_buckets, alpha)
+
+
+def _nb_model(
+    spark, cp: DataFrame, cn: DataFrame, totals: DataFrame,
+    n_buckets: int, alpha: float,
+) -> DataFrame:
+    """Model assembly shared by nb_train and the fused self-train path:
+    full bucket spine joined with the class counts, llr/prior exprs.
+    ONE definition so the two paths cannot drift."""
 
     def checked(col: str, side: str):
         return F.when(
@@ -130,6 +140,7 @@ def nb_score(
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     denom: int = 10000,
+    doc_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents under a trained model: (id, n_terms, score,
     keep). score = round(prior + sum c_doc*llr, 4), higher = more
@@ -141,12 +152,19 @@ def nb_score(
 
     ``n_buckets`` must match training; a mismatch surfaces as missing
     model rows and fails loudly in-plan rather than silently dropping
-    feature mass."""
+    feature mass.
+
+    ``doc_counts``: pass precomputed per-document (id, bucket, c_doc)
+    rows to skip the tokenize+hash pass — the fused self-train path
+    (nb_train_score_self) computes them once for training AND scoring."""
+    if doc_counts is None:
+        doc_counts = (
+            _doc_buckets(df, id_col, text_col, n_buckets, keep_id=True)
+            .groupBy(id_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("c_doc"))
+        )
     feats = (
-        _doc_buckets(df, id_col, text_col, n_buckets, keep_id=True)
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("c_doc"))
-        .join(F.broadcast(model), "bucket", "left")
+        doc_counts.join(F.broadcast(model), "bucket", "left")
         .withColumn(
             "llr",
             F.when(
@@ -187,4 +205,69 @@ def nb_score(
     )
     return scored.withColumn(
         "keep", (F.col("score") > 0) | (u < thresh)
+    )
+
+
+def nb_train_score_self(
+    df: DataFrame,
+    pos_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 0.5,
+    denom: int = 10000,
+) -> DataFrame:
+    """Fused train+score for the self-training shape (the negative
+    class is the corpus itself minus the positives — the GPT-3 recipe,
+    and the driver's quality_classifier query): ONE tokenize+hash pass
+    over the corpus instead of three (pos counts, neg counts, scoring).
+
+    ``pos_pred``: boolean Column marking the positive class; rows where
+    it is false OR NULL are the negative class — exactly the
+    pos/neg partition ``df.where(p)`` / ``df.where(~p | p.isNull())``
+    produces, so results are identical to
+    ``nb_score(df, nb_train(df.where(p), df.where(~p | isnull(p))))``
+    (every count is the same exact integer; the model assembly and
+    scoring expressions are the shared _nb_model / nb_score code).
+
+    The per-document bucket counts are materialized once and reused by
+    the class count aggregation AND scoring — the same (id, int, int)
+    rows that already cross the groupBy shuffle, never text."""
+    spark = df.sparkSession
+    flagged = df.withColumn("_pos", pos_pred.eqNullSafe(F.lit(True)))
+    doc_counts = (
+        _doc_buckets(
+            flagged, id_col, text_col, n_buckets, keep_id=True,
+            extra_cols=("_pos",),
+        )
+        .groupBy(id_col, "_pos", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .localCheckpoint(eager=True)
+    )
+    cp = (
+        doc_counts.where(F.col("_pos"))
+        .groupBy("bucket").agg(F.sum("c_doc").alias("c_pos"))
+    )
+    cn = (
+        doc_counts.where(~F.col("_pos"))
+        .groupBy("bucket").agg(F.sum("c_doc").alias("c_neg"))
+    )
+    # Document totals count EVERY row (feature-less docs included), so
+    # they come from the corpus frame, not the feature rows — a cheap
+    # pruned scan of the predicate columns only.
+    totals = (
+        cp.agg(F.sum("c_pos").alias("t_pos"))
+        .crossJoin(cn.agg(F.sum("c_neg").alias("t_neg")))
+        .crossJoin(
+            flagged.agg(
+                F.count(F.when(F.col("_pos"), 1)).alias("n_pos"),
+                F.count(F.when(~F.col("_pos"), 1)).alias("n_neg"),
+            )
+        )
+    )
+    model = _nb_model(spark, cp, cn, totals, n_buckets, alpha)
+    return nb_score(
+        df, model, id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        denom=denom,
+        doc_counts=doc_counts.select(id_col, "bucket", "c_doc"),
     )

@@ -745,13 +745,19 @@ def bpe_learn(
     corpus passes it used under ``diag['rounds']`` (an out-param rather
     than mutable function state, so concurrent callers cannot clobber
     each other's readings)."""
+    # Non-eager checkpoints throughout the merge loop: each round's
+    # top-pair collect is the FIRST action over the previous round's
+    # rewrite, so marking (rather than eagerly materializing) the
+    # checkpoint folds the materialization into that job — one Spark
+    # job per merge round instead of two, with lineage still truncated
+    # at every round.
     words = (
         df.select(F.explode(_norm_words(text_col)).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(F.expr("split(w, '')").alias("syms"), "freq")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if batch_merges < 1:
         raise ValueError("bpe_learn: batch_merges must be >= 1")
@@ -839,7 +845,7 @@ def bpe_learn(
             "ELSE array_append(acc.out, acc.carry) END) END"
         )
         words = words.select(merge_expr.alias("syms"), "freq").localCheckpoint(
-            eager=True
+            eager=False
         )
     if diag is not None:
         diag["rounds"] = rounds

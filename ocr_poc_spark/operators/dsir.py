@@ -47,11 +47,18 @@ DEFAULT_BUCKETS = 4096
 
 
 def _doc_buckets(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int, keep_id: bool
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    keep_id: bool,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id?, bucket) rows: one per unigram and bigram occurrence,
-    hashed into [0, n_buckets). Empty/NULL text yields no rows."""
-    cols = [F.col(id_col)] if keep_id else []
+    """(id?, extra..., bucket) rows: one per unigram and bigram
+    occurrence, hashed into [0, n_buckets). Empty/NULL text yields no
+    rows. ``extra_cols`` ride along unchanged (e.g. a class flag, so a
+    fused train+score pass tokenizes the corpus once)."""
+    cols = ([F.col(id_col)] if keep_id else []) + [F.col(c) for c in extra_cols]
     w = F.coalesce(norm_words(text_col), F.array())
     base = df.select(*cols, w.alias("_w"))
     uni = base.select(*cols, F.explode("_w").alias("_g")).where(F.col("_g") != "")
@@ -94,7 +101,21 @@ def importance_weights(
         )
 
     tgt = bucket_counts(target).withColumnRenamed("c", "c_tgt")
-    rawc = bucket_counts(raw).withColumnRenamed("c", "c_raw")
+    # ONE tokenize+hash pass over the raw corpus: the per-document
+    # bucket counts both (a) aggregate to the corpus bucket counts
+    # (sum of exact integers == direct occurrence count) and (b) feed
+    # scoring. Materialized because both consumers would otherwise
+    # re-run the explode+md5 pass; the frame is the same
+    # (id, int bucket, int count) rows that already cross the groupBy
+    # shuffle — never text (at extreme scale persist it as a table
+    # instead, same contract as the dedup index frames).
+    doc_counts = (
+        _doc_buckets(raw, id_col, text_col, n_buckets, keep_id=True)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .localCheckpoint(eager=True)
+    )
+    rawc = doc_counts.groupBy("bucket").agg(F.sum("c_doc").alias("c_raw"))
     totals = (
         tgt.agg(F.sum("c_tgt").alias("t_tgt"))
         .crossJoin(rawc.agg(F.sum("c_raw").alias("t_raw")))
@@ -124,12 +145,7 @@ def importance_weights(
             ).alias("log_ratio"),
         )
     )
-    per_doc = (
-        _doc_buckets(raw, id_col, text_col, n_buckets, keep_id=True)
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("c_doc"))
-        .join(F.broadcast(ratio), "bucket")
-    )
+    per_doc = doc_counts.join(F.broadcast(ratio), "bucket")
     return (
         per_doc.groupBy(id_col)
         .agg(
