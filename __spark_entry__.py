@@ -919,6 +919,9 @@ def q_zone_transform(spark, sf_dir):  # J3+: zone join after estimated rotation
         ((F.col("event_id") % 23) * F.lit(12.0)).alias("y"),
         ((F.col("event_id") % 13 + 1) / F.lit(13.0)).alias("score"),
     )
+    # Three consumers (bounds agg, anchor window, the zone join) — one
+    # materialized pass over the events scan instead of three.
+    blocks = blocks.localCheckpoint(eager=True)
     bounds = blocks.groupBy("url").agg(
         F.min("x").alias("min_x"), F.max("x").alias("max_x"),
         F.min("y").alias("min_y"), F.max("y").alias("max_y"),
@@ -1959,8 +1962,12 @@ def q_bm25_serve(spark, sf_dir):
     from ocr_poc_spark.operators.search import bm25_index, bm25_topk
 
     docs = _t(spark, sf_dir, "documents", spread=True)
+    # Materialized like the persisted artifact it models: the serving
+    # query reads the index twice (corpus stats + term lookup) and
+    # would otherwise re-tokenize the corpus per reference.
+    idx = bm25_index(docs).localCheckpoint(eager=True)
     return bm25_topk(
-        docs, "stream filter merge vector", top_n=20, index=bm25_index(docs)
+        docs, "stream filter merge vector", top_n=20, index=idx
     )
 
 

@@ -189,7 +189,14 @@ def hybrid_topk(
         df, query, id_col=id_col, text_col=text_col,
         k1=k1, b=b, top_n=pool,
     )
-    w_sparse = Window.orderBy(F.desc("score"), F.asc(id_col))
+    # Rank windows over the <=pool-row leg results only (the corpus-
+    # scale cut is the TakeOrderedAndProject limit above). The constant
+    # partition key makes the bounded-input intent explicit in the plan
+    # and keeps driver logs free of the `WindowExec: No Partition
+    # Defined` warning, which is otherwise indistinguishable from a
+    # real whole-corpus window (VERDICT r5 #2). Same single-partition
+    # execution, same row_number values.
+    w_sparse = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc(id_col))
     sparse_ranked = sparse.select(
         F.col(id_col).alias("_id"), F.row_number().over(w_sparse).alias("bm25_rank")
     )
@@ -215,7 +222,7 @@ def hybrid_topk(
         .orderBy(F.desc("_cos"), F.asc(id_col))
         .limit(pool)
     )
-    w_dense = Window.orderBy(F.desc("_cos"), F.asc(id_col))
+    w_dense = Window.partitionBy(F.lit(0)).orderBy(F.desc("_cos"), F.asc(id_col))
     dense_ranked = scored.select(
         F.col(id_col).alias("_id"), F.row_number().over(w_dense).alias("cos_rank")
     )

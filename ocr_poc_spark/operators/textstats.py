@@ -321,12 +321,21 @@ def bigram_lm_scores(
     train = df if train_df is None else train_df
 
     tb = _bigram_rows(train, id_col, text_col, keep_id=False)
-    big_counts = (
+    # ONE train-side tokenization pass (the kn_lm_scores discipline):
+    # the prefix counts are the per-w1 sums of the distinct-bigram
+    # aggregate (exact integers — identical to counting occurrences
+    # directly), so both count tables come off one persisted aggregate
+    # instead of two explode passes. persist(), not localCheckpoint:
+    # both consumers sit inside the one action, the plan stays lazy.
+    big_counts_all = (
         tb.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_big"))
-        .where(F.col("c_big") >= min_count)
+        .persist()
     )
-    pre_counts = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("c_pre"))
+    big_counts = big_counts_all.where(F.col("c_big") >= min_count)
+    pre_counts = big_counts_all.groupBy("w1").agg(
+        F.sum("c_big").cast("long").alias("c_pre")
+    )
     v = (
         train.select(F.explode(F.coalesce(norm_words(text_col), F.array())).alias("t"))
         .where(F.col("t") != "")
