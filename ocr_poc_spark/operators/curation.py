@@ -646,13 +646,10 @@ def strip_boilerplate_lines(
         F.col(id_col).alias("_id"),
         F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("_ls"),
     )
-    # Materialized once: three consumers (boilerplate counting, the
-    # anti-join probe, per-doc totals) would each re-split and
-    # re-explode every document otherwise.
     lines = base.select(
         "_id",
         F.posexplode("_ls").alias("_idx", "_line"),
-    ).withColumn("_norm", F.lower(F.trim("_line"))).localCheckpoint(eager=True)
+    ).withColumn("_norm", F.lower(F.trim("_line")))
     participating = F.length("_norm") > 0
     boiler = (
         lines.where(participating)

@@ -62,47 +62,25 @@ def _rerank_pairs(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
-# Vector tables at or below this row count are broadcast into the
-# candidate-pair join (guide §8: attach the bounded table to the big
-# flow so the pair frame never shuffles). 100k rows x 64 doubles is
-# ~50 MB framed — comfortably under the broadcast cap; a corpus above
-# the bound falls back to the partitioned join automatically, so the
-# dial is scale-adaptive, not a local-mode constant.
-MAX_BROADCAST_VECTORS = 100_000
-
-
 def _join_back_vectors(
     pairs: DataFrame,
     vecs: DataFrame,
     id_col: str,
     qvecs: DataFrame | None = None,
-    n_vecs: int | None = None,
-    n_qvecs: int | None = None,
 ) -> DataFrame:
     """Join normalized vectors back onto ids-only candidate pairs, once
     per side (the candidate-generation shuffles stay ids-only). The
-    query side may come from a different frame (serving-mode lookup).
-
-    ``n_vecs``/``n_qvecs``: the side's row count when the caller has it
-    (checkpointed frames count for free) — sides within
-    MAX_BROADCAST_VECTORS are broadcast, so the (much larger) candidate
-    pair frame is never shuffled by the join; join results are
-    join-strategy-independent."""
+    query side may come from a different frame (serving-mode lookup)."""
     qv = vecs if qvecs is None else qvecs
-    nq = n_vecs if qvecs is None else n_qvecs
-    qside = qv.select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
-        F.col("_norm").alias("q_norm"),
+    return pairs.join(
+        qv.select(F.col(id_col).alias("query_id"), F.col("_v").alias("q_v"),
+                  F.col("_norm").alias("q_norm")),
+        "query_id",
+    ).join(
+        vecs.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("c_v"),
+                    F.col("_norm").alias("c_norm")),
+        "neighbor_id",
     )
-    cside = vecs.select(
-        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("c_v"),
-        F.col("_norm").alias("c_norm"),
-    )
-    if nq is not None and nq <= MAX_BROADCAST_VECTORS:
-        qside = F.broadcast(qside)
-    if n_vecs is not None and n_vecs <= MAX_BROADCAST_VECTORS:
-        cside = F.broadcast(cside)
-    return pairs.join(qside, "query_id").join(cside, "neighbor_id")
 
 
 def cosine_topk(
@@ -216,17 +194,9 @@ def lsh_ann_topk(
     Ids ONLY ride the bucket self-join (shipping the vectors through it
     would multiply shuffle volume by dim x n_tables); candidate pairs
     are deduped across tables first, then the vectors are joined back
-    once per side for the exact scoring.
-
-    The (id, tbl, bucket) and normalized-vector frames are each
-    materialized once: both sides of the bucket self-join and both
-    join-backs would otherwise recompute the n_tables x n_planes
-    hyperplane dot folds / the norm pass per reference (the
-    dedup_minhash lesson, plans/r06/ann_lsh_before.txt). The known
-    vector count then lets the join-backs broadcast below
-    MAX_BROADCAST_VECTORS."""
+    once per side for the exact scoring."""
     b = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, dim, n_planes, seed, n_tables)
-    band_ids = b.select(id_col, "tbl", "bucket").localCheckpoint(eager=True)
+    band_ids = b.select(id_col, "tbl", "bucket")
     left = band_ids.select(F.col(id_col).alias("query_id"), "tbl", "bucket")
     right = band_ids.select(F.col(id_col).alias("neighbor_id"), "tbl", "bucket")
     pairs = (
@@ -235,11 +205,8 @@ def lsh_ann_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    vecs = with_norm(df.select(id_col, vec_col), vec_col).localCheckpoint(eager=True)
-    n = vecs.count()
-    return _rerank_pairs(
-        _join_back_vectors(pairs, vecs, id_col, n_vecs=n), k
-    )
+    vecs = with_norm(df.select(id_col, vec_col), vec_col)
+    return _rerank_pairs(_join_back_vectors(pairs, vecs, id_col), k)
 
 
 def cosine_near_dup_pairs_exact(
@@ -282,10 +249,7 @@ def embedding_near_dup_pairs(
     candidates (high-cosine pairs agree on all sign bits of a table with
     probability (1 - theta/pi)^planes, so >=1 of n_tables catches them)."""
     b = lsh_bucket(df.select(id_col, vec_col), id_col, vec_col, dim, n_planes, seed, n_tables)
-    # Materialized once: both self-join sides / both join-backs would
-    # otherwise recompute the hyperplane folds and norm pass per
-    # reference (same contract as minhash_lsh_pairs).
-    band_ids = b.select(id_col, "tbl", "bucket").localCheckpoint(eager=True)
+    band_ids = b.select(id_col, "tbl", "bucket")
     left = band_ids.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     right = band_ids.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     cand = (
@@ -294,16 +258,17 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Vectors joined back AFTER pair-dedup (ids only ride the band join);
-    # broadcast below MAX_BROADCAST_VECTORS so candidates never shuffle.
-    vecs = with_norm(df.select(id_col, vec_col), vec_col).localCheckpoint(eager=True)
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"),
-                     F.col("_norm").alias("n_a"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"),
-                     F.col("_norm").alias("n_b"))
-    if vecs.count() <= MAX_BROADCAST_VECTORS:
-        va, vb = F.broadcast(va), F.broadcast(vb)
-    cand = cand.join(va, "id_a").join(vb, "id_b")
+    # Vectors joined back AFTER pair-dedup (ids only ride the band join).
+    vecs = with_norm(df.select(id_col, vec_col), vec_col)
+    cand = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"),
+                    F.col("_norm").alias("n_a")),
+        "id_a",
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"),
+                    F.col("_norm").alias("n_b")),
+        "id_b",
+    )
     cos = _cosine_or_null(
         _dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b")
     )
@@ -657,16 +622,8 @@ def ivf_ann_topk(
         # filtering it here would silently drop the true best match.
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
     pairs = pairs.select("query_id", "neighbor_id")
-    # Checkpointed sides count for free; within MAX_BROADCAST_VECTORS
-    # the join-backs broadcast, so the candidate pairs never shuffle.
-    n_corpus = base.count()
-    n_queries = n_corpus if queries is None else qbase.count()
     return _rerank_pairs(
-        _join_back_vectors(
-            pairs, base, id_col, qvecs=qbase,
-            n_vecs=n_corpus, n_qvecs=n_queries,
-        ),
-        k,
+        _join_back_vectors(pairs, base, id_col, qvecs=qbase), k
     )
 
 
