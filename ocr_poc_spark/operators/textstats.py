@@ -324,13 +324,19 @@ def bigram_lm_scores(
     # ONE train-side tokenization pass (the kn_lm_scores discipline):
     # the prefix counts are the per-w1 sums of the distinct-bigram
     # aggregate (exact integers — identical to counting occurrences
-    # directly), so both count tables come off one persisted aggregate
-    # instead of two explode passes. persist(), not localCheckpoint:
-    # both consumers sit inside the one action, the plan stays lazy.
+    # directly), so both count tables come off one shared aggregate
+    # instead of two explode passes. Non-eager localCheckpoint, not
+    # persist(): the plan stays lazy (no job at call time) and each
+    # invocation builds a FRESH RDD — persist() registers the plan
+    # with the CacheManager, so a repeated invocation of the same
+    # query silently reuses the previous run's cached aggregate
+    # (masking the recompute the bench is supposed to time) and logs
+    # the "Asked to cache already cached data" warning (VERDICT r5
+    # #4/#7).
     big_counts_all = (
         tb.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_big"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     big_counts = big_counts_all.where(F.col("c_big") >= min_count)
     pre_counts = big_counts_all.groupBy("w1").agg(
@@ -682,16 +688,17 @@ def kn_lm_scores(
     # the (w1, w2, c_big) aggregate — c_pre = sum of c_big per w1,
     # N1+ forward/backward = row counts per side, n_types = total rows
     # (big_counts rows are distinct bigrams by construction).
-    # persist(), not an eager localCheckpoint: four consumers reuse
-    # the aggregate within the one action, the plan stays lazy (no job
-    # fires at call/plan-inspection time), and a lost executor
-    # recomputes from lineage instead of failing on a missing
-    # checkpoint block. The cache ages out by LRU — bounded by the
-    # distinct-bigram table, far below the exploded rows it saves.
+    # Non-eager localCheckpoint, not persist(): four consumers reuse
+    # the aggregate within the one action and the plan stays lazy (no
+    # job fires at call/plan-inspection time) — but unlike persist(),
+    # each invocation builds a FRESH RDD, so a repeated run of the
+    # same query cannot silently serve the previous run's CacheManager
+    # entry (the "Asked to cache already cached data" warning in the
+    # r5 bench tail, and a timing leak for any best-of-N harness).
     big_counts = (
         tb.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_big"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     pre_counts = big_counts.groupBy("w1").agg(
         F.sum("c_big").alias("c_pre"),

@@ -30,14 +30,6 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size-based post-shuffle coalescing (optimization guide §2.2):
-        # with parallelismFirst (the default) AQE keeps ~defaultParallelism
-        # tiny partitions per shuffle, so every reduce stage of a small
-        # intermediate pays a full task wave (32 tasks for a few KB);
-        # advisory-size coalescing launches tasks proportional to the
-        # actual bytes — the same setting a cluster deployment wants
-        # (partitions sized in bytes, not in local core counts).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Allow shuffled-hash joins when a side's per-partition build fits
         # (guide §3.1/§9): sort-merge pays two sorts per join; the 64 MB
