@@ -307,7 +307,9 @@ def q_components_incremental(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents", spread=True)
-    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.5)
+    # Both halves filter the same pair list — materialize it once so
+    # the band join + exact-Jaccard verify don't run per reference.
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.5).localCheckpoint(eager=True)
     first = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 0)
     second = pairs.where((F.col("id_a") + F.col("id_b")) % 2 != 0)
     labels = connected_components(first)
