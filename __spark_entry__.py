@@ -1981,8 +1981,14 @@ def q_bpe_merges(spark, sf_dir):
     (scripts/make_goldens.py::golden_bpe; freshness-guarded)."""
     from ocr_poc_spark.operators.curation import bpe_learn
 
+    # batch_merges=4: the tie-frontier guard makes batched acceptance
+    # provably equal to sequential BPE whenever no created pair outranks
+    # a later accepted one before the recount; verified BYTE-IDENTICAL
+    # merges at sf0.001/0.01/0.1 (tests/test_optimizations_r06.py) while
+    # cutting corpus passes ~30 -> ~18 (OPTIMIZATION_r06.md).
     return bpe_learn(
-        _t(spark, sf_dir, "documents", spread=True), n_merges=30
+        _t(spark, sf_dir, "documents", spread=True), n_merges=30,
+        batch_merges=4,
     )
 
 
@@ -1996,7 +2002,12 @@ def q_chunk_bpe(spark, sf_dir):
     greedy rule with a recursive CTE."""
     from ocr_poc_spark.operators.curation import bpe_learn, chunk_documents
 
-    merges = bpe_learn(_t(spark, sf_dir, "documents", spread=True), n_merges=30)
+    # batch_merges=4: byte-identical merges, ~40% fewer corpus passes
+    # (see q_bpe_merges / OPTIMIZATION_r06.md).
+    merges = bpe_learn(
+        _t(spark, sf_dir, "documents", spread=True), n_merges=30,
+        batch_merges=4,
+    )
     vocab = [r["merged"] for r in merges.collect()]  # 30 rows, bounded
     return chunk_documents(
         _t(spark, sf_dir, "documents", spread=True),

@@ -82,6 +82,20 @@ def test_minhash_pairs_plan_scans_source_once(spark):
     assert "Scan parquet" not in plan and "LocalTableScan" not in plan
 
 
+def test_bpe_batched_equals_sequential_on_fixture(spark):
+    """batch_merges=4 (used by the bpe_merges/chunk_bpe queries) must
+    produce the EXACT merge table sequential BPE produces on the
+    driver fixture corpus — the tie-frontier guard stops a batch at
+    every count plateau, so acceptance order cannot diverge here
+    (also verified at sf0.01 and sf0.1, OPTIMIZATION_r06.md)."""
+    from ocr_poc_spark.operators.curation import bpe_learn
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seq = [tuple(r) for r in bpe_learn(d, n_merges=30).collect()]
+    bat = [tuple(r) for r in bpe_learn(d, n_merges=30, batch_merges=4).collect()]
+    assert bat == seq
+
+
 def test_importance_weights_derived_raw_counts(spark):
     """dsir.importance_weights' single-pass refactor (corpus bucket
     counts derived from the per-doc aggregate) must match a direct
