@@ -57,6 +57,10 @@ assert all(
     for a in (*(x for v in ANCHORS.values() for x in v), *EXTRA_LABELS)
 )
 _MAX_LABEL_LEN = max(len(a) for a in ALL_LABELS)
+# Frozen iteration order with precomputed lengths for the label loop
+# (frozenset iteration order is stable within a process; the loop's
+# result is order-independent — ANY label over threshold returns True).
+_LABELS_WITH_LEN = tuple((a, len(a)) for a in ALL_LABELS)
 MAX_ANCHOR_LEN = max(len(a) for v in ANCHORS.values() for a in v)
 
 # Bilingual-slash hint words (ref _18_f.py:258).
@@ -147,11 +151,21 @@ def is_likely_label(text: str) -> bool:
         return True
 
     tus = text_upper.strip()
+    # Exact label hit: _sim_core(tus, tus) == 1.0 >= threshold, so the
+    # set lookup short-circuits the fuzzy loop with the same answer.
+    if tus in ALL_LABELS:
+        return True
     # Whole-loop skip for paragraph-length text: 3*min < max prunes
     # every label when len(tus) > 3*max label length, so the loop would
     # contribute nothing (exact, same proof as the in-score prune).
     if len(tus) <= 3 * _MAX_LABEL_LEN:
-        for label in ALL_LABELS:
+        lt = len(tus)
+        for label, ll in _LABELS_WITH_LEN:
+            # Inline the 3*min < max length prune (identical to
+            # _sim_core's first check) to skip the call entirely for
+            # labels it would zero anyway.
+            if 3 * (lt if lt < ll else ll) < (ll if lt < ll else lt):
+                continue
             if _sim_core(tus, label) >= LABEL_SIM_THRESHOLD:
                 return True
 
