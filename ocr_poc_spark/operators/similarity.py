@@ -719,18 +719,45 @@ def semantic_near_pairs(
                 ).cast("boolean"),
             ).otherwise(F.lit(True))
         ).drop("_csize")
-    a = assigned.select(
+    # Scale-adaptive salted self-join (guide §2.5): the join key has
+    # only n_clusters distinct values, so with a SMALL quantizer the
+    # in-cluster cosine work lands on n_clusters tasks no matter how
+    # many cores exist (the 8-cluster driver config ran its 2.4M
+    # cosines 8-wide on 32 cores). When n_clusters is below the
+    # session's parallelism, a deterministic salt on the a-side
+    # (pmod(xxhash64(id)) — never rand(), which breaks under task
+    # retry, §2.5) with the b-side exploded `salt` ways joins each
+    # pair EXACTLY once (the pair's salt is a function of id_a), so
+    # the pair set — and every cosine — is identical while the stage
+    # runs n_clusters x salt wide. The salt derives from parallelism
+    # vs k, NOT a constant: at production k ~ sqrt(n) >> cores it is
+    # 1 and the plan is the plain cluster join (replicating the
+    # b-side's vectors would multiply shuffle bytes for nothing).
+    par = assigned.sparkSession.sparkContext.defaultParallelism
+    salt = max(1, min(16, -(-par // max(1, len(centroids)))))
+    a_cols = [
         F.col(id_col).alias("id_a"), F.col("cluster"),
         F.col("_v").alias("v_a"), F.col("_norm").alias("n_a"),
-    )
-    b = assigned.select(
+    ]
+    b_cols = [
         F.col(id_col).alias("id_b"), F.col("cluster"),
         F.col("_v").alias("v_b"), F.col("_norm").alias("n_b"),
-    )
+    ]
+    if salt > 1:
+        a = assigned.select(
+            *a_cols,
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int").alias("_salt"),
+        )
+        b = assigned.select(
+            *b_cols,
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt"),
+        )
+        joined = a.join(b, ["cluster", "_salt"])
+    else:
+        joined = assigned.select(*a_cols).join(assigned.select(*b_cols), "cluster")
     cos = _cosine_or_null(_dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b"))
     return (
-        a.join(b, "cluster")
-        .where(F.col("id_a") < F.col("id_b"))
+        joined.where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
