@@ -1473,9 +1473,14 @@ def q_ann_recall(spark, sf_dir):
     from ocr_poc_spark.operators.textstats import hash_embedding
 
     qids = list(range(10))
+    # Both audit legs (exact + IVF) read the same embedding frame;
+    # materialize it once instead of re-running the md5 hashing fold
+    # per leg (values identical — the checkpoint is the same frame).
     emb = hash_embedding(
         _t(spark, sf_dir, "documents", spread=True), dim=16
-    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    ).select(F.col("doc_id").alias("vec_id"), "embedding").localCheckpoint(
+        eager=True
+    )
     exact = cosine_topk(emb, query_ids=qids, k=2)
     approx = ivf_ann_topk(
         emb, k=2, dim=16, n_probe=3, centroids=_ivf_bcast_centroids()
