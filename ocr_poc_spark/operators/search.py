@@ -230,7 +230,12 @@ def hybrid_topk(
     sparse = sparse.localCheckpoint(eager=True)
     sparse_ranked = _bounded_rank(sparse, id_col, "score", "bm25_rank")
 
-    emb = hash_embedding(df, id_col=id_col, text_col=text_col, dim=dim)
+    # Plan fence (see similarity.with_norm): the dense leg's dot/norm
+    # folds would otherwise re-evaluate the inlined hashing fold per
+    # expression.
+    emb = hash_embedding(
+        df, id_col=id_col, text_col=text_col, dim=dim
+    ).localCheckpoint(eager=False)
     qdf = spark.createDataFrame([(query,)], "text string")
     qvec = hash_embedding(
         qdf.select(F.lit(0).alias(id_col), "text"), id_col=id_col, dim=dim

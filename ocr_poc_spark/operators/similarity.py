@@ -24,8 +24,25 @@ def _dot(a, b) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Adds `_v` (double-cast vector) and `_norm`, behind a PLAN FENCE.
+
+    The non-eager localCheckpoint is load-bearing (measured 10x on
+    assign_clusters, r6): without it Catalyst collapses the projection
+    chain and every downstream higher-order expression (per-centroid
+    distance folds, hyperplane dots, cosines) re-evaluates the inlined
+    `_v` — and whatever produced the vector, e.g. hash_embedding's
+    per-token md5 fold — once per consuming lambda, because interpreted
+    HOFs have no common-subexpression elimination. The fence
+    materializes rows once on first use (no extra job at call time, a
+    fresh RDD per invocation so repeated runs recompute), and Spark
+    propagates size stats across it, so downstream auto-broadcasts
+    still fire."""
     v = F.transform(vec_col, lambda x: x.cast("double"))
-    return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    return (
+        df.withColumn("_v", v)
+        .withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+        .localCheckpoint(eager=False)
+    )
 
 
 def _cosine_or_null(dot, norm_a, norm_b):
