@@ -199,17 +199,15 @@ def hybrid_topk(
 
     Plan shape: each leg is a global top-`pool` on
     TakeOrderedAndProject (per-partition heaps, no global window over
-    the corpus); the rank windows and the full-outer fusion join run
-    on the two <= pool-row leg results — constant-size frames at any
-    corpus scale, the documented exception to the no-global-window
-    rule. The dense leg here is brute-force-exact (the right baseline
+    the corpus); leg ranks come from _bounded_rank (a broadcast
+    self-join over the <= pool-row leg result — no WindowExec at all)
+    and the full-outer fusion join runs on the same constant-size
+    frames. The dense leg here is brute-force-exact (the right baseline
     for auditable fusion); swap in lsh_ann_topk/ivf_ann_topk candidates
     upstream when the corpus outgrows exact scoring.
 
     Returns top_n rows: (id, bm25_rank, cos_rank, rrf_score), ordered
     by (rrf_score desc, id asc)."""
-    from pyspark.sql import Window
-
     from ..operators.similarity import _cosine_or_null, _dot
     from ..operators.textstats import hash_embedding
 
