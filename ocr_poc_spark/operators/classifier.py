@@ -81,8 +81,11 @@ def nb_train(
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    cp = counts(pos, "c_pos")
-    cn = counts(neg, "c_neg")
+    # Each count table has two consumers (the model spine join and its
+    # total) — the non-eager checkpoint tokenizes each class corpus
+    # once instead of once per reference (<= n_buckets rows held).
+    cp = counts(pos, "c_pos").localCheckpoint(eager=False)
+    cn = counts(neg, "c_neg").localCheckpoint(eager=False)
     totals = (
         cp.agg(F.sum("c_pos").alias("t_pos"))
         .crossJoin(cn.agg(F.sum("c_neg").alias("t_neg")))
@@ -244,13 +247,17 @@ def nb_train_score_self(
         .agg(F.count(F.lit(1)).alias("c_doc"))
         .localCheckpoint(eager=True)
     )
+    # Two consumers each (totals + model join): fence so the per-class
+    # re-aggregation of the checkpointed doc counts runs once.
     cp = (
         doc_counts.where(F.col("_pos"))
         .groupBy("bucket").agg(F.sum("c_doc").alias("c_pos"))
+        .localCheckpoint(eager=False)
     )
     cn = (
         doc_counts.where(~F.col("_pos"))
         .groupBy("bucket").agg(F.sum("c_doc").alias("c_neg"))
+        .localCheckpoint(eager=False)
     )
     # Document totals count EVERY row (feature-less docs included), so
     # they come from the corpus frame, not the feature rows — a cheap

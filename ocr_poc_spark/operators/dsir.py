@@ -100,7 +100,14 @@ def importance_weights(
             .agg(F.count(F.lit(1)).alias("c"))
         )
 
-    tgt = bucket_counts(target).withColumnRenamed("c", "c_tgt")
+    # Two consumers (the log-ratio join and the t_tgt total) — the
+    # non-eager checkpoint computes the <= n_buckets-row aggregate once
+    # instead of re-tokenizing the target per reference.
+    tgt = (
+        bucket_counts(target)
+        .withColumnRenamed("c", "c_tgt")
+        .localCheckpoint(eager=False)
+    )
     # ONE tokenize+hash pass over the raw corpus: the per-document
     # bucket counts both (a) aggregate to the corpus bucket counts
     # (sum of exact integers == direct occurrence count) and (b) feed
